@@ -1,0 +1,95 @@
+"""Stage PSD plotting (reference ``visualize.py:32-97``).
+
+Headless matplotlib (Agg) multi-panel PNG of pipeline stage snapshots:
+input/mixed/filtered/decimated plus the decoder intermediates.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from .spectrum import compute_psd
+
+LOG = logging.getLogger(__name__)
+
+_STAGE_ORDER = [
+    "input",
+    "mixed",
+    "filtered",
+    "decimated",
+    "demod",
+    "deemph",
+    "envelope",
+    "analytic",
+    "dc_block",
+    "agc",
+    "audio",
+]
+
+
+def plot_psd(ax, samples: np.ndarray, sample_rate: float, title: str, center_freq: float = 0.0):
+    samples = np.asarray(samples)
+    nfft = min(1 << 16, max(256, 1 << int(np.floor(np.log2(max(samples.size, 256))))))
+    if np.iscomplexobj(samples):
+        freqs, psd_db = compute_psd(samples, sample_rate, nfft=nfft)
+    else:
+        # real signal: use analytic-style PSD of the real samples
+        freqs, psd_db = compute_psd(samples.astype(np.complex64), sample_rate, nfft=nfft)
+    ax.plot(freqs / 1e3, psd_db, linewidth=0.7)
+    ax.set_title(title, fontsize=9)
+    ax.set_xlabel("Frequency (kHz)", fontsize=8)
+    ax.set_ylabel("dBFS/Hz", fontsize=8)
+    ax.grid(True, alpha=0.3)
+    if center_freq:
+        sec = ax.secondary_xaxis(
+            "top",
+            functions=(
+                lambda f: (f * 1e3 + center_freq) / 1e6,
+                lambda f: (f * 1e6 - center_freq) / 1e3,
+            ),
+        )
+        sec.set_xlabel("Absolute (MHz)", fontsize=7)
+
+
+def save_stage_psd(
+    snapshots: dict[str, tuple[np.ndarray, float]],
+    output_path: Path | str,
+    center_freq: float | None = None,
+) -> None:
+    """Save a multi-panel PNG of per-stage PSDs."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    stages = [s for s in _STAGE_ORDER if s in snapshots]
+    stages += [s for s in snapshots if s not in stages]
+    if not stages:
+        raise ValueError("No stage snapshots to plot.")
+    cols = 2
+    rows = (len(stages) + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(11, 3.0 * rows), squeeze=False)
+    for i, name in enumerate(stages):
+        buf, rate = snapshots[name]
+        ax = axes[i // cols][i % cols]
+        try:
+            plot_psd(
+                ax,
+                np.asarray(buf).reshape(-1),
+                rate,
+                f"{name} ({rate / 1e3:.1f} kS/s)",
+                center_freq or 0.0,
+            )
+        except Exception as exc:  # pragma: no cover - defensive per-panel
+            LOG.debug("Stage plot failed for %s: %s", name, exc)
+            ax.set_visible(False)
+    for i in range(len(stages), rows * cols):
+        axes[i // cols][i % cols].set_visible(False)
+    fig.tight_layout()
+    output_path = Path(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(output_path, dpi=110)
+    plt.close(fig)

@@ -1,0 +1,35 @@
+"""AM envelope detector with DC blocking (reference ``decoders/am.py``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.iir import dc_blocker
+from .base import Decoder
+
+
+class AMDecoder(Decoder):
+    name = "am"
+
+    def __init__(self, dc_radius: float = 0.995):
+        if not 0.0 < dc_radius < 1.0:
+            raise ValueError("radius must be between 0 and 1")
+        self.dc_radius = dc_radius
+
+    def setup(self, sample_rate: float) -> None:
+        return
+
+    def init_state(self, batch_shape: tuple[int, ...]):
+        return {
+            "dc_x": jnp.zeros(batch_shape, dtype=jnp.float32),
+            "dc_y": jnp.zeros(batch_shape, dtype=jnp.float32),
+        }
+
+    def process(self, state, x):
+        envelope = jnp.abs(x).astype(jnp.float32)
+        audio, (x_last, y_last) = dc_blocker(
+            envelope, self.dc_radius, state["dc_x"], state["dc_y"]
+        )
+        new_state = {"dc_x": x_last, "dc_y": y_last}
+        inter = {"envelope": envelope, "dc_block": audio, "audio": audio}
+        return audio, new_state, inter

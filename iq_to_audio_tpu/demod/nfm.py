@@ -1,0 +1,44 @@
+"""Narrowband FM: quadrature discriminator + de-emphasis scan.
+
+Reference semantics: ``decoders/nfm.py`` — polar discriminator
+``angle(x[n]*conj(x[n-1]))`` with previous-sample carry, then the
+single-pole de-emphasis IIR.  Both are fully vectorised here; the IIR is an
+associative scan (see :mod:`iq_to_audio_tpu.ops.iir`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from ..ops.iir import deemphasis
+from .base import Decoder
+
+
+class NFMDecoder(Decoder):
+    name = "narrowband_fm"
+
+    def __init__(self, deemph_us: float):
+        self.deemph_us = deemph_us
+        self.alpha: float | None = None
+
+    def setup(self, sample_rate: float) -> None:
+        tau_sec = max(self.deemph_us * 1e-6, 1e-6)
+        self.alpha = math.exp(-1.0 / (sample_rate * tau_sec))
+
+    def init_state(self, batch_shape: tuple[int, ...]):
+        return {
+            "prev": jnp.ones(batch_shape, dtype=jnp.complex64),
+            "deemph_y": jnp.zeros(batch_shape, dtype=jnp.float32),
+        }
+
+    def process(self, state, x):
+        assert self.alpha is not None, "setup() must run before process()"
+        prevs = jnp.concatenate([state["prev"][..., None], x[..., :-1]], axis=-1)
+        prod = x * jnp.conj(prevs)
+        demod = jnp.arctan2(prod.imag, prod.real).astype(jnp.float32)
+        audio, y_last = deemphasis(demod, self.alpha, state["deemph_y"])
+        new_state = {"prev": x[..., -1], "deemph_y": y_last}
+        inter = {"demod": demod, "deemph": audio, "audio": audio}
+        return audio, new_state, inter

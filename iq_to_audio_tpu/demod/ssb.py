@@ -1,0 +1,68 @@
+"""SSB (USB/LSB) demodulator with DC blocking and scan-based feedback AGC.
+
+Reference semantics: ``decoders/ssb.py`` — the channel filter has already
+band-limited the complex baseband, so USB audio is ``real(x)`` and LSB is
+``real(conj(x))``; then the one-pole DC blocker and (optionally) the
+feedback AGC.  Both per-sample Python loops of the reference become
+associative scans here.  Unlike the reference, the AGC gain is carried
+across chunks (chunked == whole invariant).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.iir import dc_blocker, feedback_agc
+from .base import Decoder
+
+
+class SSBDecoder(Decoder):
+    name = "ssb"
+
+    def __init__(
+        self,
+        sideband: str,
+        agc_enabled: bool,
+        dc_radius: float = 0.995,
+        agc_target_dbfs: float = -12.0,
+        agc_decay: float = 0.001,
+    ):
+        sideband = sideband.lower()
+        if sideband not in {"usb", "lsb"}:
+            raise ValueError("sideband must be 'usb' or 'lsb'")
+        self.sideband = sideband
+        self.agc_enabled = agc_enabled
+        self.dc_radius = dc_radius
+        self.agc_target = 10.0 ** (agc_target_dbfs / 20.0)
+        self.agc_decay = agc_decay
+
+    def setup(self, sample_rate: float) -> None:
+        return
+
+    def init_state(self, batch_shape: tuple[int, ...]):
+        state = {
+            "dc_x": jnp.zeros(batch_shape, dtype=jnp.float32),
+            "dc_y": jnp.zeros(batch_shape, dtype=jnp.float32),
+        }
+        if self.agc_enabled:
+            state["agc_gain"] = jnp.ones(batch_shape, dtype=jnp.float32)
+        return state
+
+    def process(self, state, x):
+        analytic = jnp.conj(x) if self.sideband == "lsb" else x
+        baseband = analytic.real.astype(jnp.float32)
+        dc_audio, (x_last, y_last) = dc_blocker(
+            baseband, self.dc_radius, state["dc_x"], state["dc_y"]
+        )
+        new_state = {"dc_x": x_last, "dc_y": y_last}
+        inter = {"analytic": analytic, "dc_block": dc_audio}
+        if self.agc_enabled:
+            audio, gain_last = feedback_agc(
+                dc_audio, self.agc_target, self.agc_decay, state["agc_gain"]
+            )
+            new_state["agc_gain"] = gain_last
+            inter["agc"] = audio
+        else:
+            audio = dc_audio
+        inter["audio"] = audio
+        return audio, new_state, inter

@@ -1,0 +1,198 @@
+"""Output writers: 48 kHz audio WAV, IQ slice, cf32 debug dump.
+
+First-party replacements for the reference's second ffmpeg subprocess
+(reference ``processing.py:381-524``) and soundfile slice writer
+(``processing.py:542-596``).  Resampling happens on device before these run,
+so the writers are pure encode+IO; a dedicated drain thread keeps the DSP
+loop from blocking on disk, mirroring the reference's writer-thread design.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from .formats import InputFormatSpec
+from .riff import WavStreamWriter
+
+LOG = logging.getLogger(__name__)
+
+
+class AudioWriter:
+    """Stream float32 mono audio into a 48 kHz pcm_s16le WAV.
+
+    Input samples are expected already at the output rate (the device
+    resampler did the rate conversion); clipping to +-0.99 and peak tracking
+    match the reference (``processing.py:449-452``).
+    """
+
+    def __init__(self, output_path: Path, input_rate: float, *, output_rate: int = 48_000):
+        self.output_path = Path(output_path)
+        self.input_rate = float(input_rate)
+        self.output_rate = int(output_rate)
+        self.peak = 0.0
+        self._writer = WavStreamWriter(self.output_path, self.output_rate, 1, "pcm_s16le")
+        self._queue: queue.SimpleQueue = queue.SimpleQueue()
+        self._error: BaseException | None = None
+        self._closed = False
+        self._thread = threading.Thread(target=self._drain, name="AudioWriter", daemon=True)
+        self._thread.start()
+
+    def write(self, samples: np.ndarray) -> None:
+        if self._closed:
+            raise RuntimeError("AudioWriter has already been closed.")
+        if self._error:
+            raise RuntimeError("audio writer failed") from self._error
+        samples = np.asarray(samples)
+        if samples.size == 0:
+            return
+        peak = float(np.max(np.abs(samples)))
+        if peak > self.peak:
+            self.peak = peak
+        safe = np.clip(samples, -0.99, 0.99).astype(np.float32, copy=False)
+        self._queue.put(safe)
+        if self._error:
+            raise RuntimeError("audio writer failed") from self._error
+
+    def _drain(self) -> None:
+        while True:
+            payload = self._queue.get()
+            if payload is None:
+                return
+            if self._error is not None:
+                continue
+            try:
+                self._writer.write_float(payload)
+            except BaseException as exc:  # surfaced on next write/close
+                self._error = exc
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)
+        if self._thread.is_alive():
+            self._thread.join(timeout=10)
+        self._writer.close()
+        if self._error:
+            raise RuntimeError("audio writer failed") from self._error
+
+
+class IQDebugWriter:
+    """Raw interleaved float32 (.cf32) dump of the channelized IQ
+    (reference ``processing.py:363-378``)."""
+
+    def __init__(self, path: Path | None, sample_rate: float):
+        self.path = Path(path) if path else None
+        self.sample_rate = sample_rate
+        self.fd = self.path.open("wb") if self.path else None
+
+    def write(self, samples: np.ndarray) -> None:
+        if not self.fd or samples.size == 0:
+            return
+        data = np.asarray(samples, dtype=np.complex64).view(np.float32)
+        self.fd.write(data.tobytes())
+
+    def close(self) -> None:
+        if self.fd:
+            self.fd.close()
+            self.fd = None
+
+
+def _encode_iq_raw(samples: np.ndarray, codec: str) -> bytes:
+    """Raw IQ encoding rules (reference ``processing.py:527-539``)."""
+    interleaved = np.empty(samples.size * 2, dtype=np.float32)
+    interleaved[0::2] = samples.real
+    interleaved[1::2] = samples.imag
+    if codec == "pcm_f32le":
+        return interleaved.astype("<f4", copy=False).tobytes()
+    if codec == "pcm_s16le":
+        scaled = np.clip(interleaved, -1.0, 0.999969) * 32767.0
+        return scaled.astype("<i2", copy=False).tobytes()
+    if codec == "pcm_u8":
+        scaled = np.clip(interleaved, -1.0, 1.0)
+        return np.round((scaled + 1.0) * 127.5).astype(np.uint8, copy=False).tobytes()
+    raise ValueError(f"Unsupported raw codec {codec}")
+
+
+class IQSliceWriter:
+    """Write complex IQ slices preserving container/codec (pass-through mode,
+    reference ``processing.py:542-596``)."""
+
+    def __init__(self, output_path: Path, sample_rate: float, spec: InputFormatSpec):
+        self.output_path = Path(output_path)
+        self.sample_rate = float(sample_rate)
+        self.spec = spec
+        self.peak = 0.0
+        self._wav: WavStreamWriter | None = None
+        self._fd = None
+        if spec.container == "wav":
+            self._wav = WavStreamWriter(
+                self.output_path,
+                max(1, int(round(self.sample_rate))),
+                2,
+                spec.codec,
+            )
+        else:
+            self._fd = self.output_path.open("wb")
+
+    def write(self, samples: np.ndarray) -> None:
+        samples = np.asarray(samples)
+        if samples.size == 0:
+            return
+        peak = float(np.max(np.abs(samples)))
+        if peak > self.peak:
+            self.peak = peak
+        if self._wav is not None:
+            interleaved = np.column_stack((samples.real, samples.imag)).astype(np.float32)
+            self._wav.write_float(interleaved)
+        else:
+            self._fd.write(_encode_iq_raw(samples, self.spec.codec))
+
+    def close(self) -> None:
+        if self._wav is not None:
+            self._wav.close()
+            self._wav = None
+        if self._fd is not None:
+            self._fd.close()
+            self._fd = None
+
+
+def write_stereo_wav(
+    path: Path | str,
+    frames: np.ndarray,
+    sample_rate: int,
+    codec: str = "pcm_s16le",
+) -> None:
+    """One-shot stereo WAV write (test/benchmark fixture helper)."""
+    with WavStreamWriter(path, sample_rate, 2, codec) as w:
+        w.write_float(np.asarray(frames, dtype=np.float32))
+
+
+def read_wav(path: Path | str) -> tuple[np.ndarray, int]:
+    """One-shot WAV read returning (frames x channels float32, rate)."""
+    from .riff import parse_wav_header
+
+    info = parse_wav_header(path)
+    with Path(path).open("rb") as f:
+        f.seek(info.data_offset)
+        payload = f.read(info.data_size)
+    codec = info.codec
+    if codec == "pcm_u8":
+        data = (np.frombuffer(payload, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif codec == "pcm_s16le":
+        data = np.frombuffer(payload, "<i2").astype(np.float32) / 32768.0
+    elif codec == "pcm_s32le":
+        data = np.frombuffer(payload, "<i4").astype(np.float32) / 2147483648.0
+    elif codec == "pcm_f32le":
+        data = np.frombuffer(payload, "<f4").astype(np.float32)
+    elif codec == "pcm_f64le":
+        data = np.frombuffer(payload, "<f8").astype(np.float32)
+    else:
+        raise ValueError(f"Unsupported WAV codec {codec}")
+    frames = data.reshape(-1, info.channels)
+    return frames, info.sample_rate

@@ -1,0 +1,659 @@
+"""Streaming pipeline orchestrator.
+
+Drives the jitted chunk step (:mod:`.step`) from a host loop with:
+
+* prefetching reader thread (disk ahead of device),
+* lag-1 result fetching (host IO of chunk k overlaps device compute of k+1),
+* exact host-side sample bookkeeping (valid counts for the padded final
+  chunk and the resampler come from Python-int mirrors, never device syncs),
+* cooperative cancellation with partial-output cleanup, progress phases,
+  probe-only mode, preview limits, IQ dumping, pass-through slicing and
+  stage snapshots — the full capability surface of the reference
+  ``ProcessingPipeline`` (reference ``processing.py:682-1233``).
+
+Up to five target frequencies are batched through one shared channelizer
+pass (leading channel axis) instead of the reference's sequential per-target
+runs (reference ``cli.py:683-710``).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import math
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..demod import create_decoder
+from ..io.formats import InputFormatSpec, resolve_input_format
+from ..io.probe import SampleRateProbe, probe_sample_rate
+from ..io.reader import IQReader, convert_to_complex
+from ..io.writer import AudioWriter, IQDebugWriter, IQSliceWriter
+from ..ops.osfir import OverlapSavePlan, taps_fft
+from ..ops.nco import nco_increment_fixed
+from ..ops.resample import ResamplePlan, design_resampler_table
+from ..ref.chain import choose_mix_sign
+from ..utils.freq import detect_center_frequency
+from .config import ProcessingConfig
+from .filters import compute_decimation, design_channel_filter, tune_chunk_size
+from .progress import PhaseState, ProgressSink, ProgressTracker
+from .step import build_chunk_step
+
+LOG = logging.getLogger(__name__)
+
+_OUTPUT_RATE = 48_000.0
+
+
+@dataclass
+class ProcessingResult:
+    sample_rate_probe: SampleRateProbe
+    center_freq: float
+    target_freq: float
+    freq_offset: float
+    decimation: int
+    fs_channel: float
+    mix_sign: int
+    audio_peak: float
+    #: per-channel peaks when multiple targets were batched (channel 0 first)
+    audio_peaks: list[float] = field(default_factory=list)
+    #: per-channel output paths actually written
+    output_paths: list[Path] = field(default_factory=list)
+    #: wall-clock seconds spent in the chunk loop (compile excluded)
+    loop_seconds: float = 0.0
+    #: complex input samples consumed
+    input_samples: int = 0
+
+
+class ProcessingCancelled(RuntimeError):  # noqa: N818 - parity with reference
+    """Raised when processing is aborted early by user request."""
+
+
+class ProcessingPipeline:
+    def __init__(self, config: ProcessingConfig):
+        self.config = config
+        self._cancelled = False
+        self._input_spec: InputFormatSpec | None = None
+
+    def cancel(self) -> None:
+        self._cancelled = True
+
+    # -- helpers -----------------------------------------------------------
+
+    def _is_pass_through_mode(self) -> bool:
+        mode = (self.config.demod_mode or "").lower()
+        return mode in {"none", "pass", "iq"}
+
+    def _target_freqs(self) -> list[float]:
+        freqs = [f for f in self.config.all_target_freqs() if f and f > 0]
+        return freqs
+
+    def _default_output_path(self, target_freq: float) -> Path:
+        ft = int(target_freq)
+        if self._is_pass_through_mode():
+            spec = self._input_spec
+            in_suffix = self.config.in_path.suffix
+            wav_suffixes = {".wav", ".wave", ".wv", ".rf64"}
+            if spec and spec.container == "wav":
+                ext = in_suffix if in_suffix.lower() in wav_suffixes else ".wav"
+            elif spec and spec.container == "raw":
+                codec_ext = {
+                    "pcm_u8": ".cu8",
+                    "pcm_s16le": ".cs16",
+                    "pcm_f32le": ".cf32",
+                }.get(spec.codec, ".raw")
+                ext = in_suffix or codec_ext
+            else:
+                ext = in_suffix or ".wav"
+            return self.config.in_path.with_name(f"slice_{ft}{ext}")
+        return self.config.in_path.with_name(f"audio_{ft}_48k.wav")
+
+    @staticmethod
+    def _annotate(base: Path, freq: float) -> Path:
+        freq_tag = int(round(freq))
+        return base.with_name(f"{base.stem}_{freq_tag}{base.suffix}")
+
+    def _channel_paths(self, freqs: list[float], base: Path | None) -> list[Path]:
+        """Per-channel output paths (mirrors reference cli annotate_path)."""
+        paths: list[Path] = []
+        extras = self.config.extra_output_paths
+        multi = len(freqs) > 1
+        for i, freq in enumerate(freqs):
+            explicit = extras[i - 1] if i > 0 and i - 1 < len(extras) else None
+            if explicit is not None:
+                paths.append(explicit)  # per-channel override: verbatim
+            elif base is not None:
+                # shared --out hint: suffix with _<freq> when batching, like
+                # the reference CLI (reference cli.py annotate_path)
+                paths.append(self._annotate(base, freq) if multi else base)
+            else:
+                paths.append(self._default_output_path(freq))
+        return paths
+
+    # -- main entry ----------------------------------------------------------
+
+    def run(self, progress_sink: ProgressSink | None = None) -> ProcessingResult:
+        tracker = ProgressTracker(progress_sink)
+        cfg = self.config
+        if self._input_spec is None:
+            spec, source = resolve_input_format(
+                cfg.in_path, requested=cfg.input_format, container_hint=cfg.input_container
+            )
+            self._input_spec = spec
+            if not cfg.input_format_source:
+                cfg.input_format_source = source
+            if not cfg.input_container:
+                cfg.input_container = spec.container
+            if not cfg.input_format:
+                cfg.input_format = spec.codec
+        input_spec = self._input_spec
+        pass_through = self._is_pass_through_mode()
+
+        output_paths: list[Path] = []
+        cancel_logged = False
+        last_status: str | None = None
+
+        def _request_cancel() -> None:
+            self._cancelled = True
+            tracker.cancel()
+            tracker.status("Cancelling…")
+
+        def _check_cancel(stage: str = "") -> None:
+            nonlocal cancel_logged
+            if self._cancelled or tracker.cancelled:
+                self._cancelled = True
+                if not tracker.cancelled:
+                    tracker.cancel()
+                    tracker.status("Cancelling…")
+                if not cancel_logged:
+                    if stage:
+                        LOG.info("Processing cancelled during %s.", stage)
+                    else:
+                        LOG.info("Processing cancelled by user.")
+                    cancel_logged = True
+                raise ProcessingCancelled("Processing cancelled by user.")
+
+        def report(message: str) -> None:
+            nonlocal last_status
+            tracker.status(message)
+            if message != last_status:
+                LOG.info(message)
+                last_status = message
+
+        if progress_sink is not None:
+            with contextlib.suppress(AttributeError):
+                progress_sink.set_cancel_callback(_request_cancel)
+
+        manual_rate = cfg.input_sample_rate
+        if manual_rate is not None and manual_rate <= 0:
+            raise ValueError("Input sample rate override must be positive.")
+
+        try:
+            # --- probing ---------------------------------------------------
+            if input_spec.container == "raw":
+                if manual_rate is None:
+                    raise ValueError(
+                        "Raw IQ inputs require --input-sample-rate (CLI) or a "
+                        "manual entry in the GUI."
+                    )
+                sample_rate = float(manual_rate)
+                probe = SampleRateProbe(ffprobe=None, header=None, wave=sample_rate)
+            else:
+                probe = probe_sample_rate(cfg.in_path)
+                if manual_rate is not None:
+                    sample_rate = float(manual_rate)
+                else:
+                    try:
+                        sample_rate = probe.value
+                    except RuntimeError as exc:
+                        raise RuntimeError(
+                            "Unable to determine input sample rate automatically. "
+                            "Provide --input-sample-rate or enter it manually."
+                        ) from exc
+
+            preview_seconds = cfg.max_input_seconds
+            if preview_seconds is not None and preview_seconds <= 0:
+                preview_seconds = None
+            max_input_samples: int | None = None
+            if preview_seconds is not None and sample_rate > 0:
+                max_input_samples = max(1, int(math.floor(preview_seconds * sample_rate)))
+
+            if cfg.target_freq <= 0 and not cfg.probe_only:
+                raise ValueError(
+                    "Target frequency must be positive. Provide --ft or use --interactive."
+                )
+            if cfg.bandwidth <= 0:
+                raise ValueError("Bandwidth must be positive.")
+
+            center_freq = cfg.center_freq
+            center_source = (
+                cfg.center_freq_source
+                if cfg.center_freq_source
+                else ("config" if center_freq is not None else "unavailable")
+            )
+            if center_freq is None:
+                detection = detect_center_frequency(cfg.in_path)
+                if detection.value is None:
+                    raise ValueError(
+                        "Center frequency not supplied and could not be determined "
+                        "from metadata or filename. Use --fc to provide it explicitly."
+                    )
+                center_freq = detection.value
+                center_source = detection.source
+                cfg.center_freq = center_freq
+                cfg.center_freq_source = center_source
+                LOG.info("Center frequency detected via %s.", center_source)
+
+            freqs = self._target_freqs()
+            if not freqs:
+                freqs = [center_freq]
+            if len(freqs) > 5:
+                raise ValueError("At most five target frequencies are supported per run.")
+            offsets = [f - center_freq for f in freqs]
+            target_freq = freqs[0]
+            freq_offset = offsets[0]
+
+            decimation, fs_channel = compute_decimation(sample_rate, cfg.fs_ch_target)
+
+            LOG.info(
+                "Input sample rate %.2f Hz (header=%s, wave=%s).",
+                sample_rate,
+                f"{probe.header:.2f}" if probe.header else "n/a",
+                f"{probe.wave:.2f}" if probe.wave else "n/a",
+            )
+            LOG.info(
+                "Center frequency %.0f Hz, target(s) %s, offset(s) %s Hz.",
+                center_freq,
+                "/".join(f"{f:.0f}" for f in freqs),
+                "/".join(f"{o:.0f}" for o in offsets),
+            )
+            LOG.info(
+                "Channel decimation factor %d -> %.2f Hz complex rate.", decimation, fs_channel
+            )
+            LOG.info("Using %s demodulator.", cfg.demod_mode.upper())
+            LOG.info("AGC %s.", "enabled" if cfg.agc_enabled else "disabled")
+
+            # --- geometry / plans -------------------------------------------
+            taps = design_channel_filter(sample_rate, cfg.bandwidth, decimation)
+            LOG.info("Designed FIR channel filter with %d taps.", len(taps))
+
+            target_chunk = tune_chunk_size(sample_rate, cfg.chunk_size)
+            fft_hint = None
+            if not cfg.auto_filter_block:
+                fft_hint = cfg.filter_block + len(taps) - 1
+            os_plan = OverlapSavePlan.create(
+                len(taps), decimation, target_chunk=target_chunk, fft_size=fft_hint
+            )
+            chunk_size = os_plan.chunk_size
+            n_dec = os_plan.out_size
+            rs_plan = None
+            if not pass_through:
+                rs_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, n_dec)
+
+            # --- totals for progress ----------------------------------------
+            reader = IQReader(
+                cfg.in_path,
+                chunk_size,
+                cfg.iq_order,
+                input_spec,
+                sample_rate=sample_rate if input_spec.container == "raw" else None,
+            )
+            phases: list[PhaseState] = []
+            with reader:
+                total_input_samples = float(reader.total_frames)
+                if max_input_samples is not None:
+                    if total_input_samples > 0:
+                        total_input_samples = float(
+                            min(total_input_samples, max_input_samples)
+                        )
+                    else:
+                        total_input_samples = float(max_input_samples)
+                estimated_channel_samples = total_input_samples / max(decimation, 1)
+                duration_seconds = (
+                    total_input_samples / sample_rate if sample_rate > 0 else 0.0
+                )
+                estimated_chunks = (
+                    int(math.ceil(total_input_samples / chunk_size))
+                    if total_input_samples > 0
+                    else 0
+                )
+                estimated_audio_samples = max(duration_seconds * _OUTPUT_RATE, 0.0)
+                if estimated_chunks > 0:
+                    LOG.info(
+                        "Expecting approximately %d processing chunks "
+                        "(chunk size %d samples, %.2f s of IQ).",
+                        estimated_chunks,
+                        chunk_size,
+                        duration_seconds,
+                    )
+                if chunk_size != cfg.chunk_size:
+                    LOG.info(
+                        "Adjusted chunk size from %d to %d samples (~%.3f s) for "
+                        "decimation-aligned device frames.",
+                        cfg.chunk_size,
+                        chunk_size,
+                        chunk_size / sample_rate if sample_rate > 0 else 0.0,
+                    )
+
+                phases = [
+                    PhaseState("ingest", "Ingest IQ", total_input_samples, unit="samples"),
+                    PhaseState(
+                        "channel", "Channelize", estimated_channel_samples, unit="samples"
+                    ),
+                    PhaseState(
+                        "demod", "Demodulate", estimated_channel_samples, unit="samples"
+                    ),
+                    PhaseState("encode", "Encode Audio", estimated_audio_samples, unit="samples"),
+                ]
+                if cfg.dump_iq_path:
+                    phases.insert(
+                        3,
+                        PhaseState(
+                            "dump_iq",
+                            "Write IQ Dump",
+                            estimated_channel_samples,
+                            unit="samples",
+                        ),
+                    )
+                tracker.start(phases)
+                report("design filter")
+                _check_cancel("initialization")
+
+                # --- warm-up: first block + mixer sign ----------------------
+                report("init dsp")
+                raw_first = reader.read_block_raw()
+                if raw_first is None or raw_first.size == 0:
+                    raise RuntimeError("Input stream produced no samples.")
+                _check_cancel("warm-up")
+
+                if cfg.mix_sign_override in (1, -1):
+                    mix_sign = cfg.mix_sign_override
+                else:
+                    probe_len = min(
+                        raw_first.size // 2,
+                        max(int(sample_rate * 0.05), len(taps) * 4, 131_072),
+                    )
+                    warm = convert_to_complex(
+                        raw_first[: 2 * probe_len], input_spec.codec, cfg.iq_order
+                    )
+                    mix_sign = choose_mix_sign(
+                        warm, sample_rate, freq_offset, taps, decimation
+                    )
+                LOG.info("Selected mixer sign %d based on warm-up snippet.", mix_sign)
+                report("warm-up")
+                _check_cancel("warm-up")
+
+                if cfg.probe_only:
+                    tracker.advance("ingest", raw_first.size // 2)
+                    report("Probe-only inspection complete")
+                    return ProcessingResult(
+                        sample_rate_probe=probe,
+                        center_freq=center_freq,
+                        target_freq=target_freq,
+                        freq_offset=freq_offset,
+                        decimation=decimation,
+                        fs_channel=fs_channel,
+                        mix_sign=mix_sign,
+                        audio_peak=0.0,
+                    )
+
+                # --- writers -------------------------------------------------
+                output_paths = self._channel_paths(freqs, cfg.output_path)
+                for p in output_paths:
+                    p.parent.mkdir(parents=True, exist_ok=True)
+                dump_paths: list[Path | None] = [None] * len(freqs)
+                if cfg.dump_iq_path:
+                    base_dump = cfg.dump_iq_path
+                    dump_paths = [
+                        self._annotate(base_dump, f) if len(freqs) > 1 else base_dump
+                        for f in freqs
+                    ]
+
+                audio_writers: list[AudioWriter] = []
+                slice_writers: list[IQSliceWriter] = []
+                iq_writers = [IQDebugWriter(p, fs_channel) for p in dump_paths]
+                if pass_through:
+                    slice_writers = [
+                        IQSliceWriter(p, fs_channel, input_spec) for p in output_paths
+                    ]
+                else:
+                    audio_writers = [AudioWriter(p, _OUTPUT_RATE) for p in output_paths]
+
+                # --- build the device step -----------------------------------
+                incs = [
+                    nco_increment_fixed(off, sample_rate, sign=mix_sign) for off in offsets
+                ]
+                h_np = taps_fft(taps, os_plan.fft_size)
+                table_np = None
+                if rs_plan is not None and not rs_plan.identity:
+                    table_np = design_resampler_table(rs_plan.up, rs_plan.down)
+                decoder = None
+                if not pass_through:
+                    decoder = create_decoder(
+                        cfg.demod_mode,
+                        deemph_us=cfg.deemph_us,
+                        agc_enabled=cfg.agc_enabled,
+                    )
+                    decoder.setup(fs_channel)
+                step = build_chunk_step(
+                    os_plan=os_plan,
+                    rs_plan=rs_plan,
+                    taps_fft_np=h_np,
+                    rs_table_np=table_np,
+                    incs_fixed=incs,
+                    codec=input_spec.codec,
+                    iq_order=cfg.iq_order,
+                    decoder=decoder,
+                    pass_through=pass_through,
+                    dump_iq=cfg.dump_iq_path is not None,
+                )
+                state = step.init_state()
+
+                stage_snapshots: dict[str, tuple[np.ndarray, float]] = {}
+                want_stages = cfg.plot_stages_path is not None
+
+                # --- chunk loop ----------------------------------------------
+                rs_r = 0  # host mirror of the resampler position state
+                processed_samples = 0
+                dec_emitted = 0
+                limit_exhausted = False
+                pending = None  # (out, counts, idx) awaiting host IO
+                loop_start = time.perf_counter()
+
+                def _blocks():
+                    yield raw_first
+                    while True:
+                        nxt = reader.read_block_raw()
+                        if nxt is None or nxt.size == 0:
+                            return
+                        yield nxt
+
+                def _flush_pending(p):
+                    out, counts, idx = p
+                    (valid_in, dec_valid, audio_count) = counts
+                    if pass_through:
+                        iq_np = np.asarray(out["iq"])  # (C, n_dec) complex64
+                        for c, w in enumerate(slice_writers):
+                            w.write(iq_np[c, :dec_valid])
+                        tracker.advance("demod", float(dec_valid))
+                    else:
+                        if cfg.dump_iq_path:
+                            iq_np = np.asarray(out["iq"])
+                            for c, w in enumerate(iq_writers):
+                                if w.fd:
+                                    w.write(iq_np[c, :dec_valid])
+                            tracker.advance("dump_iq", float(dec_valid))
+                        audio_np = np.asarray(out["audio"])  # (C, cap)
+                        for c, w in enumerate(audio_writers):
+                            w.write(audio_np[c, :audio_count])
+                        if idx == 0 or LOG.isEnabledFor(logging.DEBUG):
+                            rms = np.asarray(out["rms_dbfs"])
+                            LOG.debug(
+                                "Demod chunk %d: %d samples, rms=%s dBFS",
+                                idx,
+                                dec_valid,
+                                "/".join(f"{v:.2f}" for v in rms),
+                            )
+                        tracker.advance("demod", float(dec_valid))
+                        tracker.advance(
+                            "encode",
+                            float(dec_valid) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
+                        )
+                    tracker.advance("channel", float(dec_valid))
+
+                for idx, raw_block in enumerate(_blocks()):
+                    valid_frames = raw_block.size // 2
+                    if max_input_samples is not None:
+                        remaining = max_input_samples - processed_samples
+                        if remaining <= 0:
+                            limit_exhausted = True
+                            break
+                        if valid_frames > remaining:
+                            raw_block = raw_block[: 2 * remaining]
+                            valid_frames = remaining
+                            limit_exhausted = True
+                    if valid_frames == 0:
+                        continue
+                    _check_cancel(f"chunk {idx + 1}")
+
+                    if raw_block.size < 2 * chunk_size:
+                        padded = np.zeros(2 * chunk_size, dtype=raw_block.dtype)
+                        padded[: raw_block.size] = raw_block
+                        raw_block = padded
+
+                    # exact host bookkeeping (Python ints, no device syncs)
+                    processed_samples += valid_frames
+                    dec_total = -(-processed_samples // decimation)  # ceil
+                    dec_valid = dec_total - dec_emitted
+                    dec_emitted = dec_total
+                    r_for_chunk = rs_r
+                    if rs_plan is not None and not rs_plan.identity:
+                        # valid outputs are limited by the valid decimated
+                        # samples; the device consumes the full padded chunk,
+                        # so the mirror advances by the full in_size (the
+                        # final partial chunk has no successor — moot there)
+                        audio_count = rs_plan.out_count(r_for_chunk, valid_in=dec_valid)
+                        rs_r = rs_plan.advance(r_for_chunk)
+                    elif rs_plan is not None:
+                        audio_count = dec_valid
+                    else:
+                        audio_count = 0
+
+                    raw_dev = jax.device_put(raw_block)
+
+                    report(f"C{idx + 1} channel")
+                    if want_stages and idx == 0:
+                        new_state, out = step.fn_stages(state, raw_dev, jnp.int32(r_for_chunk))
+                        stages = out.pop("stages")
+                        for name, buf in stages.items():
+                            rate = sample_rate if name in {"input", "mixed", "filtered"} else fs_channel
+                            arr = np.asarray(buf)
+                            stage_snapshots[name] = (arr, rate)
+                        state = new_state
+                    else:
+                        state, out = step.fn(state, raw_dev, jnp.int32(r_for_chunk))
+
+                    tracker.advance("ingest", float(valid_frames))
+                    if pending is not None:
+                        _flush_pending(pending)
+                    pending = (out, (valid_frames, dec_valid, audio_count), idx)
+                    _check_cancel(f"chunk {idx + 1} encode")
+                    if max_input_samples is not None and processed_samples >= max_input_samples:
+                        limit_exhausted = True
+                        break
+
+                if pending is not None:
+                    _flush_pending(pending)
+                    pending = None
+                loop_seconds = time.perf_counter() - loop_start
+
+                report("flush outputs")
+                if decoder is not None:
+                    decoder.finalize()
+                for w in iq_writers:
+                    w.close()
+                for w in audio_writers:
+                    w.close()
+                for w in slice_writers:
+                    w.close()
+
+            if limit_exhausted and preview_seconds is not None:
+                processed_duration = (
+                    processed_samples / sample_rate if sample_rate > 0 else 0.0
+                )
+                LOG.info(
+                    "Stopped after %.2f s due to preview limit (processed %.3f M "
+                    "complex samples).",
+                    processed_duration if processed_duration > 0 else preview_seconds,
+                    processed_samples / 1e6,
+                )
+
+            if cfg.plot_stages_path and not cfg.probe_only and stage_snapshots:
+                try:
+                    from ..analysis.visualize import save_stage_psd
+
+                    for c, freq in enumerate(freqs):
+                        path = (
+                            cfg.plot_stages_path
+                            if len(freqs) == 1
+                            else self._annotate(cfg.plot_stages_path, freq)
+                        )
+                        per_channel = {
+                            name: (
+                                buf[c] if buf.ndim > 1 else buf,
+                                rate,
+                            )
+                            for name, (buf, rate) in stage_snapshots.items()
+                        }
+                        save_stage_psd(per_channel, path, center_freq)
+                    LOG.info("Saved stage PSD plots to %s", cfg.plot_stages_path)
+                except Exception as exc:  # pragma: no cover - plotting best-effort
+                    LOG.warning("Failed to save stage plots: %s", exc)
+
+            if pass_through:
+                peaks = [w.peak for w in slice_writers]
+                for freq, pk in zip(freqs, peaks):
+                    LOG.info(
+                        "[%d] IQ slice peak magnitude %.2f dBFS (complex).",
+                        int(freq),
+                        20.0 * math.log10(max(pk, 1e-6)),
+                    )
+            else:
+                peaks = [w.peak for w in audio_writers]
+                for freq, pk in zip(freqs, peaks):
+                    LOG.info(
+                        "[%d] Audio peak level %.2f dBFS.",
+                        int(freq),
+                        20.0 * math.log10(max(pk, 1e-6)),
+                    )
+            report("Processing complete")
+
+            return ProcessingResult(
+                sample_rate_probe=probe,
+                center_freq=center_freq,
+                target_freq=target_freq,
+                freq_offset=freq_offset,
+                decimation=decimation,
+                fs_channel=fs_channel,
+                mix_sign=mix_sign,
+                audio_peak=peaks[0] if peaks else 0.0,
+                audio_peaks=peaks,
+                output_paths=list(output_paths),
+                loop_seconds=loop_seconds,
+                input_samples=processed_samples,
+            )
+        except ProcessingCancelled:
+            if not cfg.probe_only:
+                for p in output_paths:
+                    try:
+                        Path(p).unlink(missing_ok=True)
+                    except OSError:
+                        LOG.debug("Failed to remove cancelled output %s", p)
+            raise
+        finally:
+            tracker.close()

@@ -1,0 +1,310 @@
+"""Host-side float64 reference DSP chain (NumPy/SciPy).
+
+Semantics follow the upstream reference (cited per class); state handling is
+streaming-exact so chunked == whole, which is the invariant the TPU step is
+tested against.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from scipy.signal import lfilter
+
+
+class RefOscillator:
+    """Float64 phase-continuous NCO (reference ``processing.py:282-297``)."""
+
+    def __init__(self, freq_offset_hz: float, sample_rate: float):
+        self.phase = 0.0
+        self.increment = -2.0 * np.pi * freq_offset_hz / sample_rate
+
+    def mix(self, samples: np.ndarray, sign: int) -> np.ndarray:
+        if samples.size == 0:
+            return samples.astype(np.complex128)
+        n = np.arange(samples.size, dtype=np.float64)
+        phases = self.phase + sign * self.increment * n
+        osc = np.exp(1j * phases)
+        self.phase = (self.phase + sign * self.increment * samples.size) % (2.0 * np.pi)
+        return samples.astype(np.complex128) * osc
+
+
+class RefOverlapSaveFIR:
+    """Float64 streaming overlap-save FIR (reference ``processing.py:300-346``)."""
+
+    def __init__(self, taps: np.ndarray, block_size: int):
+        if block_size <= 0:
+            raise ValueError("block_size must be positive")
+        self.taps = np.asarray(taps, dtype=np.complex128)
+        self.filter_len = len(taps)
+        self.overlap = self.filter_len - 1
+        self.block_size = block_size
+        self.fft_size = 1 << math.ceil(math.log2(block_size + self.filter_len - 1))
+        padded = np.zeros(self.fft_size, dtype=np.complex128)
+        padded[: self.filter_len] = self.taps
+        self.taps_fft = np.fft.fft(padded)
+        self.state = np.zeros(self.overlap, dtype=np.complex128)
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        if samples.size == 0:
+            return samples.astype(np.complex128)
+        outputs = []
+        cursor = 0
+        arr = np.asarray(samples, dtype=np.complex128)
+        while cursor < arr.size:
+            seg = arr[cursor : cursor + self.block_size]
+            cursor += seg.size
+            block = np.concatenate([self.state, seg])
+            if block.size < self.fft_size:
+                block = np.pad(block, (0, self.fft_size - block.size))
+            filtered = np.fft.ifft(np.fft.fft(block) * self.taps_fft)
+            outputs.append(filtered[self.overlap : self.overlap + seg.size])
+            if self.overlap:
+                if seg.size >= self.overlap:
+                    self.state = seg[-self.overlap :].copy()
+                else:
+                    self.state = np.concatenate([self.state[seg.size :], seg])
+        return np.concatenate(outputs)
+
+
+class RefDecimator:
+    """Phase-preserving stride pick with carried offset (reference
+    ``processing.py:349-360``)."""
+
+    def __init__(self, factor: int):
+        self.factor = max(1, factor)
+        self.offset = 0
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        if self.factor == 1 or samples.size == 0:
+            return samples
+        start = (-self.offset) % self.factor
+        out = samples[start :: self.factor]
+        self.offset = (self.offset + samples.size) % self.factor
+        return out
+
+
+class RefQuadratureDemod:
+    """Polar discriminator with previous-sample carry (reference
+    ``decoders/nfm.py:11-24``)."""
+
+    def __init__(self):
+        self.prev = np.complex128(1 + 0j)
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        if samples.size == 0:
+            return np.empty(0, dtype=np.float64)
+        prevs = np.concatenate(([self.prev], samples[:-1]))
+        demod = np.angle(np.asarray(samples, np.complex128) * np.conj(prevs))
+        self.prev = samples[-1]
+        return demod
+
+
+class RefDeemphasis:
+    """Single-pole de-emphasis IIR with zi carry (reference
+    ``decoders/nfm.py:27-62``)."""
+
+    def __init__(self, tau_us: float, sample_rate: float):
+        tau_sec = max(tau_us * 1e-6, 1e-6)
+        self.alpha = math.exp(-1.0 / (sample_rate * tau_sec))
+        self.beta = 1.0 - self.alpha
+        self.zi = np.zeros(1, dtype=np.float64)
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        if samples.size == 0:
+            return samples
+        out, self.zi = lfilter(
+            [self.beta], [1.0, -self.alpha], np.asarray(samples, np.float64), zi=self.zi
+        )
+        return out
+
+
+class RefDCBlocker:
+    """One-pole DC blocker y[n] = x[n] - x[n-1] + r*y[n-1] (reference
+    ``decoders/common.py:6-30``), vectorised with lfilter + carried state."""
+
+    def __init__(self, radius: float = 0.995):
+        self.radius = radius
+        self.x_prev = 0.0
+        self.y_prev = 0.0
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        if samples.size == 0:
+            return samples
+        x = np.asarray(samples, dtype=np.float64)
+        u = x - np.concatenate(([self.x_prev], x[:-1]))
+        out, zf = lfilter([1.0], [1.0, -self.radius], u, zi=[self.radius * self.y_prev])
+        self.x_prev = float(x[-1])
+        self.y_prev = float(out[-1])
+        return out
+
+
+class RefAGC:
+    """Feedback AGC (reference ``decoders/ssb.py:67-80``) with carried gain.
+
+    Note: the reference resets gain to 1.0 on every chunk; we carry it so
+    chunked == whole holds (the device op does the same).
+    """
+
+    def __init__(self, target_dbfs: float = -12.0, decay: float = 0.001):
+        self.target = 10.0 ** (target_dbfs / 20.0)
+        self.decay = decay
+        self.gain = 1.0
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        if samples.size == 0:
+            return samples
+        x = np.asarray(samples, dtype=np.float64)
+        mag = np.abs(x)
+        valid = mag > 1e-6
+        a = np.where(valid, 1.0 - self.decay, 1.0)
+        b = np.where(valid, self.decay * self.target / np.maximum(mag, 1e-6), 0.0)
+        out, zf = _varying_first_order(a, b, self.gain)
+        self.gain = float(zf)
+        return x * out
+
+
+def _varying_first_order(a: np.ndarray, b: np.ndarray, y0: float):
+    """g[n] = a[n]*g[n-1] + b[n] vectorised blockwise in float64.
+
+    Uses g[n] = A[n]*(y0 + sum_{k<=n} b[k]/A[k]) with A = cumprod(a),
+    evaluated in 4096-sample blocks so A never underflows.
+    """
+    g = np.empty_like(b)
+    prev = float(y0)
+    n = b.size
+    block = 4096
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        A = np.cumprod(a[start:stop])
+        B = A * np.cumsum(b[start:stop] / np.where(A == 0, 1.0, A))
+        g[start:stop] = A * prev + B
+        prev = float(g[stop - 1])
+    return g, g[-1]
+
+
+class RefResampler:
+    """Float64 twin of :func:`iq_to_audio_tpu.ops.resample.polyphase_resample`.
+
+    Identical indexing/interpolation maths, exact integer position state.
+    """
+
+    def __init__(self, table: np.ndarray, up: int, down: int,
+                 num_phases: int, taps_per_phase: int):
+        self.table = np.asarray(table, dtype=np.float64)
+        self.up = up
+        self.down = down
+        self.np_ = num_phases
+        self.k = taps_per_phase
+        self.r = 0
+        self.tail = np.zeros(self.k - 1, dtype=np.float64)
+
+    def process(self, samples: np.ndarray) -> np.ndarray:
+        if self.up == self.down:
+            return np.asarray(samples, dtype=np.float64)
+        x = np.asarray(samples, dtype=np.float64)
+        n_in = x.size
+        if n_in == 0:
+            return x
+        x_ext = np.concatenate([self.tail, x])
+        count = max(0, (n_in * self.up - self.r + self.down - 1) // self.down)
+        out = np.empty(count, dtype=np.float64)
+        jj = np.arange(self.k)
+        for n in range(count):
+            pos = self.r + n * self.down
+            ip, rem = divmod(pos, self.up)
+            un = rem * self.np_
+            u0, wnum = divmod(un, self.up)
+            w = wnum / self.up
+            tap_idx = jj * self.np_ + u0
+            coeff = (1.0 - w) * self.table[tap_idx] + w * self.table[tap_idx + 1]
+            src = np.clip(ip + (self.k - 1) - jj, 0, n_in + self.k - 2)
+            out[n] = float(np.dot(coeff, x_ext[src]))
+        self.r = self.r + count * self.down - n_in * self.up
+        if n_in >= self.k - 1:
+            self.tail = x[n_in - (self.k - 1) :].copy()
+        else:
+            self.tail = np.concatenate([self.tail[n_in:], x])
+        return out
+
+
+def ref_demod_chain(
+    iq: np.ndarray,
+    *,
+    sample_rate: float,
+    freq_offset: float,
+    taps: np.ndarray,
+    decimation: int,
+    mode: str = "nfm",
+    deemph_us: float = 300.0,
+    agc_enabled: bool = True,
+    mix_sign: int = 1,
+    filter_block: int = 65_536,
+) -> tuple[np.ndarray, float]:
+    """Whole-signal reference chain: mix -> filter -> decimate -> demod.
+
+    Returns (audio at channel rate, fs_channel).  Resampling to 48 kHz is a
+    separate stage (see :class:`RefResampler`).
+    """
+    osc = RefOscillator(freq_offset, sample_rate)
+    fir = RefOverlapSaveFIR(taps, filter_block)
+    dec = RefDecimator(decimation)
+    mixed = osc.mix(iq, mix_sign)
+    decimated = dec.process(fir.process(mixed))
+    fs_channel = sample_rate / max(decimation, 1)
+    mode = mode.lower()
+    if mode in {"nfm", "fm"}:
+        demod = RefQuadratureDemod().process(decimated)
+        audio = RefDeemphasis(deemph_us, fs_channel).process(demod)
+    elif mode == "am":
+        audio = RefDCBlocker().process(np.abs(decimated))
+    elif mode in {"usb", "ssb", "lsb"}:
+        analytic = np.conj(decimated) if mode == "lsb" else decimated
+        audio = RefDCBlocker().process(analytic.real)
+        if agc_enabled:
+            audio = RefAGC().process(audio)
+    else:
+        raise ValueError(f"Unsupported demod mode '{mode}'.")
+    return np.asarray(audio, dtype=np.float64), fs_channel
+
+
+def choose_mix_sign(
+    warmup: np.ndarray,
+    sample_rate: float,
+    freq_offset: float,
+    taps: np.ndarray,
+    decimation: int,
+) -> int:
+    """Warm-up mixer-sign probe (reference ``processing.py:623-663``).
+
+    Runs on the host twin so the device step compiles exactly once per run
+    (the sign becomes a plain Python constant folded into the NCO increment).
+    """
+    if warmup.size == 0:
+        return 1
+    max_len = max(int(sample_rate * 0.05), len(taps) * 4, 131_072)
+    snippet_len = min(warmup.size, max_len)
+    if snippet_len < len(taps):
+        snippet_len = min(warmup.size, len(taps) * 2)
+    snippet = np.asarray(warmup[:snippet_len], dtype=np.complex128)
+    n = np.arange(snippet.size, dtype=np.float64)
+    decim = max(decimation, 1)
+    block_size = min(snippet.size, max(len(taps), 16_384))
+
+    best_sign, best_power = 1, -np.inf
+    for sign in (1, -1):
+        osc = np.exp(-1j * sign * 2.0 * np.pi * freq_offset * n / sample_rate)
+        fir = RefOverlapSaveFIR(taps, block_size)
+        decimated = fir.process(snippet * osc)[::decim]
+        if decimated.size == 0:
+            power = -np.inf
+        else:
+            discard = min(len(taps), decimated.size // 4)
+            useful = decimated[discard:]
+            if useful.size == 0:
+                useful = decimated
+            power = float(np.mean(np.abs(useful) ** 2))
+        if power > best_power:
+            best_power, best_sign = power, sign
+    return best_sign

@@ -1,0 +1,259 @@
+"""Unit tests for device DSP kernels vs the float64 reference twins.
+
+Mirrors the reference test strategy (reference tests/test_processing.py):
+every streaming op must satisfy (1) chunked == whole and (2) device output
+within -60 dB of the float64 twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import error_db, make_tone_iq
+
+from iq_to_audio_tpu.ops.nco import nco_increment_fixed, nco_mix, nco_phase_advance
+from iq_to_audio_tpu.ops.osfir import OverlapSavePlan, os_fir_decimate, taps_fft
+from iq_to_audio_tpu.ops.iir import (
+    first_order_scan,
+    deemphasis,
+    dc_blocker,
+    feedback_agc,
+)
+from iq_to_audio_tpu.ops.resample import (
+    ResamplePlan,
+    design_resampler_table,
+    polyphase_resample,
+)
+from iq_to_audio_tpu.ref.chain import (
+    RefOscillator,
+    RefOverlapSaveFIR,
+    RefDecimator,
+    RefDeemphasis,
+    RefDCBlocker,
+    RefAGC,
+    RefResampler,
+)
+from iq_to_audio_tpu.pipeline.filters import design_channel_filter
+
+
+class TestNCO:
+    def test_matches_float64_reference(self):
+        fs, f_off = 2_500_000.0, 25_000.0
+        x = make_tone_iq(fs, 0.05, f_off)
+        ref = RefOscillator(f_off, fs).mix(x, 1)
+        inc = nco_increment_fixed(f_off, fs, sign=1)
+        mixed, _ = nco_mix(jnp.asarray(x), jnp.uint32(0), jnp.uint32(inc))
+        assert error_db(np.asarray(mixed), ref.astype(np.complex64)) < -80.0
+
+    def test_phase_continuity_across_chunks(self):
+        fs, f_off = 96_000.0, 12_345.678
+        x = make_tone_iq(fs, 0.2, 1000.0)
+        inc = nco_increment_fixed(f_off, fs)
+        whole, _ = nco_mix(jnp.asarray(x), jnp.uint32(0), jnp.uint32(inc))
+        parts = []
+        phase = 0
+        for start in range(0, x.size, 4096):
+            seg = x[start : start + 4096]
+            mixed, _ = nco_mix(jnp.asarray(seg), jnp.uint32(phase), jnp.uint32(inc))
+            phase = nco_phase_advance(phase, inc, seg.size)
+            parts.append(np.asarray(mixed))
+        chunked = np.concatenate(parts)
+        np.testing.assert_allclose(chunked, np.asarray(whole), rtol=0, atol=1e-5)
+
+    def test_increment_wraps_sign(self):
+        inc_pos = nco_increment_fixed(25_000.0, 2.5e6, sign=1)
+        inc_neg = nco_increment_fixed(25_000.0, 2.5e6, sign=-1)
+        assert (inc_pos + inc_neg) % (1 << 32) == 0
+
+
+class TestOverlapSaveFIR:
+    @pytest.mark.parametrize("decim", [1, 4, 26])
+    def test_matches_reference_and_chunking(self, decim):
+        fs = 250_000.0
+        taps = design_channel_filter(fs, 12_500.0, decim)
+        x = make_tone_iq(fs, 0.4, 10_000.0)
+        plan = OverlapSavePlan.create(len(taps), decim, target_chunk=1 << 15)
+        n = plan.chunk_size
+        usable = (x.size // n) * n
+        x = x[:usable]
+
+        ref_fir = RefOverlapSaveFIR(taps, 65_536)
+        ref_dec = RefDecimator(decim)
+        ref_out = ref_dec.process(ref_fir.process(x))
+
+        h = jnp.asarray(taps_fft(taps, plan.fft_size))
+        tail = jnp.zeros(plan.overlap, dtype=jnp.complex64)
+        outs = []
+        for start in range(0, usable, n):
+            dec, tail = os_fir_decimate(plan, h, jnp.asarray(x[start : start + n]), tail)
+            outs.append(np.asarray(dec))
+        out = np.concatenate(outs)
+        assert out.shape == ref_out.shape
+        assert error_db(out, ref_out) < -80.0
+
+    def test_plan_invariants(self):
+        for L, D in [(1601, 26), (32769, 4), (1025, 1), (4097, 208)]:
+            plan = OverlapSavePlan.create(L, D)
+            assert plan.block % D == 0
+            assert plan.block + L - 1 <= plan.fft_size
+            assert plan.chunk_size % plan.block == 0
+            assert plan.chunk_size % D == 0
+
+    def test_batched_channels(self):
+        fs, decim = 250_000.0, 8
+        taps = design_channel_filter(fs, 12_500.0, decim)
+        plan = OverlapSavePlan.create(len(taps), decim, target_chunk=1 << 14)
+        n = plan.chunk_size
+        x = np.stack(
+            [make_tone_iq(fs, 0.2, f)[:n] for f in (5_000.0, -20_000.0, 40_000.0)]
+        )
+        h = jnp.asarray(taps_fft(taps, plan.fft_size))
+        tail = jnp.zeros((3, plan.overlap), dtype=jnp.complex64)
+        dec, _ = os_fir_decimate(plan, h, jnp.asarray(x), tail)
+        assert dec.shape == (3, n // decim)
+        for c in range(3):
+            fir = RefOverlapSaveFIR(taps, 65_536)
+            ref = RefDecimator(decim).process(fir.process(x[c]))
+            assert error_db(np.asarray(dec[c]), ref) < -80.0
+
+
+class TestIIR:
+    def test_first_order_scan_basic(self):
+        rng = np.random.default_rng(0)
+        a = rng.uniform(0.5, 0.999, 1000).astype(np.float32)
+        b = rng.normal(size=1000).astype(np.float32)
+        y, y_last = first_order_scan(jnp.asarray(a), jnp.asarray(b), jnp.float32(0.3))
+        expected = np.empty(1000)
+        prev = 0.3
+        for i in range(1000):
+            prev = a[i] * prev + b[i]
+            expected[i] = prev
+        assert error_db(np.asarray(y), expected) < -90.0
+        assert abs(float(y_last) - expected[-1]) < 1e-4
+
+    def test_deemphasis_matches_lfilter_chunked(self):
+        fs, tau = 96_000.0, 300.0
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=50_000).astype(np.float32)
+        ref = RefDeemphasis(tau, fs)
+        expected = np.concatenate([ref.process(x[:20_000]), ref.process(x[20_000:])])
+        import math
+
+        alpha = math.exp(-1.0 / (fs * tau * 1e-6))
+        y0 = jnp.float32(0.0)
+        out1, y0 = deemphasis(jnp.asarray(x[:20_000]), alpha, y0)
+        out2, _ = deemphasis(jnp.asarray(x[20_000:]), alpha, y0)
+        got = np.concatenate([np.asarray(out1), np.asarray(out2)])
+        assert error_db(got, expected) < -80.0
+
+    def test_dc_blocker_matches_reference_loop(self):
+        rng = np.random.default_rng(2)
+        x = (rng.normal(size=30_000) + 0.5).astype(np.float32)
+        ref = RefDCBlocker()
+        expected = np.concatenate([ref.process(x[:13_000]), ref.process(x[13_000:])])
+        xs = jnp.float32(0.0)
+        ys = jnp.float32(0.0)
+        out1, (xs, ys) = dc_blocker(jnp.asarray(x[:13_000]), 0.995, xs, ys)
+        out2, _ = dc_blocker(jnp.asarray(x[13_000:]), 0.995, xs, ys)
+        got = np.concatenate([np.asarray(out1), np.asarray(out2)])
+        assert error_db(got, expected) < -70.0
+
+    def test_dc_blocker_vs_per_sample_python(self):
+        # cross-check the lfilter twin itself against the literal loop
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=2000).astype(np.float64) + 0.2
+        out = np.empty_like(x)
+        xp = yp = 0.0
+        for i, s in enumerate(x):
+            y = s - xp + 0.995 * yp
+            out[i] = y
+            xp, yp = s, y
+        got = RefDCBlocker().process(x)
+        np.testing.assert_allclose(got, out, atol=1e-9)
+
+    def test_agc_matches_reference_loop(self):
+        rng = np.random.default_rng(4)
+        x = (rng.normal(size=20_000) * 0.05).astype(np.float32)
+        x[::97] = 0.0  # exercise the |x|<=eps hold path
+        target = 10.0 ** (-12.0 / 20.0)
+        # literal reference loop (with carried gain)
+        gain = 1.0
+        expected = np.empty_like(x, dtype=np.float64)
+        for i, s in enumerate(x.astype(np.float64)):
+            m = abs(s)
+            if m > 1e-6:
+                gain += 0.001 * (target / m - gain)
+            expected[i] = s * gain
+        out, _ = feedback_agc(jnp.asarray(x), target, 0.001, jnp.float32(1.0))
+        assert error_db(np.asarray(out), expected) < -60.0
+
+    def test_agc_chunked_equals_whole(self):
+        rng = np.random.default_rng(5)
+        x = (rng.normal(size=8_192) * 0.1).astype(np.float32)
+        target = 10.0 ** (-12.0 / 20.0)
+        whole, _ = feedback_agc(jnp.asarray(x), target, 0.001, jnp.float32(1.0))
+        g = jnp.float32(1.0)
+        parts = []
+        for s in range(0, x.size, 1024):
+            y, g = feedback_agc(jnp.asarray(x[s : s + 1024]), target, 0.001, g)
+            parts.append(np.asarray(y))
+        assert error_db(np.concatenate(parts), np.asarray(whole)) < -90.0
+
+
+class TestResampler:
+    @pytest.mark.parametrize("fs_in", [96_000, 96_154, 62_500, 48_000])
+    def test_matches_float64_twin(self, fs_in):
+        plan = ResamplePlan.create(fs_in, 48_000.0, in_size=8_192)
+        table = design_resampler_table(plan.up, plan.down)
+        rng = np.random.default_rng(6)
+        t = np.arange(32_768) / fs_in
+        x = (0.4 * np.sin(2 * np.pi * 1000 * t) + 0.01 * rng.normal(size=t.size)).astype(
+            np.float32
+        )
+        twin = RefResampler(table, plan.up, plan.down, plan.num_phases, plan.taps_per_phase)
+        tail = jnp.zeros(plan.taps_per_phase - 1, dtype=jnp.float32)
+        r = 0
+        got_parts, ref_parts = [], []
+        for s in range(0, x.size, plan.in_size):
+            seg = x[s : s + plan.in_size]
+            count = plan.out_count(r)
+            y, tail = polyphase_resample(plan, jnp.asarray(table), jnp.asarray(seg), tail, jnp.int32(r))
+            got_parts.append(np.asarray(y)[:count])
+            r = plan.advance(r)
+            ref_parts.append(twin.process(seg))
+        got = np.concatenate(got_parts)
+        ref = np.concatenate(ref_parts)
+        assert got.shape == ref.shape
+        assert error_db(got, ref) < -60.0
+
+    def test_output_rate_and_tone_preserved(self):
+        fs_in = 96_000
+        plan = ResamplePlan.create(fs_in, 48_000.0, in_size=9_600)
+        table = design_resampler_table(plan.up, plan.down)
+        t = np.arange(96_000) / fs_in
+        x = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+        tail = jnp.zeros(plan.taps_per_phase - 1, dtype=jnp.float32)
+        r = 0
+        out = []
+        for s in range(0, x.size, plan.in_size):
+            count = plan.out_count(r)
+            y, tail = polyphase_resample(
+                plan, jnp.asarray(table), jnp.asarray(x[s : s + plan.in_size]), tail, jnp.int32(r)
+            )
+            out.append(np.asarray(y)[:count])
+            r = plan.advance(r)
+        audio = np.concatenate(out)
+        assert audio.size == 48_000
+        # steady-state section should be a clean 1 kHz tone at 48 kHz
+        mid = audio[4_800:43_200]
+        tt = np.arange(4_800, 43_200) / 48_000.0
+        # least-squares fit of sin/cos at 1 kHz
+        basis = np.stack([np.sin(2 * np.pi * 1000 * tt), np.cos(2 * np.pi * 1000 * tt)], 1)
+        coef, *_ = np.linalg.lstsq(basis, mid.astype(np.float64), rcond=None)
+        resid = mid - basis @ coef
+        amp = float(np.hypot(*coef))
+        assert abs(amp - 1.0) < 0.01
+        assert np.sqrt(np.mean(resid**2)) < 1e-3
