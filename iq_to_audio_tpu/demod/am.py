@@ -16,6 +16,9 @@ class AMDecoder(Decoder):
             raise ValueError("radius must be between 0 and 1")
         self.dc_radius = dc_radius
 
+    def cache_key(self) -> tuple:
+        return ("am", self.dc_radius)
+
     def setup(self, sample_rate: float) -> None:
         return
 
@@ -25,8 +28,8 @@ class AMDecoder(Decoder):
             "dc_y": jnp.zeros(batch_shape, dtype=jnp.float32),
         }
 
-    def process(self, state, x):
-        envelope = jnp.abs(x).astype(jnp.float32)
+    def process(self, state, yr, yi):
+        envelope = jnp.sqrt(yr * yr + yi * yi).astype(jnp.float32)
         audio, (x_last, y_last) = dc_blocker(
             envelope, self.dc_radius, state["dc_x"], state["dc_y"]
         )

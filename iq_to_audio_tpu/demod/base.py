@@ -7,7 +7,9 @@ the interface splits into:
 
 * ``setup(sample_rate)``      — host-side constant precomputation
 * ``init_state(batch_shape)`` — build the carried state pytree
-* ``process(state, x)``       — jax-traceable; returns
+* ``process(state, yr, yi)``  — jax-traceable; consumes the baseband as a
+  float32 (re, im) pair (some TPU backends have no complex dtype, so the
+  whole device path is real-pair arithmetic) and returns
   ``(audio, new_state, intermediates)`` where intermediates is a dict of
   stage-name -> array used only for stage-PSD snapshots (traced away when
   unused).
@@ -27,9 +29,23 @@ class DecoderStats:
 
 
 class Decoder(ABC):
+    """Decoders are used as *static* arguments of the jitted chunk step, so
+    they hash/compare by their configuration key: two decoders with the same
+    parameters share one compiled executable."""
+
     name: str = "decoder"
     #: sample-rate multiplier of the audio output relative to input (1 here)
     audio_rate_ratio: float = 1.0
+
+    def cache_key(self) -> tuple:
+        """Hashable configuration identity (override per decoder)."""
+        return (type(self).__name__,)
+
+    def __hash__(self) -> int:
+        return hash(self.cache_key())
+
+    def __eq__(self, other) -> bool:
+        return type(other) is type(self) and other.cache_key() == self.cache_key()
 
     @abstractmethod
     def setup(self, sample_rate: float) -> None:
@@ -40,7 +56,7 @@ class Decoder(ABC):
         """Return the carried state pytree for ``batch_shape`` channels."""
 
     @abstractmethod
-    def process(self, state, x):
+    def process(self, state, yr, yi):
         """jax-traceable: ``(audio, new_state, intermediates)``."""
 
     def finalize(self) -> None:

@@ -23,22 +23,29 @@ class NFMDecoder(Decoder):
         self.deemph_us = deemph_us
         self.alpha: float | None = None
 
+    def cache_key(self) -> tuple:
+        return ("nfm", self.deemph_us, self.alpha)
+
     def setup(self, sample_rate: float) -> None:
         tau_sec = max(self.deemph_us * 1e-6, 1e-6)
         self.alpha = math.exp(-1.0 / (sample_rate * tau_sec))
 
     def init_state(self, batch_shape: tuple[int, ...]):
         return {
-            "prev": jnp.ones(batch_shape, dtype=jnp.complex64),
+            "prev_r": jnp.ones(batch_shape, dtype=jnp.float32),
+            "prev_i": jnp.zeros(batch_shape, dtype=jnp.float32),
             "deemph_y": jnp.zeros(batch_shape, dtype=jnp.float32),
         }
 
-    def process(self, state, x):
+    def process(self, state, yr, yi):
         assert self.alpha is not None, "setup() must run before process()"
-        prevs = jnp.concatenate([state["prev"][..., None], x[..., :-1]], axis=-1)
-        prod = x * jnp.conj(prevs)
-        demod = jnp.arctan2(prod.imag, prod.real).astype(jnp.float32)
+        sr = jnp.concatenate([state["prev_r"][..., None], yr[..., :-1]], axis=-1)
+        si = jnp.concatenate([state["prev_i"][..., None], yi[..., :-1]], axis=-1)
+        # x[n] * conj(x[n-1]) in real pairs
+        pr = yr * sr + yi * si
+        pi = yi * sr - yr * si
+        demod = jnp.arctan2(pi, pr).astype(jnp.float32)
         audio, y_last = deemphasis(demod, self.alpha, state["deemph_y"])
-        new_state = {"prev": x[..., -1], "deemph_y": y_last}
+        new_state = {"prev_r": yr[..., -1], "prev_i": yi[..., -1], "deemph_y": y_last}
         inter = {"demod": demod, "deemph": audio, "audio": audio}
         return audio, new_state, inter

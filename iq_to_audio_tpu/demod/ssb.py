@@ -36,6 +36,16 @@ class SSBDecoder(Decoder):
         self.agc_target = 10.0 ** (agc_target_dbfs / 20.0)
         self.agc_decay = agc_decay
 
+    def cache_key(self) -> tuple:
+        return (
+            "ssb",
+            self.sideband,
+            self.agc_enabled,
+            self.dc_radius,
+            self.agc_target,
+            self.agc_decay,
+        )
+
     def setup(self, sample_rate: float) -> None:
         return
 
@@ -48,14 +58,15 @@ class SSBDecoder(Decoder):
             state["agc_gain"] = jnp.ones(batch_shape, dtype=jnp.float32)
         return state
 
-    def process(self, state, x):
-        analytic = jnp.conj(x) if self.sideband == "lsb" else x
-        baseband = analytic.real.astype(jnp.float32)
+    def process(self, state, yr, yi):
+        # real(conj(x)) == real(x): the LSB conjugate is a no-op on the real
+        # part, faithfully matching the reference (decoders/ssb.py:42-43)
+        baseband = yr.astype(jnp.float32)
         dc_audio, (x_last, y_last) = dc_blocker(
             baseband, self.dc_radius, state["dc_x"], state["dc_y"]
         )
         new_state = {"dc_x": x_last, "dc_y": y_last}
-        inter = {"analytic": analytic, "dc_block": dc_audio}
+        inter = {"analytic": baseband, "dc_block": dc_audio}
         if self.agc_enabled:
             audio, gain_last = feedback_agc(
                 dc_audio, self.agc_target, self.agc_decay, state["agc_gain"]

@@ -1,193 +1,216 @@
-"""Interpolated-polyphase rational resampler (device-side, static shapes).
+"""Exact-polyphase rational resampler as a strided convolution.
 
-Replaces the reference's second ffmpeg subprocess, which resamples the
-channel-rate audio to 48 kHz with swresample (reference
-``processing.py:399-418``).  Design:
+Replaces the reference's second ffmpeg subprocess (swresample to 48 kHz,
+reference ``processing.py:399-418``) with a TPU-native formulation:
 
-* The conversion ratio is the exact rational ``up/down`` between 48000 and
-  the integer-rounded channel rate (the reference also rounds — ``AudioWriter``
-  ``processing.py:390-391``).
-* A single windowed-sinc prototype is tabulated at ``num_phases`` fractional
-  offsets per input sample; per-output coefficients are linearly interpolated
-  between adjacent phases (soxr-style), so arbitrary ratios need no
-  giant-L polyphase bank.
-* Output sample ``n`` sits at input position ``(r + n*down)/up``.  The
-  integer position state ``r`` (0 <= r < down) lives on the HOST as an exact
-  Python int (:meth:`ResamplePlan.out_count` / :meth:`ResamplePlan.advance`)
-  and is fed to the device as a traced scalar each chunk; the host therefore
-  always knows the number of valid output samples per chunk *without* a
-  device sync — the device writes a fixed-capacity padded buffer (static
-  shapes under ``jit``) and the host slices.
-* Position arithmetic must not overflow int32 (TPU has no native int64
-  here): a ``lax.scan`` over fixed-width output blocks keeps every
-  intermediate bounded by ``block * down``, and ``block`` is sized so that
-  bound stays inside int32 even for extreme channel rates.
+* The conversion ratio is reduced to an exact rational ``up/down`` (continued
+  -fraction-capped denominator; rates in practice reduce exactly — e.g.
+  2.5 MHz/26 -> 48 kHz is exactly 312/625).
+* Resampling by ``up/down`` is **block-periodic**: outputs ``[t*up,(t+1)*up)``
+  depend on inputs ``[t*down-K+1, (t+1)*down)`` through a FIXED matrix
+  ``R (up x (down+K-1))`` of polyphase taps.  That is precisely a strided
+  convolution with ``up`` output channels and stride ``down`` — a single
+  MXU-friendly op, no gathers (essential: gather is unsupported/slow on some
+  TPU backends), and *exact* polyphase (no phase interpolation error).
+* Cross-chunk alignment is a host-tracked integer; the device only does one
+  ``lax.dynamic_slice`` to shift its window, keeping all shapes static.
+
+Output counts per chunk are computed exactly on the host
+(:meth:`ResamplePlan.out_count`) — no device syncs.
 """
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
+from fractions import Fraction
 
 import numpy as np
 
 import jax.numpy as jnp
 from jax import lax
 
-NUM_PHASES = 512
 TAPS_PER_PHASE = 32
-_INT32_SAFE = (1 << 31) - (1 << 24)
-
-
-def _pick_block(up: int, down: int) -> int:
-    block = 2048
-    while block > 64 and block * down + up >= _INT32_SAFE:
-        block //= 2
-    return block
+_MAX_DEN = 1024
 
 
 @dataclass(frozen=True)
 class ResamplePlan:
     """Static geometry for one rational resampling configuration."""
 
-    up: int  # output rate / gcd
-    down: int  # input rate / gcd
+    up: int
+    down: int
     in_size: int  # input samples per chunk (static)
-    num_phases: int = NUM_PHASES
     taps_per_phase: int = TAPS_PER_PHASE
-    block: int = field(default=2048)
 
     @property
     def identity(self) -> bool:
         return self.up == self.down
 
     @property
+    def tail_len(self) -> int:
+        """Carried input history: enough for alignment + filter memory."""
+        return self.down + self.taps_per_phase
+
+    @property
+    def kernel_width(self) -> int:
+        return self.down + self.taps_per_phase - 1
+
+    @property
+    def blocks_cap(self) -> int:
+        return self.in_size // self.down + 1
+
+    @property
     def out_capacity(self) -> int:
-        """Padded per-chunk output size (multiple of the scan block)."""
         if self.identity:
             return self.in_size
-        cap = (self.in_size * self.up + self.down - 1) // self.down + 1
-        return ((cap + self.block - 1) // self.block) * self.block
+        return self.blocks_cap * self.up
+
+    @property
+    def aligned_len(self) -> int:
+        """Static dynamic-slice window: covers blocks_cap blocks from any
+        alignment offset in [0, down]."""
+        return (self.blocks_cap - 1) * self.down + self.kernel_width
 
     @staticmethod
     def create(input_rate: float, output_rate: float, in_size: int) -> "ResamplePlan":
         in_int = max(1, int(round(float(input_rate))))
         out_int = max(1, int(round(float(output_rate))))
-        g = math.gcd(in_int, out_int)
-        up, down = out_int // g, in_int // g
+        frac = Fraction(out_int, in_int).limit_denominator(_MAX_DEN)
         return ResamplePlan(
-            up=up, down=down, in_size=int(in_size), block=_pick_block(up, down)
+            up=frac.numerator, down=frac.denominator, in_size=int(in_size)
         )
 
-    def out_count(self, r: int, valid_in: int | None = None) -> int:
-        """Exact host-side count of valid outputs for this chunk.
+    # -- exact host-side bookkeeping ----------------------------------------
 
-        Valid outputs are those whose base input index floor((r+n*down)/up)
-        references a sample < ``valid_in``.
+    def blocks_done(self, total_in: int) -> int:
+        """Blocks fully computable after ``total_in`` cumulative inputs."""
+        return total_in // self.down
+
+    def out_count(self, total_in_before: int, valid_new: int) -> int:
+        """Valid new outputs for a chunk given cumulative input counts."""
+        if self.identity:
+            return valid_new
+        done_after = self.blocks_done(total_in_before + valid_new)
+        done_before = self.blocks_done(total_in_before)
+        return (done_after - done_before) * self.up
+
+    def final_flush_count(self, total_in: int, already_emitted: int) -> int:
+        """At EOF (with the padded final chunk), additionally-valid outputs:
+        everything whose input position floor(n*down/up) < total_in."""
+        if self.identity:
+            return 0
+        total_valid = (total_in * self.up + self.down - 1) // self.down
+        return max(0, total_valid - already_emitted)
+
+    def chunk_offset(self, total_in_before: int) -> int:
+        """Device dynamic-slice offset for this chunk (see module docstring).
+
+        x_full[i] = input[total_in_before - tail_len + i]; the first new
+        block t0 = total_in_before // down reads inputs starting at
+        t0*down - (K-1), i.e. x_full offset:
         """
-        n_in = self.in_size if valid_in is None else min(valid_in, self.in_size)
-        if n_in <= 0:
-            return 0
-        if self.identity:
-            return n_in
-        return max(0, (n_in * self.up - r + self.down - 1) // self.down)
-
-    def advance(self, r: int, valid_in: int | None = None) -> int:
-        """Exact host-side position-state update after one full chunk."""
-        if self.identity:
-            return 0
-        count = self.out_count(r, valid_in)
-        n_in = self.in_size if valid_in is None else min(valid_in, self.in_size)
-        return r + count * self.down - n_in * self.up
+        k = self.taps_per_phase
+        t0 = self.blocks_done(total_in_before)
+        off = t0 * self.down - (total_in_before - self.tail_len) - (k - 1)
+        # off = down + 1 + (t0*down - total_in_before) in [2, down+1]
+        return off
 
 
-def design_resampler_table(
+def design_resampler_prototype(
     up: int,
     down: int,
-    num_phases: int = NUM_PHASES,
     taps_per_phase: int = TAPS_PER_PHASE,
     *,
     rolloff: float = 0.9125,
     beta: float = 9.5,
 ) -> np.ndarray:
-    """Host-side float64 windowed-sinc table, phase-normalised to unity DC.
-
-    Table layout: ``H[j*num_phases + p]`` is tap ``j`` for fractional offset
-    ``p/num_phases``; one extra entry supports linear interpolation at p==NP.
-    """
-    K, NP = taps_per_phase, num_phases
-    n = np.arange(K * NP + 1, dtype=np.float64) / NP  # in input-sample units
-    center = K / 2.0
+    """float64 K*up-tap windowed-sinc prototype at the upsampled rate,
+    phase-normalised to unity DC gain.  Shared by the device kernel builder
+    and the float64 twin (:class:`iq_to_audio_tpu.ref.chain.RefResampler`)."""
+    K = taps_per_phase
+    n = np.arange(K * up, dtype=np.float64)
+    center = (K * up - 1) / 2.0
     cutoff = rolloff * min(1.0, up / down)  # relative to input Nyquist
-    h = cutoff * np.sinc(cutoff * (n - center))
-    h *= np.kaiser(K * NP + 1, beta)
-    # normalise each phase so sum_j H[j*NP + p] == 1 (unity DC gain)
-    for p in range(NP + 1):
-        idx = p + NP * np.arange(K)
-        idx = idx[idx < h.size]
-        s = h[idx].sum()
+    proto = cutoff * np.sinc(cutoff * (n - center) / up)
+    proto *= np.kaiser(K * up, beta)
+    for p in range(up):
+        idx = p + up * np.arange(K)
+        s = proto[idx].sum()
         if abs(s) > 1e-12:
-            h[idx] /= s
-    return h.astype(np.float32)
+            proto[idx] /= s
+    return proto
+
+
+def design_resampler_kernel(
+    up: int,
+    down: int,
+    taps_per_phase: int = TAPS_PER_PHASE,
+    *,
+    rolloff: float = 0.9125,
+    beta: float = 9.5,
+) -> np.ndarray:
+    """The block filter-bank matrix as a conv kernel, float32
+    ``(up, 1, down+K-1)``.
+
+    Output p of block t sits at input position t*down + p*down/up:
+    ``y = sum_j proto[j*up + phi_p] * x[t*down + ip_p - j]`` with
+    ``ip_p = (p*down)//up`` and ``phi_p = (p*down) % up``.
+    """
+    K = taps_per_phase
+    proto = design_resampler_prototype(
+        up, down, taps_per_phase, rolloff=rolloff, beta=beta
+    )
+    width = down + K - 1
+    kernel = np.zeros((up, 1, width), dtype=np.float64)
+    j = np.arange(K)
+    for p in range(up):
+        ip_p, phi_p = divmod(p * down, up)
+        kappa = ip_p - j + (K - 1)  # in [0, width-1]
+        kernel[p, 0, kappa] = proto[j * up + phi_p]
+    return kernel.astype(np.float32)
 
 
 def polyphase_resample(
     plan: ResamplePlan,
-    table: jnp.ndarray,
+    kernel: jnp.ndarray,
     x: jnp.ndarray,
     tail: jnp.ndarray,
-    r0: jnp.ndarray,
+    offset0: jnp.ndarray,
 ):
     """Resample one chunk.
 
     Parameters
     ----------
-    table: float32 ``(K*NP + 1,)`` from :func:`design_resampler_table`.
+    kernel: ``(up, 1, down+K-1)`` from :func:`design_resampler_kernel`.
     x: float32 ``(..., in_size)`` — chunk of channel-rate audio.
-    tail: float32 ``(..., K-1)`` — carried input history.
-    r0: int32 scalar — host-tracked position numerator, ``0 <= r0 < down``.
+    tail: float32 ``(..., tail_len)`` — carried input history.
+    offset0: int32 scalar from :meth:`ResamplePlan.chunk_offset`.
 
-    Returns ``(y, new_tail)`` with ``y`` of shape ``(..., out_capacity)``;
+    Returns ``(y, new_tail)``; ``y`` has shape ``(..., out_capacity)`` and
     entries past the host-computed valid count are garbage by contract.
     """
-    K, NP, up, down = plan.taps_per_phase, plan.num_phases, plan.up, plan.down
+    if plan.identity:
+        return x, tail
     n_in = plan.in_size
     assert x.shape[-1] == n_in
-    if plan.identity:
-        # ratio 1: pure pass-through (ffmpeg also skips the resample here)
-        return x, tail
-
-    x_ext = jnp.concatenate([tail, x], axis=-1)  # (..., n_in + K - 1)
     batch_shape = x.shape[:-1]
-    blk = plan.block
-    n_blocks = plan.out_capacity // blk
-    n0 = jnp.arange(blk, dtype=jnp.int32)
-    j = jnp.arange(K, dtype=jnp.int32)
-
-    def block_fn(carry, _):
-        ip_base, rem = carry  # rem in [0, up)
-        t = rem + n0 * jnp.int32(down)  # < up + blk*down: int32-safe
-        ip = ip_base + t // jnp.int32(up)  # base input index per output
-        rem_n = t % jnp.int32(up)
-        un = rem_n * jnp.int32(NP)  # < up * NP: int32-safe for up <= 4M
-        u0 = un // jnp.int32(up)
-        w = (un % jnp.int32(up)).astype(jnp.float32) / jnp.float32(up)
-        tap_idx = j[None, :] * jnp.int32(NP) + u0[:, None]  # (blk, K)
-        c0 = jnp.take(table, tap_idx)
-        c1 = jnp.take(table, tap_idx + 1)
-        coeff = (1.0 - w[:, None]) * c0 + w[:, None] * c1
-        src = jnp.clip(ip[:, None] + (K - 1) - j[None, :], 0, n_in + K - 2)
-        gathered = jnp.take(x_ext, src, axis=-1)  # (..., blk, K)
-        out = jnp.sum(gathered * coeff, axis=-1)  # (..., blk)
-        t_end = rem + jnp.int32(blk) * jnp.int32(down)
-        carry = (ip_base + t_end // jnp.int32(up), t_end % jnp.int32(up))
-        return carry, out
-
-    r0 = jnp.asarray(r0, jnp.int32)
-    init = (r0 // jnp.int32(up), r0 % jnp.int32(up))
-    _, blocks = lax.scan(block_fn, init, None, length=n_blocks)
-    # blocks: (n_blocks, ..., blk) -> (..., n_blocks*blk)
-    perm = tuple(range(1, 1 + len(batch_shape))) + (0, 1 + len(batch_shape))
-    y = jnp.transpose(blocks, perm).reshape(*batch_shape, plan.out_capacity)
-    new_tail = x[..., n_in - (K - 1) :]
+    xb = x.reshape(-1, n_in)
+    tb = tail.reshape(-1, plan.tail_len)
+    x_full = jnp.concatenate([tb, xb], axis=-1)
+    new_tail = x_full[:, -plan.tail_len :].reshape(*batch_shape, plan.tail_len)
+    pad = plan.aligned_len + plan.down + 1 - x_full.shape[-1]
+    if pad > 0:
+        x_full = jnp.pad(x_full, ((0, 0), (0, pad)))
+    start = jnp.asarray(offset0, jnp.int32)
+    aligned = lax.dynamic_slice_in_dim(x_full, start, plan.aligned_len, axis=-1)
+    out = lax.conv_general_dilated(
+        aligned[:, None, :],  # (B, 1, aligned_len)
+        kernel,
+        window_strides=(plan.down,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST,  # full f32: bf16 default is ~-48 dB
+        preferred_element_type=jnp.float32,
+    )  # (B, up, blocks_cap)
+    y = jnp.swapaxes(out, -1, -2).reshape(*batch_shape, plan.out_capacity)
     return y, new_tail

@@ -1,0 +1,299 @@
+"""Sequence-parallel pipeline step over a device mesh (shard_map).
+
+Distribution strategy (see package docstring): within a chunk,
+
+* the decimated-rate NCO needs **no communication** — each shard derives its
+  starting phase from the carried uint32 phase plus ``inc_lo * shard_offset``
+  (exact modular arithmetic, no drift);
+* the decimating bandpass conv (see :mod:`iq_to_audio_tpu.ops.ddc`) needs an
+  (L-1)-sample **halo** of raw input from the left neighbour, moved with one
+  ``lax.ppermute`` over ICI (the reference's carried ``state`` tail,
+  reference ``processing.py:341-345``, generalised across space instead of
+  time);
+* the quadrature discriminator needs a 1-sample halo (same trick);
+* the de-emphasis / DC-block / AGC first-order recurrences use a
+  **distributed scan**: local associative scan with zero init, an all-gather
+  of per-shard (cumprod, last) summaries, a replicated prefix fold, then a
+  local correction — O(N/n) work per chip plus O(n) stitch;
+* the audio-rate tail (48 kHz polyphase-conv resampler) is all-gathered and
+  computed replicated: at 1/decimation of the input rate it is too small to
+  be worth sharding.
+
+Channels ride the ``dp`` axis with no cross-talk.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ddc import DDCPlan, ddc_apply
+from ..ops.resample import ResamplePlan, polyphase_resample
+from ..pipeline.step import _device_convert
+
+try:  # jax >= 0.7 style
+    from jax import shard_map
+
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+except (ImportError, TypeError):  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _esm
+
+    def _shard_map(f, mesh, in_specs, out_specs):
+        return _esm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                    check_rep=False)
+
+
+def _left_halo(x: jnp.ndarray, width: int, fallback: jnp.ndarray, axis_name: str):
+    """Every shard receives the last ``width`` samples of its left neighbour;
+    shard 0 receives ``fallback`` (the carried cross-chunk state)."""
+    n = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    tail = x[..., -width:] if width > 0 else x[..., :0]
+    if n == 1:
+        return fallback
+    perm = [(i, i + 1) for i in range(n - 1)]
+    received = lax.ppermute(tail, axis_name, perm)
+    return jnp.where(idx == 0, fallback, received)
+
+
+def distributed_first_order_scan(a, b, y0, axis_name: str):
+    """``y[n] = a[n]*y[n-1] + b[n]`` across shards of the last axis.
+
+    ``y0`` is the global initial state (replicated).  Returns
+    ``(y_local, y_global_last)`` with ``y_global_last`` replicated.
+    """
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a1 * a2, a2 * b1 + b2
+
+    cum_a, cum_b = lax.associative_scan(combine, (a, b), axis=-1)
+    a_tot = cum_a[..., -1]
+    b_tot = cum_b[..., -1]
+    n = lax.axis_size(axis_name)
+    if n == 1:
+        y = cum_a * jnp.asarray(y0)[..., None] + cum_b
+        return y, y[..., -1]
+    gathered_a = lax.all_gather(a_tot, axis_name)  # (n, ...)
+    gathered_b = lax.all_gather(b_tot, axis_name)
+
+    def fold(carry, ab):
+        ai, bi = ab
+        nxt = ai * carry + bi
+        return nxt, nxt
+
+    y_last, y_after = lax.scan(fold, jnp.asarray(y0), (gathered_a, gathered_b))
+    idx = lax.axis_index(axis_name)
+    prev = lax.dynamic_index_in_dim(
+        y_after, jnp.maximum(idx - 1, 0), axis=0, keepdims=False
+    )
+    y_in = jnp.where(idx == 0, jnp.asarray(y0), prev)
+    y = cum_a * y_in[..., None] + cum_b
+    return y, y_last
+
+
+def _dist_deemph(x, alpha: float, y0, axis_name: str):
+    alpha = jnp.float32(alpha)
+    a = jnp.broadcast_to(alpha, x.shape)
+    b = (jnp.float32(1.0) - alpha) * x
+    return distributed_first_order_scan(a, b, y0, axis_name)
+
+
+def _dist_dc_blocker(x, radius: float, x_prev, y_prev, axis_name: str):
+    prev = _left_halo(x, 1, jnp.asarray(x_prev)[..., None], axis_name)
+    u = x - jnp.concatenate([prev[..., -1:], x[..., :-1]], axis=-1)
+    r = jnp.broadcast_to(jnp.float32(radius), x.shape)
+    y, y_last = distributed_first_order_scan(r, u, y_prev, axis_name)
+    n = lax.axis_size(axis_name)
+    x_last = lax.all_gather(x[..., -1], axis_name)[n - 1]
+    return y, (x_last, y_last)
+
+
+def _dist_agc(x, target: float, decay: float, gain0, axis_name: str, eps=1e-6):
+    mag = jnp.abs(x)
+    valid = mag > jnp.float32(eps)
+    decay = jnp.float32(decay)
+    a = jnp.where(valid, jnp.float32(1.0) - decay, jnp.float32(1.0))
+    b = jnp.where(valid, decay * jnp.float32(target) / jnp.maximum(mag, eps), jnp.float32(0.0))
+    g, g_last = distributed_first_order_scan(a, b, gain0, axis_name)
+    return x * g, g_last
+
+
+def build_sharded_step(
+    mesh: Mesh,
+    *,
+    ddc_plan: DDCPlan,
+    rs_plan: ResamplePlan | None,
+    num_channels: int,
+    codec: str = "pcm_f32le",
+    iq_order: str = "iq",
+    mode: str = "nfm",
+    deemph_alpha: float = 0.9659,
+    agc_enabled: bool = True,
+    dc_radius: float = 0.995,
+    agc_target: float = 0.2511886431509580,
+    agc_decay: float = 0.001,
+):
+    """Build a pjit-compiled full pipeline step sharded over ``mesh``.
+
+    Returns ``(fn, init_state)`` where
+    ``fn(state, raw, rs_offset, incs, ddc_kernel, rs_kernel)
+    -> (state, audio)``.  ``raw`` is the interleaved chunk, sharded along
+    ``seq``; channel-indexed state/outputs shard along ``dp``.
+    """
+    dp, seq = mesh.devices.shape
+    C, N, D = num_channels, ddc_plan.chunk_size, ddc_plan.decimation
+    if C % dp != 0:
+        raise ValueError(f"channels {C} must divide over dp={dp}")
+    if N % seq != 0 or (N // seq) % D != 0:
+        raise ValueError(f"chunk {N} must split into decimation-aligned seq={seq} shards")
+    local_plan = replace(ddc_plan, chunk_size=N // seq)
+    n_local = local_plan.chunk_size
+    L = ddc_plan.num_taps
+    if L - 1 > n_local:
+        raise ValueError("shard length must cover the filter halo (L-1).")
+    m_local = local_plan.out_size
+    mode = mode.lower()
+
+    def local_step(state, raw, rs_offset, incs, ddc_kernel, rs_kernel):
+        # raw: local (2*n_local,) slice of the interleaved chunk
+        xr, xi = _device_convert(raw, codec, iq_order, n_local)
+        sidx = lax.axis_index("seq").astype(jnp.uint32)
+        inc_lo = incs * jnp.uint32(D)
+        phase0 = state["phase"] + inc_lo * (sidx * jnp.uint32(m_local))
+        x_pair = jnp.stack([xr, xi])
+        halo = _left_halo(x_pair, L - 1, state["fir_tail"], "seq")
+        yr, yi, _, _ = ddc_apply(local_plan, ddc_kernel, xr, xi, halo, phase0, inc_lo)
+        nseq = lax.axis_size("seq")
+        phase_next = state["phase"] + inc_lo * jnp.uint32(N // D)
+        fir_tail_next = lax.all_gather(x_pair[..., -(L - 1) :], "seq", axis=0)[nseq - 1]
+        new_state = {"phase": phase_next, "fir_tail": fir_tail_next}
+
+        if mode in {"nfm", "fm"}:
+            y_pair = jnp.stack([yr, yi])  # (2, c_local, m_local)
+            prev_pair = _left_halo(
+                y_pair,
+                1,
+                jnp.stack([state["demod_prev_r"], state["demod_prev_i"]])[..., None],
+                "seq",
+            )
+            sr = jnp.concatenate([prev_pair[0][..., -1:], yr[..., :-1]], axis=-1)
+            si = jnp.concatenate([prev_pair[1][..., -1:], yi[..., :-1]], axis=-1)
+            pr = yr * sr + yi * si
+            pi = yi * sr - yr * si
+            demod = jnp.arctan2(pi, pr).astype(jnp.float32)
+            audio_ch, y_last = _dist_deemph(demod, deemph_alpha, state["deemph_y"], "seq")
+            new_state["demod_prev_r"] = lax.all_gather(yr[..., -1], "seq")[nseq - 1]
+            new_state["demod_prev_i"] = lax.all_gather(yi[..., -1], "seq")[nseq - 1]
+            new_state["deemph_y"] = y_last
+        elif mode == "am":
+            env = jnp.sqrt(yr * yr + yi * yi).astype(jnp.float32)
+            audio_ch, (x_last, y_last) = _dist_dc_blocker(
+                env, dc_radius, state["dc_x"], state["dc_y"], "seq"
+            )
+            new_state["dc_x"] = x_last
+            new_state["dc_y"] = y_last
+        elif mode in {"usb", "lsb", "ssb"}:
+            base = yr.astype(jnp.float32)
+            audio_ch, (x_last, y_last) = _dist_dc_blocker(
+                base, dc_radius, state["dc_x"], state["dc_y"], "seq"
+            )
+            new_state["dc_x"] = x_last
+            new_state["dc_y"] = y_last
+            if agc_enabled:
+                audio_ch, g_last = _dist_agc(
+                    audio_ch, agc_target, agc_decay, state["agc_gain"], "seq"
+                )
+                new_state["agc_gain"] = g_last
+        else:
+            raise ValueError(f"Unsupported demod mode '{mode}'")
+
+        # audio-rate tail: gather the channel-rate audio and resample
+        # replicated (1/decimation of input rate — not worth sharding)
+        full_audio = lax.all_gather(audio_ch, "seq", axis=-1, tiled=True)
+        if rs_plan is not None and not rs_plan.identity:
+            audio48, rs_tail = polyphase_resample(
+                rs_plan, rs_kernel, full_audio, state["rs_tail"], rs_offset
+            )
+            new_state["rs_tail"] = rs_tail
+        else:
+            audio48 = full_audio
+        return new_state, audio48
+
+    state_specs = {
+        "phase": P("dp"),
+        "fir_tail": P(None, None),
+    }
+    if mode in {"nfm", "fm"}:
+        state_specs["demod_prev_r"] = P("dp")
+        state_specs["demod_prev_i"] = P("dp")
+        state_specs["deemph_y"] = P("dp")
+    else:
+        state_specs["dc_x"] = P("dp")
+        state_specs["dc_y"] = P("dp")
+        if mode in {"usb", "lsb", "ssb"} and agc_enabled:
+            state_specs["agc_gain"] = P("dp")
+    if rs_plan is not None and not rs_plan.identity:
+        state_specs["rs_tail"] = P("dp", None)
+
+    in_specs = (
+        state_specs,
+        P("seq"),  # raw interleaved chunk
+        P(),  # rs_offset
+        P("dp"),  # incs
+        P("dp", None, None),  # bandpass kernel: (2C, 2, L) rows 2c/2c+1
+        P(),  # resampler kernel
+    )
+    out_specs = (state_specs, P("dp", None))
+
+    fn = jax.jit(_shard_map(local_step, mesh, in_specs, out_specs))
+
+    def init_state():
+        state = {
+            "phase": jnp.zeros((C,), jnp.uint32),
+            "fir_tail": jnp.zeros((2, L - 1), jnp.float32),
+        }
+        if mode in {"nfm", "fm"}:
+            state["demod_prev_r"] = jnp.ones((C,), jnp.float32)
+            state["demod_prev_i"] = jnp.zeros((C,), jnp.float32)
+            state["deemph_y"] = jnp.zeros((C,), jnp.float32)
+        else:
+            state["dc_x"] = jnp.zeros((C,), jnp.float32)
+            state["dc_y"] = jnp.zeros((C,), jnp.float32)
+            if mode in {"usb", "lsb", "ssb"} and agc_enabled:
+                state["agc_gain"] = jnp.ones((C,), jnp.float32)
+        if rs_plan is not None and not rs_plan.identity:
+            state["rs_tail"] = jnp.zeros((C, rs_plan.tail_len), jnp.float32)
+        return jax.tree_util.tree_map(
+            lambda arr, spec: jax.device_put(arr, NamedSharding(mesh, spec)),
+            state,
+            state_specs,
+        )
+
+    return fn, init_state
+
+
+def plan_for_mesh(
+    *,
+    num_taps: int,
+    decimation: int,
+    seq: int,
+    target_chunk: int = 1 << 20,
+) -> DDCPlan:
+    """A DDCPlan whose chunk splits into decimation-aligned seq shards."""
+    unit = decimation * seq
+    n = max(unit, int(math.ceil(target_chunk / unit)) * unit)
+    # each shard must cover the filter halo
+    while (n // seq) < num_taps - 1:
+        n += unit
+    return DDCPlan(num_taps=num_taps, decimation=decimation, chunk_size=n)

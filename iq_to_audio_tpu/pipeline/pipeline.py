@@ -35,9 +35,9 @@ from ..io.formats import InputFormatSpec, resolve_input_format
 from ..io.probe import SampleRateProbe, probe_sample_rate
 from ..io.reader import IQReader, convert_to_complex
 from ..io.writer import AudioWriter, IQDebugWriter, IQSliceWriter
-from ..ops.osfir import OverlapSavePlan, taps_fft
+from ..ops.ddc import DDCPlan, bandpass_kernel
 from ..ops.nco import nco_increment_fixed
-from ..ops.resample import ResamplePlan, design_resampler_table
+from ..ops.resample import ResamplePlan, design_resampler_kernel
 from ..ref.chain import choose_mix_sign
 from ..utils.freq import detect_center_frequency
 from .config import ProcessingConfig
@@ -283,14 +283,11 @@ class ProcessingPipeline:
             LOG.info("Designed FIR channel filter with %d taps.", len(taps))
 
             target_chunk = tune_chunk_size(sample_rate, cfg.chunk_size)
-            fft_hint = None
-            if not cfg.auto_filter_block:
-                fft_hint = cfg.filter_block + len(taps) - 1
-            os_plan = OverlapSavePlan.create(
-                len(taps), decimation, target_chunk=target_chunk, fft_size=fft_hint
+            ddc_plan = DDCPlan.create(
+                len(taps), decimation, target_chunk=target_chunk
             )
-            chunk_size = os_plan.chunk_size
-            n_dec = os_plan.out_size
+            chunk_size = ddc_plan.chunk_size
+            n_dec = ddc_plan.out_size
             rs_plan = None
             if not pass_through:
                 rs_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, n_dec)
@@ -428,10 +425,10 @@ class ProcessingPipeline:
                 incs = [
                     nco_increment_fixed(off, sample_rate, sign=mix_sign) for off in offsets
                 ]
-                h_np = taps_fft(taps, os_plan.fft_size)
-                table_np = None
+                ddc_kernel_np = bandpass_kernel(taps, incs)
+                rs_kernel_np = None
                 if rs_plan is not None and not rs_plan.identity:
-                    table_np = design_resampler_table(rs_plan.up, rs_plan.down)
+                    rs_kernel_np = design_resampler_kernel(rs_plan.up, rs_plan.down)
                 decoder = None
                 if not pass_through:
                     decoder = create_decoder(
@@ -441,10 +438,10 @@ class ProcessingPipeline:
                     )
                     decoder.setup(fs_channel)
                 step = build_chunk_step(
-                    os_plan=os_plan,
+                    ddc_plan=ddc_plan,
                     rs_plan=rs_plan,
-                    taps_fft_np=h_np,
-                    rs_table_np=table_np,
+                    ddc_kernel_np=ddc_kernel_np,
+                    rs_kernel_np=rs_kernel_np,
                     incs_fixed=incs,
                     codec=input_spec.codec,
                     iq_order=cfg.iq_order,
@@ -458,11 +455,15 @@ class ProcessingPipeline:
                 want_stages = cfg.plot_stages_path is not None
 
                 # --- chunk loop ----------------------------------------------
-                rs_r = 0  # host mirror of the resampler position state
+                # exact host mirrors of the resampler stream position
+                rs_in_device = 0  # decimated samples consumed by the device
+                rs_in_valid = 0  # decimated samples that were real (not pad)
+                rs_emitted = 0  # 48 kHz samples written so far
                 processed_samples = 0
                 dec_emitted = 0
                 limit_exhausted = False
                 pending = None  # (out, counts, idx) awaiting host IO
+                last_audio = {}  # final chunk's buffer for the EOF flush
                 loop_start = time.perf_counter()
 
                 def _blocks():
@@ -473,22 +474,28 @@ class ProcessingPipeline:
                             return
                         yield nxt
 
+                def _iq_np(out):
+                    yr, yi = out["iq"]
+                    return np.asarray(yr) + 1j * np.asarray(yi)  # (C, n_dec) c64
+
                 def _flush_pending(p):
                     out, counts, idx = p
                     (valid_in, dec_valid, audio_count) = counts
                     if pass_through:
-                        iq_np = np.asarray(out["iq"])  # (C, n_dec) complex64
+                        iq_np = _iq_np(out)
                         for c, w in enumerate(slice_writers):
                             w.write(iq_np[c, :dec_valid])
                         tracker.advance("demod", float(dec_valid))
                     else:
                         if cfg.dump_iq_path:
-                            iq_np = np.asarray(out["iq"])
+                            iq_np = _iq_np(out)
                             for c, w in enumerate(iq_writers):
                                 if w.fd:
                                     w.write(iq_np[c, :dec_valid])
                             tracker.advance("dump_iq", float(dec_valid))
                         audio_np = np.asarray(out["audio"])  # (C, cap)
+                        last_audio["buf"] = audio_np
+                        last_audio["count"] = audio_count
                         for c, w in enumerate(audio_writers):
                             w.write(audio_np[c, :audio_count])
                         if idx == 0 or LOG.isEnabledFor(logging.DEBUG):
@@ -531,14 +538,16 @@ class ProcessingPipeline:
                     dec_total = -(-processed_samples // decimation)  # ceil
                     dec_valid = dec_total - dec_emitted
                     dec_emitted = dec_total
-                    r_for_chunk = rs_r
+                    rs_offset = 0
                     if rs_plan is not None and not rs_plan.identity:
-                        # valid outputs are limited by the valid decimated
-                        # samples; the device consumes the full padded chunk,
-                        # so the mirror advances by the full in_size (the
-                        # final partial chunk has no successor — moot there)
-                        audio_count = rs_plan.out_count(r_for_chunk, valid_in=dec_valid)
-                        rs_r = rs_plan.advance(r_for_chunk)
+                        # the device consumes the full padded chunk; valid
+                        # outputs are those whose block completed within the
+                        # real (non-pad) samples
+                        rs_offset = rs_plan.chunk_offset(rs_in_device)
+                        audio_count = rs_plan.out_count(rs_in_device, dec_valid)
+                        rs_in_device += n_dec
+                        rs_in_valid += dec_valid
+                        rs_emitted += audio_count
                     elif rs_plan is not None:
                         audio_count = dec_valid
                     else:
@@ -548,15 +557,22 @@ class ProcessingPipeline:
 
                     report(f"C{idx + 1} channel")
                     if want_stages and idx == 0:
-                        new_state, out = step.fn_stages(state, raw_dev, jnp.int32(r_for_chunk))
+                        new_state, out = step.fn_stages(state, raw_dev, rs_offset)
                         stages = out.pop("stages")
                         for name, buf in stages.items():
-                            rate = sample_rate if name in {"input", "mixed", "filtered"} else fs_channel
-                            arr = np.asarray(buf)
+                            rate = (
+                                sample_rate
+                                if name in {"input", "mixed", "filtered"}
+                                else fs_channel
+                            )
+                            if isinstance(buf, tuple):  # (re, im) pair
+                                arr = np.asarray(buf[0]) + 1j * np.asarray(buf[1])
+                            else:
+                                arr = np.asarray(buf)
                             stage_snapshots[name] = (arr, rate)
                         state = new_state
                     else:
-                        state, out = step.fn(state, raw_dev, jnp.int32(r_for_chunk))
+                        state, out = step.fn(state, raw_dev, rs_offset)
 
                     tracker.advance("ingest", float(valid_frames))
                     if pending is not None:
@@ -570,6 +586,22 @@ class ProcessingPipeline:
                 if pending is not None:
                     _flush_pending(pending)
                     pending = None
+                if (
+                    rs_plan is not None
+                    and not rs_plan.identity
+                    and not pass_through
+                    and "buf" in last_audio
+                ):
+                    # EOF flush: outputs of the final (incomplete) resampler
+                    # block exist in the last padded buffer
+                    extra = rs_plan.final_flush_count(rs_in_valid, rs_emitted)
+                    if extra > 0:
+                        buf = last_audio["buf"]
+                        lo = last_audio["count"]
+                        hi = min(lo + extra, buf.shape[-1])
+                        for c, w in enumerate(audio_writers):
+                            w.write(buf[c, lo:hi])
+                        rs_emitted += hi - lo
                 loop_seconds = time.perf_counter() - loop_start
 
                 report("flush outputs")

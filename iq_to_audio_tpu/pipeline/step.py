@@ -1,5 +1,6 @@
-"""The single jitted chunk step: convert -> mix -> filter -> decimate ->
-demod -> resample, all on device, static shapes, state threaded as a pytree.
+"""The single jitted chunk step: convert -> DDC (mix+filter+decimate as one
+strided conv) -> demod scans -> polyphase-conv resample, all on device,
+static shapes, state threaded as a pytree.
 
 This is the TPU-native core that replaces the reference's per-chunk Python
 orchestration (reference ``processing.py:1070-1154``).  Key properties:
@@ -7,12 +8,17 @@ orchestration (reference ``processing.py:1070-1154``).  Key properties:
 * Raw file bytes (u8/s16/f32 interleaved) are uploaded as-is and converted
   on device — an s16 capture moves 4 bytes per complex sample over PCIe
   instead of 8.
-* Up to five channels ride a leading batch axis through one shared pass;
-  each channel has its own NCO increment (folded in as a compile-time
-  constant) and carried phase.
-* The step compiles exactly once per run: the warm-up mixer-sign probe runs
-  on the host float64 twin, so the chosen sign is already baked into the
-  NCO increments when the first chunk is traced.
+* The hot path is pure float32 real-pair arithmetic built from strided
+  convolutions (MXU), trig/elementwise (VPU) and associative scans — no
+  complex dtype, no FFT, no gathers: it runs on minimal TPU backends and
+  does ~30x fewer FLOPs than the reference's FFT overlap-save because only
+  the 1-in-D decimation survivors are ever computed (see ops/ddc.py).
+* Up to five channels ride the conv's output-feature axis through one
+  shared pass; per-channel mixing lives in pre-rotated bandpass taps.
+* The step is a module-level jit with hashable static arguments (plans +
+  decoder), so identical configurations share one compiled executable, and
+  the warm-up mixer-sign probe runs on the host float64 twin: exactly one
+  compile per configuration.
 * The carried state is donated, so XLA reuses its buffers in place.
 """
 
@@ -20,60 +26,97 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from functools import partial
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from ..demod.base import Decoder
-from ..ops.nco import nco_mix
-from ..ops.osfir import OverlapSavePlan, os_fir_decimate
+from ..ops.ddc import DDCPlan, ddc_apply, ddc_fullrate_stages
 from ..ops.resample import ResamplePlan, polyphase_resample
 
 LOG = logging.getLogger(__name__)
 
-
-@dataclass
-class ChunkStep:
-    """A compiled streaming step plus its host-side geometry."""
-
-    os_plan: OverlapSavePlan
-    rs_plan: ResamplePlan | None
-    num_channels: int
-    codec: str
-    iq_order: str
-    pass_through: bool
-    dump_iq: bool
-    decoder: Decoder | None
-    fn: object  # jitted (state, raw, r0) -> (state, out)
-    fn_stages: object | None  # variant that also returns stage intermediates
-
-    @property
-    def chunk_size(self) -> int:
-        return self.os_plan.chunk_size
-
-    def init_state(self):
-        plan = self.os_plan
-        c = self.num_channels
-        state = {
-            "phase": jnp.zeros((c,), dtype=jnp.uint32),
-            "fir_tail": jnp.zeros((c, plan.overlap), dtype=jnp.complex64),
-        }
-        if not self.pass_through:
-            state["demod"] = self.decoder.init_state((c,))
-            if self.rs_plan is not None and not self.rs_plan.identity:
-                state["rs_tail"] = jnp.zeros(
-                    (c, self.rs_plan.taps_per_phase - 1), dtype=jnp.float32
-                )
-        return state
+_STATIC_ARGNAMES = (
+    "ddc_plan",
+    "rs_plan",
+    "decoder",
+    "codec",
+    "iq_order",
+    "pass_through",
+    "dump_iq",
+    "with_stages",
+    "num_channels",
+)
 
 
-def _device_convert(raw: jnp.ndarray, codec: str, iq_order: str, n: int) -> jnp.ndarray:
-    """On-device sample conversion + de-interleave (ffmpeg-compatible scaling,
-    reference IQ-order semantics ``processing.py:268-279``)."""
+def chunk_step_impl(
+    state,
+    raw,
+    rs_offset,
+    incs,
+    ddc_kernel,
+    rs_kernel,
+    *,
+    ddc_plan: DDCPlan,
+    rs_plan: ResamplePlan | None,
+    decoder: Decoder | None,
+    codec: str,
+    iq_order: str,
+    pass_through: bool,
+    dump_iq: bool,
+    with_stages: bool,
+    num_channels: int,
+):
+    n = ddc_plan.chunk_size
+    xr, xi = _device_convert(raw, codec, iq_order, n)
+    inc_lo = incs * jnp.uint32(ddc_plan.decimation)  # exact mod 2**32
+    yr, yi, fir_tail, phase_next = ddc_apply(
+        ddc_plan, ddc_kernel, xr, xi, state["fir_tail"], state["phase"], inc_lo
+    )
+    new_state = {"phase": phase_next, "fir_tail": fir_tail}
+    out = {}
+    stages = {}
+    if with_stages:
+        mix_r, mix_i, filt_r, filt_i = ddc_fullrate_stages(
+            ddc_plan, ddc_kernel, xr, xi, state["fir_tail"], state["phase"], incs
+        )
+        stages["input"] = (xr, xi)
+        stages["mixed"] = (mix_r, mix_i)
+        stages["filtered"] = (filt_r, filt_i)
+        stages["decimated"] = (yr, yi)
+    if dump_iq or pass_through:
+        out["iq"] = (yr, yi)
+    if not pass_through:
+        audio_ch, demod_state, inter = decoder.process(state["demod"], yr, yi)
+        new_state["demod"] = demod_state
+        power = jnp.mean(jnp.square(audio_ch.astype(jnp.float32)), axis=-1)
+        out["rms_dbfs"] = 10.0 * jnp.log10(power + 1e-18)
+        if rs_plan is None or rs_plan.identity:
+            out["audio"] = audio_ch
+        else:
+            audio48, rs_tail = polyphase_resample(
+                rs_plan, rs_kernel, audio_ch, state["rs_tail"], rs_offset
+            )
+            new_state["rs_tail"] = rs_tail
+            out["audio"] = audio48
+        if with_stages:
+            stages.update(inter)
+    if with_stages:
+        out["stages"] = stages
+    return new_state, out
+
+
+_chunk_step = jax.jit(
+    chunk_step_impl, static_argnames=_STATIC_ARGNAMES, donate_argnames=("state",)
+)
+
+
+def _device_convert(raw: jnp.ndarray, codec: str, iq_order: str, n: int):
+    """On-device sample conversion + de-interleave to a float32 (re, im)
+    pair (ffmpeg-compatible scaling, reference IQ-order semantics
+    ``processing.py:268-279``)."""
     if codec == "pcm_u8":
         f = (raw.astype(jnp.float32) - jnp.float32(128.0)) * jnp.float32(1.0 / 128.0)
     elif codec == "pcm_s16le":
@@ -89,15 +132,76 @@ def _device_convert(raw: jnp.ndarray, codec: str, iq_order: str, n: int) -> jnp.
         q, i = pairs[:, 0], pairs[:, 1]
     if iq_order.endswith("_inv"):
         q = -q
-    return lax.complex(i, q)
+    return i, q
+
+
+@dataclass
+class ChunkStep:
+    """Host handle for one streaming configuration."""
+
+    ddc_plan: DDCPlan
+    rs_plan: ResamplePlan | None
+    num_channels: int
+    codec: str
+    iq_order: str
+    pass_through: bool
+    dump_iq: bool
+    decoder: Decoder | None
+    _ddc_kernel: jnp.ndarray
+    _rs_kernel: jnp.ndarray | None
+    _incs: jnp.ndarray
+
+    @property
+    def chunk_size(self) -> int:
+        return self.ddc_plan.chunk_size
+
+    def init_state(self):
+        plan = self.ddc_plan
+        c = self.num_channels
+        state = {
+            "phase": jnp.zeros((c,), dtype=jnp.uint32),
+            "fir_tail": jnp.zeros((2, plan.overlap), dtype=jnp.float32),
+        }
+        if not self.pass_through:
+            state["demod"] = self.decoder.init_state((c,))
+            if self.rs_plan is not None and not self.rs_plan.identity:
+                state["rs_tail"] = jnp.zeros(
+                    (c, self.rs_plan.tail_len), dtype=jnp.float32
+                )
+        return state
+
+    def _call(self, state, raw, rs_offset, with_stages: bool):
+        return _chunk_step(
+            state,
+            raw,
+            jnp.int32(rs_offset),
+            self._incs,
+            self._ddc_kernel,
+            self._rs_kernel,
+            ddc_plan=self.ddc_plan,
+            rs_plan=self.rs_plan,
+            decoder=self.decoder,
+            codec=self.codec,
+            iq_order=self.iq_order,
+            pass_through=self.pass_through,
+            dump_iq=self.dump_iq,
+            with_stages=with_stages,
+            num_channels=self.num_channels,
+        )
+
+    def fn(self, state, raw, rs_offset):
+        return self._call(state, raw, rs_offset, with_stages=False)
+
+    def fn_stages(self, state, raw, rs_offset):
+        return self._call(state, raw, rs_offset, with_stages=True)
 
 
 def build_chunk_step(
     *,
-    os_plan: OverlapSavePlan,
+    ddc_plan: DDCPlan,
     rs_plan: ResamplePlan | None,
-    taps_fft_np: np.ndarray,
-    rs_table_np: np.ndarray | None,
+    ddc_kernel_np: np.ndarray,
+    rs_kernel_np: np.ndarray | None,
     incs_fixed: list[int],
     codec: str,
     iq_order: str,
@@ -105,68 +209,20 @@ def build_chunk_step(
     pass_through: bool,
     dump_iq: bool,
 ) -> ChunkStep:
-    """Build (and lazily compile) the streaming chunk step."""
-    c = len(incs_fixed)
-    n = os_plan.chunk_size
-    h_const = jnp.asarray(taps_fft_np, dtype=jnp.complex64)
-    incs_const = jnp.asarray(np.asarray(incs_fixed, dtype=np.uint32))
-    table_const = (
-        jnp.asarray(rs_table_np, dtype=jnp.float32) if rs_table_np is not None else None
-    )
-
-    def _step(state, raw, r0, *, with_stages: bool):
-        x = _device_convert(raw, codec, iq_order, n)
-        xb = jnp.broadcast_to(x, (c, n))
-        mixed, phase_next = nco_mix(xb, state["phase"], incs_const)
-        if with_stages:
-            dec, fir_tail, filtered = os_fir_decimate(
-                os_plan, h_const, mixed, state["fir_tail"], return_filtered=True
-            )
-        else:
-            dec, fir_tail = os_fir_decimate(os_plan, h_const, mixed, state["fir_tail"])
-            filtered = None
-        new_state = {"phase": phase_next, "fir_tail": fir_tail}
-        out = {}
-        stages = {}
-        if with_stages:
-            stages["input"] = x
-            stages["mixed"] = mixed
-            stages["filtered"] = filtered
-            stages["decimated"] = dec
-        if dump_iq or pass_through:
-            out["iq"] = dec
-        if not pass_through:
-            audio_ch, demod_state, inter = decoder.process(state["demod"], dec)
-            new_state["demod"] = demod_state
-            power = jnp.mean(jnp.square(audio_ch.astype(jnp.float32)), axis=-1)
-            out["rms_dbfs"] = 10.0 * jnp.log10(power + 1e-18)
-            out["baseband_power"] = jnp.mean(jnp.square(jnp.abs(dec)), axis=-1)
-            if rs_plan is None or rs_plan.identity:
-                out["audio"] = audio_ch
-            else:
-                audio48, rs_tail = polyphase_resample(
-                    rs_plan, table_const, audio_ch, state["rs_tail"], r0
-                )
-                new_state["rs_tail"] = rs_tail
-                out["audio"] = audio48
-            if with_stages:
-                stages.update(inter)
-        if with_stages:
-            out["stages"] = stages
-        return new_state, out
-
-    fn = jax.jit(partial(_step, with_stages=False), donate_argnums=0)
-    fn_stages = jax.jit(partial(_step, with_stages=True))
-
     return ChunkStep(
-        os_plan=os_plan,
+        ddc_plan=ddc_plan,
         rs_plan=rs_plan,
-        num_channels=c,
+        num_channels=len(incs_fixed),
         codec=codec,
         iq_order=iq_order,
         pass_through=pass_through,
         dump_iq=dump_iq,
         decoder=decoder,
-        fn=fn,
-        fn_stages=fn_stages,
+        _ddc_kernel=jnp.asarray(ddc_kernel_np, dtype=jnp.float32),
+        _rs_kernel=(
+            jnp.asarray(rs_kernel_np, dtype=jnp.float32)
+            if rs_kernel_np is not None
+            else None
+        ),
+        _incs=jnp.asarray(np.asarray(incs_fixed, dtype=np.uint32)),
     )

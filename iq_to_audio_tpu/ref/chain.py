@@ -185,47 +185,35 @@ def _varying_first_order(a: np.ndarray, b: np.ndarray, y0: float):
 
 
 class RefResampler:
-    """Float64 twin of :func:`iq_to_audio_tpu.ops.resample.polyphase_resample`.
+    """Float64 whole-signal twin of the exact-polyphase resampler
+    (:func:`iq_to_audio_tpu.ops.resample.polyphase_resample`).
 
-    Identical indexing/interpolation maths, exact integer position state.
+    ``y[n] = sum_j proto[j*up + (n*down) % up] * x[(n*down)//up - j]`` with
+    zero history before the stream.
     """
 
-    def __init__(self, table: np.ndarray, up: int, down: int,
-                 num_phases: int, taps_per_phase: int):
-        self.table = np.asarray(table, dtype=np.float64)
+    def __init__(self, up: int, down: int, taps_per_phase: int = 32):
+        from ..ops.resample import design_resampler_prototype
+
         self.up = up
         self.down = down
-        self.np_ = num_phases
         self.k = taps_per_phase
-        self.r = 0
-        self.tail = np.zeros(self.k - 1, dtype=np.float64)
+        self.proto = design_resampler_prototype(up, down, taps_per_phase)
 
-    def process(self, samples: np.ndarray) -> np.ndarray:
+    def resample_all(self, x: np.ndarray) -> np.ndarray:
+        """All outputs whose base input index falls inside ``x``."""
         if self.up == self.down:
-            return np.asarray(samples, dtype=np.float64)
-        x = np.asarray(samples, dtype=np.float64)
-        n_in = x.size
-        if n_in == 0:
-            return x
-        x_ext = np.concatenate([self.tail, x])
-        count = max(0, (n_in * self.up - self.r + self.down - 1) // self.down)
-        out = np.empty(count, dtype=np.float64)
+            return np.asarray(x, dtype=np.float64)
+        x = np.asarray(x, dtype=np.float64)
+        total = (x.size * self.up + self.down - 1) // self.down
+        out = np.empty(total, dtype=np.float64)
         jj = np.arange(self.k)
-        for n in range(count):
-            pos = self.r + n * self.down
-            ip, rem = divmod(pos, self.up)
-            un = rem * self.np_
-            u0, wnum = divmod(un, self.up)
-            w = wnum / self.up
-            tap_idx = jj * self.np_ + u0
-            coeff = (1.0 - w) * self.table[tap_idx] + w * self.table[tap_idx + 1]
-            src = np.clip(ip + (self.k - 1) - jj, 0, n_in + self.k - 2)
-            out[n] = float(np.dot(coeff, x_ext[src]))
-        self.r = self.r + count * self.down - n_in * self.up
-        if n_in >= self.k - 1:
-            self.tail = x[n_in - (self.k - 1) :].copy()
-        else:
-            self.tail = np.concatenate([self.tail[n_in:], x])
+        for n in range(total):
+            ip, phi = divmod(n * self.down, self.up)
+            src = ip - jj
+            taps = self.proto[jj * self.up + phi]
+            valid = (src >= 0) & (src < x.size)
+            out[n] = float(np.dot(taps[valid], x[src[valid]]))
         return out
 
 

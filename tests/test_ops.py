@@ -22,9 +22,10 @@ from iq_to_audio_tpu.ops.iir import (
     dc_blocker,
     feedback_agc,
 )
+from iq_to_audio_tpu.ops.ddc import DDCPlan, bandpass_kernel, ddc_apply
 from iq_to_audio_tpu.ops.resample import (
     ResamplePlan,
-    design_resampler_table,
+    design_resampler_kernel,
     polyphase_resample,
 )
 from iq_to_audio_tpu.ref.chain import (
@@ -203,57 +204,132 @@ class TestIIR:
         assert error_db(np.concatenate(parts), np.asarray(whole)) < -90.0
 
 
+class TestDDC:
+    """The fused mix+filter+decimate conv must match the reference chain
+    mix -> overlap-save FIR -> decimate exactly (same maths, reordered)."""
+
+    @pytest.mark.parametrize("decim", [1, 4, 26])
+    def test_matches_reference_chain(self, decim):
+        fs, f_off = 250_000.0, 18_000.0
+        taps = design_channel_filter(fs, 12_500.0, decim)
+        plan = DDCPlan.create(len(taps), decim, target_chunk=1 << 15)
+        n = plan.chunk_size
+        x = make_tone_iq(fs, 0.4, 10_000.0)
+        usable = (x.size // n) * n
+        x = x[:usable]
+
+        from iq_to_audio_tpu.ref.chain import RefOscillator
+
+        osc = RefOscillator(f_off, fs)
+        fir = RefOverlapSaveFIR(taps, 65_536)
+        ref = RefDecimator(decim).process(fir.process(osc.mix(x, 1)))
+
+        from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+
+        inc = nco_increment_fixed(f_off, fs, sign=1)
+        kernel = jnp.asarray(bandpass_kernel(taps, [inc]))
+        tail = jnp.zeros((2, plan.overlap), dtype=jnp.float32)
+        phase = jnp.zeros((1,), jnp.uint32)
+        inc_lo = jnp.asarray(np.asarray([(inc * decim) % (1 << 32)], np.uint32))
+        outs = []
+        for s in range(0, usable, n):
+            seg = x[s : s + n]
+            yr, yi, tail, phase = ddc_apply(
+                plan, kernel, jnp.asarray(seg.real), jnp.asarray(seg.imag), tail,
+                phase, inc_lo,
+            )
+            outs.append(np.asarray(yr)[0] + 1j * np.asarray(yi)[0])
+        got = np.concatenate(outs)
+        assert got.shape == ref.shape
+        assert error_db(got, ref) < -60.0
+
+    def test_multichannel_batch(self):
+        fs, decim = 250_000.0, 8
+        taps = design_channel_filter(fs, 12_500.0, decim)
+        plan = DDCPlan.create(len(taps), decim, target_chunk=1 << 14)
+        n = plan.chunk_size
+        x = make_tone_iq(fs, 0.2, 5_000.0)[:n]
+        from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+        from iq_to_audio_tpu.ref.chain import RefOscillator
+
+        offs = [5_000.0, -20_000.0, 40_000.0]
+        incs = [nco_increment_fixed(o, fs) for o in offs]
+        kernel = jnp.asarray(bandpass_kernel(taps, incs))
+        tail = jnp.zeros((2, plan.overlap), dtype=jnp.float32)
+        phase = jnp.zeros((3,), jnp.uint32)
+        inc_lo = jnp.asarray(np.asarray([(i * decim) % (1 << 32) for i in incs], np.uint32))
+        yr, yi, _, _ = ddc_apply(
+            plan, kernel, jnp.asarray(x.real), jnp.asarray(x.imag), tail, phase, inc_lo
+        )
+        assert yr.shape == (3, n // decim)
+        for c, off in enumerate(offs):
+            fir = RefOverlapSaveFIR(taps, 65_536)
+            ref = RefDecimator(decim).process(fir.process(RefOscillator(off, fs).mix(x, 1)))
+            got = np.asarray(yr)[c] + 1j * np.asarray(yi)[c]
+            assert error_db(got, ref) < -60.0
+
+
 class TestResampler:
-    @pytest.mark.parametrize("fs_in", [96_000, 96_154, 62_500, 48_000])
-    def test_matches_float64_twin(self, fs_in):
+    @pytest.mark.parametrize("fs_in", [96_000, 96_154, 62_500, 48_000, 96_153])
+    def test_matches_float64_twin_streamed(self, fs_in):
         plan = ResamplePlan.create(fs_in, 48_000.0, in_size=8_192)
-        table = design_resampler_table(plan.up, plan.down)
         rng = np.random.default_rng(6)
         t = np.arange(32_768) / fs_in
         x = (0.4 * np.sin(2 * np.pi * 1000 * t) + 0.01 * rng.normal(size=t.size)).astype(
             np.float32
         )
-        twin = RefResampler(table, plan.up, plan.down, plan.num_phases, plan.taps_per_phase)
-        tail = jnp.zeros(plan.taps_per_phase - 1, dtype=jnp.float32)
-        r = 0
-        got_parts, ref_parts = [], []
+        ref = RefResampler(plan.up, plan.down, plan.taps_per_phase).resample_all(x)
+        if plan.identity:
+            np.testing.assert_allclose(x, ref.astype(np.float32))
+            return
+        kernel = jnp.asarray(design_resampler_kernel(plan.up, plan.down))
+        tail = jnp.zeros(plan.tail_len, dtype=jnp.float32)
+        total_in = 0
+        emitted = 0
+        parts = []
         for s in range(0, x.size, plan.in_size):
             seg = x[s : s + plan.in_size]
-            count = plan.out_count(r)
-            y, tail = polyphase_resample(plan, jnp.asarray(table), jnp.asarray(seg), tail, jnp.int32(r))
-            got_parts.append(np.asarray(y)[:count])
-            r = plan.advance(r)
-            ref_parts.append(twin.process(seg))
-        got = np.concatenate(got_parts)
-        ref = np.concatenate(ref_parts)
-        assert got.shape == ref.shape
-        assert error_db(got, ref) < -60.0
+            off = plan.chunk_offset(total_in)
+            count = plan.out_count(total_in, seg.size)
+            y, tail = polyphase_resample(plan, kernel, jnp.asarray(seg), tail, off)
+            parts.append(np.asarray(y)[:count])
+            total_in += seg.size
+            emitted += count
+        got = np.concatenate(parts)
+        # streamed output covers all but the final (incomplete) block
+        assert ref.size - got.size < plan.up
+        assert error_db(got, ref[: got.size]) < -60.0
 
     def test_output_rate_and_tone_preserved(self):
         fs_in = 96_000
         plan = ResamplePlan.create(fs_in, 48_000.0, in_size=9_600)
-        table = design_resampler_table(plan.up, plan.down)
+        kernel = jnp.asarray(design_resampler_kernel(plan.up, plan.down))
         t = np.arange(96_000) / fs_in
         x = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
-        tail = jnp.zeros(plan.taps_per_phase - 1, dtype=jnp.float32)
-        r = 0
+        tail = jnp.zeros(plan.tail_len, dtype=jnp.float32)
+        total_in = 0
         out = []
         for s in range(0, x.size, plan.in_size):
-            count = plan.out_count(r)
+            off = plan.chunk_offset(total_in)
+            count = plan.out_count(total_in, plan.in_size)
             y, tail = polyphase_resample(
-                plan, jnp.asarray(table), jnp.asarray(x[s : s + plan.in_size]), tail, jnp.int32(r)
+                plan, kernel, jnp.asarray(x[s : s + plan.in_size]), tail, off
             )
             out.append(np.asarray(y)[:count])
-            r = plan.advance(r)
+            total_in += plan.in_size
         audio = np.concatenate(out)
-        assert audio.size == 48_000
+        assert abs(audio.size - 48_000) < plan.up
         # steady-state section should be a clean 1 kHz tone at 48 kHz
         mid = audio[4_800:43_200]
         tt = np.arange(4_800, 43_200) / 48_000.0
-        # least-squares fit of sin/cos at 1 kHz
         basis = np.stack([np.sin(2 * np.pi * 1000 * tt), np.cos(2 * np.pi * 1000 * tt)], 1)
         coef, *_ = np.linalg.lstsq(basis, mid.astype(np.float64), rcond=None)
         resid = mid - basis @ coef
         amp = float(np.hypot(*coef))
         assert abs(amp - 1.0) < 0.01
         assert np.sqrt(np.mean(resid**2)) < 1e-3
+
+    def test_rational_reduction_capped(self):
+        plan = ResamplePlan.create(96_153, 48_000.0, in_size=4096)
+        assert plan.down <= 1024
+        assert abs(plan.up / plan.down - 48_000 / 96_153) < 1e-6

@@ -1,0 +1,111 @@
+"""Sharded (dp x seq mesh) step must match the single-device step.
+
+Runs on 8 virtual CPU devices (conftest sets
+--xla_force_host_platform_device_count=8).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from conftest import error_db, make_nfm_iq
+
+from iq_to_audio_tpu.demod import create_decoder
+from iq_to_audio_tpu.ops.ddc import bandpass_kernel
+from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+from iq_to_audio_tpu.ops.resample import ResamplePlan, design_resampler_kernel
+from iq_to_audio_tpu.parallel.mesh import make_mesh
+from iq_to_audio_tpu.parallel.sharded import build_sharded_step, plan_for_mesh
+from iq_to_audio_tpu.pipeline.filters import design_channel_filter
+from iq_to_audio_tpu.pipeline.step import build_chunk_step
+
+
+def _geometry(seq: int):
+    sample_rate, bw, decim = 384_000.0, 12_500.0, 4
+    taps = design_channel_filter(sample_rate, bw, decim)
+    ddc_plan = plan_for_mesh(
+        num_taps=len(taps),
+        decimation=decim,
+        seq=seq,
+        target_chunk=seq * 2 * len(taps),
+    )
+    fs_channel = sample_rate / decim
+    rs_plan = ResamplePlan.create(fs_channel, 48_000.0, ddc_plan.out_size)
+    return sample_rate, taps, ddc_plan, rs_plan, fs_channel
+
+
+@pytest.mark.parametrize("mode", ["nfm", "usb", "am"])
+def test_sharded_matches_single_device(mode):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    dp, seq = 2, 4
+    mesh = make_mesh(8, dp=dp)
+    sample_rate, taps, ddc_plan, rs_plan, fs_channel = _geometry(seq)
+    num_channels = 2 * dp
+    offsets = [5_000.0, -20_000.0, 40_000.0, -60_000.0]
+    alpha = math.exp(-1.0 / (fs_channel * 300e-6))
+
+    sharded_fn, sharded_init = build_sharded_step(
+        mesh,
+        ddc_plan=ddc_plan,
+        rs_plan=rs_plan,
+        num_channels=num_channels,
+        codec="pcm_s16le",
+        mode=mode,
+        deemph_alpha=alpha,
+    )
+    decoder = create_decoder(mode, deemph_us=300.0, agc_enabled=True)
+    decoder.setup(fs_channel)
+    incs_list = [nco_increment_fixed(o, sample_rate) for o in offsets]
+    ddc_k_np = bandpass_kernel(taps, incs_list)
+    rs_k_np = design_resampler_kernel(rs_plan.up, rs_plan.down)
+    single = build_chunk_step(
+        ddc_plan=ddc_plan,
+        rs_plan=rs_plan,
+        ddc_kernel_np=ddc_k_np,
+        rs_kernel_np=rs_k_np,
+        incs_fixed=incs_list,
+        codec="pcm_s16le",
+        iq_order="iq",
+        decoder=decoder,
+        pass_through=False,
+        dump_iq=False,
+    )
+
+    n = ddc_plan.chunk_size
+    iq = make_nfm_iq(sample_rate, (3 * n) / sample_rate, 5_000.0)[: 2 * n]
+    raw_np = np.empty(2 * iq.size, dtype=np.float32)
+    raw_np[0::2] = iq.real
+    raw_np[1::2] = iq.imag
+    raw_np = (np.clip(raw_np, -1, 0.999) * 32768).astype("<i2")
+
+    incs_sh = jax.device_put(
+        np.asarray(incs_list, np.uint32), NamedSharding(mesh, P("dp"))
+    )
+    ddc_k_sh = jax.device_put(ddc_k_np, NamedSharding(mesh, P("dp", None, None)))
+    rs_k_sh = jax.device_put(rs_k_np, NamedSharding(mesh, P()))
+
+    state_sh = sharded_init()
+    state_single = single.init_state()
+    total_in = 0
+    for k in range(2):
+        raw_k = raw_np[k * 2 * n : (k + 1) * 2 * n]
+        off = rs_plan.chunk_offset(total_in)
+        count = rs_plan.out_count(total_in, ddc_plan.out_size)
+        raw_dev = jax.device_put(raw_k, NamedSharding(mesh, P("seq")))
+        state_sh, audio_sh = sharded_fn(
+            state_sh, raw_dev, jnp.int32(off), incs_sh, ddc_k_sh, rs_k_sh
+        )
+        state_single, out_single = single.fn(state_single, jnp.asarray(raw_k), off)
+        total_in += ddc_plan.out_size
+        a_sh = np.asarray(audio_sh)[:, :count]
+        a_single = np.asarray(out_single["audio"])[:, :count]
+        err = error_db(a_sh, a_single)
+        assert err < -60.0, (mode, k, err)
