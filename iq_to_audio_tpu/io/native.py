@@ -1,0 +1,119 @@
+"""ctypes bindings for the native host IO kernels (native/iqio.cpp).
+
+The library is optional: everything has a NumPy fallback, and the loader
+builds the .so on demand with g++ when it is missing (no pybind11 — the C
+ABI keeps the binding dependency-free).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+LOG = logging.getLogger(__name__)
+
+_CODEC_IDS = {"pcm_u8": 0, "pcm_s16le": 1, "pcm_f32le": 2}
+_ORDER_IDS = {"iq": 0, "qi": 1, "iq_inv": 2, "qi_inv": 3}
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libiqio.so"
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    src = _NATIVE_DIR / "iqio.cpp"
+    if not src.exists():
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+             "-o", str(_LIB_PATH), str(src)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except (OSError, subprocess.SubprocessError) as exc:
+        LOG.debug("native iqio build failed: %s", exc)
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building on demand) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.iqio_abi_version.restype = ctypes.c_int32
+            if lib.iqio_abi_version() != 1:
+                LOG.warning("native iqio ABI mismatch; using NumPy fallback")
+                return None
+            lib.iqio_convert_deinterleave.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.iqio_encode_s16.restype = ctypes.c_float
+            lib.iqio_encode_s16.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_void_p,
+            ]
+            lib.iqio_interleave_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p,
+            ]
+            lib.iqio_peak_abs.restype = ctypes.c_float
+            lib.iqio_peak_abs.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            _lib = lib
+        except OSError as exc:
+            LOG.debug("native iqio load failed: %s", exc)
+            _lib = None
+        return _lib
+
+
+def convert_deinterleave(raw: np.ndarray, codec: str, iq_order: str):
+    """(i, q) float32 arrays from raw interleaved samples, or None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw)
+    frames = raw.size // 2
+    i_out = np.empty(frames, dtype=np.float32)
+    q_out = np.empty(frames, dtype=np.float32)
+    lib.iqio_convert_deinterleave(
+        raw.ctypes.data_as(ctypes.c_void_p),
+        _CODEC_IDS[codec],
+        _ORDER_IDS[iq_order],
+        frames,
+        i_out.ctypes.data_as(ctypes.c_void_p),
+        q_out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return i_out, q_out
+
+
+def encode_s16(samples: np.ndarray, clip: float = 0.99):
+    """(payload_bytes, peak) for float32 mono audio, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    samples = np.ascontiguousarray(samples, dtype=np.float32)
+    out = np.empty(samples.size, dtype=np.int16)
+    peak = lib.iqio_encode_s16(
+        samples.ctypes.data_as(ctypes.c_void_p),
+        samples.size,
+        ctypes.c_float(clip),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out, float(peak)

@@ -52,6 +52,11 @@ def convert_to_complex(raw: np.ndarray, codec: str, iq_order: str = "iq") -> np.
     """
     if iq_order not in {"iq", "qi", "iq_inv", "qi_inv"}:
         raise ValueError(f"Unsupported iq_order '{iq_order}'")
+    from .native import convert_deinterleave
+
+    pair = convert_deinterleave(raw, codec, iq_order)
+    if pair is not None:
+        return (pair[0] + 1j * pair[1]).astype(np.complex64)
     if codec == "pcm_u8":
         f = (raw.astype(np.float32) - 128.0) * np.float32(1.0 / 128.0)
     elif codec == "pcm_s16le":

@@ -227,7 +227,7 @@ class WavStreamWriter:
         if self.codec == "pcm_f32le":
             self.write_raw(arr.astype("<f4", copy=False).tobytes())
         elif self.codec == "pcm_s16le":
-            scaled = np.clip(arr, -1.0, 0.999969) * 32767.0
+            scaled = np.round(np.clip(arr, -1.0, 0.999969) * 32767.0)
             self.write_raw(scaled.astype("<i2").tobytes())
         elif self.codec == "pcm_u8":
             scaled = np.clip(arr, -1.0, 1.0)

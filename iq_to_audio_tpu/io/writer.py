@@ -59,6 +59,8 @@ class AudioWriter:
             raise RuntimeError("audio writer failed") from self._error
 
     def _drain(self) -> None:
+        from .native import encode_s16
+
         while True:
             payload = self._queue.get()
             if payload is None:
@@ -66,7 +68,11 @@ class AudioWriter:
             if self._error is not None:
                 continue
             try:
-                self._writer.write_float(payload)
+                encoded = encode_s16(payload, clip=1.0)  # input pre-clipped
+                if encoded is not None:
+                    self._writer.write_raw(encoded[0].tobytes())
+                else:
+                    self._writer.write_float(payload)
             except BaseException as exc:  # surfaced on next write/close
                 self._error = exc
 

@@ -61,7 +61,15 @@ def _file_tags(path: Path) -> dict[str, str]:
         info = parse_wav_header(path)
     except (WavFormatError, OSError):
         return {}
-    return {k.lower(): v for k, v in info.tags.items()}
+    tags = {k.lower(): v for k, v in info.tags.items()}
+    # SDR software often packs "key=value" pairs inside a comment/title tag
+    # (libsndfile surfaces those lines too — reference utils.py:203-223)
+    for value in list(tags.values()):
+        for piece in value.replace(";", "\n").splitlines():
+            if "=" in piece:
+                key, sub = piece.split("=", 1)
+                tags.setdefault(key.strip().lower(), sub.strip())
+    return tags
 
 
 def _from_metadata(path: Path) -> CenterFrequencyResult | None:

@@ -1,0 +1,212 @@
+"""CLI integration tests (reference tests/test_cli_integration.py analogue).
+
+Drives ``iq_to_audio_tpu.cli.main`` in-process (a subprocess would pay the
+JAX import+compile cost per case) against synthetic captures, asserting
+output WAV sample rate/count/RMS like the reference's golden-output suite.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import make_nfm_iq
+
+from iq_to_audio_tpu.cli import build_parser, main
+from iq_to_audio_tpu.io.riff import parse_wav_header
+from iq_to_audio_tpu.io.writer import read_wav, write_stereo_wav
+
+FS = 250_000.0
+CENTER = 145_000_000.0
+TARGET = CENTER + 25_000.0
+
+
+@pytest.fixture
+def capture(tmp_path):
+    iq = make_nfm_iq(FS, 1.0, 25_000.0)
+    path = tmp_path / f"baseband_{int(CENTER)}Hz_iq.wav"
+    write_stereo_wav(path, np.column_stack([iq.real, iq.imag]), int(FS))
+    return path
+
+
+def test_version_exits_zero(capsys):
+    with pytest.raises(SystemExit) as exc:
+        main(["--version"])
+    assert exc.value.code == 0
+
+
+def test_parser_rejects_conflicts():
+    with pytest.raises(SystemExit):
+        main(["--cli", "--interactive"])
+    with pytest.raises(SystemExit):
+        main(["--cli", "--audio-post", "x", "--benchmark"])
+
+
+def test_parser_limits_targets(capture):
+    args = ["--cli", "--in", str(capture)]
+    for f in range(6):
+        args += ["--ft", str(145_000_000 + f * 1000)]
+    with pytest.raises(SystemExit):
+        main(args)
+
+
+def test_duplicate_targets_rejected(capture):
+    with pytest.raises(SystemExit):
+        main(["--cli", "--in", str(capture), "--ft", "145025000", "--ft", "145025000"])
+
+
+def test_nfm_full_run(tmp_path, capture, capsys):
+    out = tmp_path / "audio.wav"
+    rc = main(["--cli", "--in", str(capture), "--ft", str(int(TARGET)), "--out", str(out)])
+    assert rc == 0
+    data, rate = read_wav(out)
+    assert rate == 48_000
+    assert abs(data.shape[0] - 48_000) < 100
+    rms = float(np.sqrt(np.mean(data[4800:43200, 0] ** 2)))
+    assert 0.01 < rms < 0.2  # demodulated 1 kHz NFM tone level window
+    captured = capsys.readouterr()
+    assert "Audio peak level" in captured.out
+
+
+def test_probe_only_output(capture, capsys):
+    rc = main(["--cli", "--in", str(capture), "--ft", str(int(TARGET)), "--probe-only"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Sample rate: 250000.00 Hz" in out
+    assert "Center frequency: 145000000 Hz" in out
+    assert "decimation" in out
+
+
+def test_preview_flag(tmp_path, capture):
+    out = tmp_path / "audio.wav"
+    rc = main(
+        [
+            "--cli",
+            "--in",
+            str(capture),
+            "--ft",
+            str(int(TARGET)),
+            "--out",
+            str(out),
+            "--preview",
+            "0.25",
+        ]
+    )
+    assert rc == 0
+    preview = tmp_path / "audio_preview.wav"
+    assert preview.exists()
+    data, rate = read_wav(preview)
+    assert abs(data.shape[0] - 12_000) < 400
+
+
+def test_multi_target_outputs(tmp_path, capture):
+    out = tmp_path / "audio.wav"
+    rc = main(
+        [
+            "--cli",
+            "--in",
+            str(capture),
+            "--ft",
+            str(int(TARGET)),
+            "--ft",
+            str(int(CENTER - 30_000)),
+            "--out",
+            str(out),
+            "--mix-sign",
+            "1",
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / f"audio_{int(TARGET)}.wav").exists()
+    assert (tmp_path / f"audio_{int(CENTER - 30_000)}.wav").exists()
+
+
+def test_pass_through_demod_none(tmp_path, capture, capsys):
+    out = tmp_path / "slice.wav"
+    rc = main(
+        [
+            "--cli",
+            "--in",
+            str(capture),
+            "--ft",
+            str(int(TARGET)),
+            "--demod",
+            "none",
+            "--out",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    info = parse_wav_header(out)
+    assert info.channels == 2
+    assert "IQ slice peak magnitude" in capsys.readouterr().out
+
+
+def test_dump_iq_and_plot(tmp_path, capture):
+    out = tmp_path / "audio.wav"
+    rc = main(
+        [
+            "--cli",
+            "--in",
+            str(capture),
+            "--ft",
+            str(int(TARGET)),
+            "--out",
+            str(out),
+            "--dump-iq",
+            str(tmp_path / "d.cf32"),
+            "--plot-stages",
+            str(tmp_path / "p.png"),
+        ]
+    )
+    assert rc == 0
+    assert (tmp_path / "d.cf32").stat().st_size > 1000
+    assert (tmp_path / "p.png").stat().st_size > 10_000
+
+
+def test_benchmark_smoke(capsys):
+    rc = main(
+        [
+            "--cli",
+            "--benchmark",
+            "--benchmark-seconds",
+            "0.5",
+            "--benchmark-sample-rate",
+            "250000",
+        ]
+    )
+    assert rc == 0
+
+
+def test_audio_post_cli(tmp_path):
+    from iq_to_audio_tpu.io.riff import WavStreamWriter
+
+    rng = np.random.default_rng(0)
+    audio = rng.normal(scale=0.002, size=32_000).astype(np.float32)
+    audio[12_000:20_000] += 0.4 * np.sin(
+        2 * np.pi * 600 * np.arange(8_000) / 16_000
+    ).astype(np.float32)
+    p = tmp_path / "rec.wav"
+    with WavStreamWriter(p, 16_000, 1, "pcm_s16le") as w:
+        w.write_float(audio)
+    rc = main(["--audio-post", str(tmp_path), "--audio-post-mode", "static"])
+    assert rc == 0
+    assert (tmp_path / "rec-cleaned.wav").exists()
+
+
+def test_missing_input_errors():
+    with pytest.raises(SystemExit):
+        main(["--cli", "--ft", "145000000"])
+
+
+def test_raw_input_needs_rate(tmp_path, capsys):
+    path = tmp_path / "cap.cu8"
+    path.write_bytes(bytes(4096))
+    rc = main(["--cli", "--in", str(path), "--ft", "1000000", "--fc", "1000000"])
+    assert rc == 1  # clean error, not a traceback
+
+
+def test_input_format_override_parsing():
+    parser = build_parser()
+    args = parser.parse_args(["--input-format", "raw-cs16"])
+    assert args.input_format == "raw-cs16"

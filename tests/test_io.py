@@ -1,0 +1,196 @@
+"""IO layer: RIFF parser/writer round-trips, reader streaming, raw formats."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from conftest import make_tone_iq
+
+from iq_to_audio_tpu.io.formats import get_format
+from iq_to_audio_tpu.io.reader import IQReader, convert_to_complex
+from iq_to_audio_tpu.io.riff import WavStreamWriter, parse_wav_header
+from iq_to_audio_tpu.io.writer import (
+    AudioWriter,
+    IQSliceWriter,
+    read_wav,
+    write_stereo_wav,
+)
+from iq_to_audio_tpu.io.probe import probe_sample_rate
+
+
+class TestRiff:
+    @pytest.mark.parametrize("codec", ["pcm_u8", "pcm_s16le", "pcm_f32le"])
+    def test_write_parse_roundtrip(self, tmp_path, codec):
+        path = tmp_path / "x.wav"
+        rng = np.random.default_rng(0)
+        frames = rng.uniform(-0.5, 0.5, size=(1000, 2)).astype(np.float32)
+        write_stereo_wav(path, frames, 48_000, codec=codec)
+        info = parse_wav_header(path)
+        assert info.sample_rate == 48_000
+        assert info.channels == 2
+        assert info.codec == codec
+        assert info.num_frames == 1000
+        data, rate = read_wav(path)
+        assert rate == 48_000
+        # u8 encodes with 127.5 scale but decodes with 128 (ffmpeg parity):
+        # half-step quantisation plus ~0.4% scale skew
+        tol = {"pcm_u8": 0.012, "pcm_s16le": 1e-4, "pcm_f32le": 1e-7}[codec]
+        np.testing.assert_allclose(data, frames, atol=tol)
+
+    def test_streaming_header_patched_on_close(self, tmp_path):
+        path = tmp_path / "s.wav"
+        w = WavStreamWriter(path, 48_000, 1, "pcm_s16le")
+        w.write_float(np.zeros(100, np.float32))
+        w.write_float(np.ones(50, np.float32) * 0.5)
+        w.close()
+        info = parse_wav_header(path)
+        assert info.num_frames == 150
+        assert info.declared_data_size == 300
+
+    def test_broken_length_reads_to_eof(self, tmp_path):
+        """SDR++-style placeholder data size (ffmpeg -ignore_length parity)."""
+        path = tmp_path / "b.wav"
+        write_stereo_wav(path, np.zeros((500, 2), np.float32), 96_000)
+        raw = bytearray(path.read_bytes())
+        # zero out the data chunk size field (offset 40 for canonical layout)
+        assert raw[36:40] == b"data"
+        raw[40:44] = struct.pack("<I", 0)
+        path.write_bytes(bytes(raw))
+        info = parse_wav_header(path)
+        assert info.num_frames == 500
+
+    def test_oversized_declared_length_clamped(self, tmp_path):
+        path = tmp_path / "c.wav"
+        write_stereo_wav(path, np.zeros((100, 2), np.float32), 96_000)
+        raw = bytearray(path.read_bytes())
+        raw[40:44] = struct.pack("<I", 10_000_000)
+        path.write_bytes(bytes(raw))
+        info = parse_wav_header(path)
+        assert info.num_frames == 100
+
+    def test_info_tags_parsed(self, tmp_path):
+        path = tmp_path / "t.wav"
+        write_stereo_wav(path, np.zeros((10, 2), np.float32), 96_000)
+        comment = b"center_frequency=145000000"
+        pad = b"\0" if len(comment) % 2 else b""
+        info_chunk = b"ICMT" + struct.pack("<I", len(comment)) + comment + pad
+        list_chunk = b"LIST" + struct.pack("<I", 4 + len(info_chunk)) + b"INFO" + info_chunk
+        with path.open("ab") as f:
+            f.write(list_chunk)
+        # RIFF size field no longer matters (data not last chunk now needs
+        # its true size honoured)
+        info = parse_wav_header(path)
+        assert info.tags.get("comment") == "center_frequency=145000000"
+        assert info.num_frames == 10
+
+
+class TestReader:
+    def test_wav_streaming_chunks(self, tmp_path):
+        fs = 96_000
+        iq = make_tone_iq(fs, 0.25, 1000.0)
+        path = tmp_path / "cap.wav"
+        write_stereo_wav(path, np.column_stack([iq.real, iq.imag]), fs)
+        spec = get_format("wav", "pcm_s16le")
+        with IQReader(path, 4096, "iq", spec) as reader:
+            assert reader.total_frames == iq.size
+            blocks = list(reader)
+        got = np.concatenate(blocks)
+        assert got.size == iq.size
+        assert np.abs(got - iq).max() < 1e-3  # s16 quantisation
+
+    @pytest.mark.parametrize(
+        "codec,suffix,dtype,encode",
+        [
+            ("pcm_u8", ".cu8", np.uint8, lambda f: np.round((np.clip(f, -1, 1) + 1) * 127.5)),
+            ("pcm_s16le", ".cs16", "<i2", lambda f: np.clip(f, -1, 0.999) * 32767),
+            ("pcm_f32le", ".cf32", "<f4", lambda f: f),
+        ],
+    )
+    def test_raw_formats(self, tmp_path, codec, suffix, dtype, encode):
+        fs = 48_000.0
+        iq = make_tone_iq(fs, 0.1, 500.0, amplitude=0.5)
+        inter = np.empty(iq.size * 2, np.float32)
+        inter[0::2], inter[1::2] = iq.real, iq.imag
+        payload = encode(inter).astype(dtype).tobytes()
+        path = tmp_path / f"cap{suffix}"
+        path.write_bytes(payload)
+        spec = get_format("raw", codec)
+        with IQReader(path, 1024, "iq", spec, sample_rate=fs) as reader:
+            got = np.concatenate(list(reader))
+        assert got.size == iq.size
+        # complex error combines both components' u8 quantisation + skew
+        tol = {"pcm_u8": 0.015, "pcm_s16le": 1e-3, "pcm_f32le": 1e-7}[codec]
+        assert np.abs(got - iq).max() < tol
+
+    def test_raw_requires_sample_rate(self, tmp_path):
+        path = tmp_path / "x.cu8"
+        path.write_bytes(bytes(100))
+        spec = get_format("raw", "pcm_u8")
+        with pytest.raises(ValueError, match="sample rate"):
+            IQReader(path, 64, "iq", spec).__enter__()
+
+    @pytest.mark.parametrize("order", ["iq", "qi", "iq_inv", "qi_inv"])
+    def test_iq_order_conversion(self, order):
+        raw = np.arange(8, dtype=np.float32) / 10.0
+        got = convert_to_complex(raw, "pcm_f32le", order)
+        a, b = raw[0::2], raw[1::2]
+        i, q = (a, b) if order.startswith("iq") else (b, a)
+        if order.endswith("_inv"):
+            q = -q
+        np.testing.assert_allclose(got, (i + 1j * q).astype(np.complex64))
+
+    def test_mono_wav_rejected(self, tmp_path):
+        path = tmp_path / "mono.wav"
+        with WavStreamWriter(path, 48_000, 1, "pcm_s16le") as w:
+            w.write_float(np.zeros(64, np.float32))
+        spec = get_format("wav", "pcm_s16le")
+        with pytest.raises(ValueError, match="stereo"):
+            IQReader(path, 64, "iq", spec).__enter__()
+
+
+class TestWriters:
+    def test_audio_writer_peak_and_output(self, tmp_path):
+        path = tmp_path / "a.wav"
+        w = AudioWriter(path, 48_000.0)
+        x = np.sin(2 * np.pi * np.arange(4800) * 1000 / 48_000).astype(np.float32) * 0.8
+        w.write(x)
+        w.close()
+        assert abs(w.peak - 0.8) < 1e-3
+        data, rate = read_wav(path)
+        assert rate == 48_000
+        assert data.shape[0] == 4800
+
+    def test_slice_writer_wav_roundtrip(self, tmp_path):
+        spec = get_format("wav", "pcm_f32le")
+        path = tmp_path / "s.wav"
+        w = IQSliceWriter(path, 96_000.0, spec)
+        iq = make_tone_iq(96_000.0, 0.01, 100.0)
+        w.write(iq)
+        w.close()
+        data, rate = read_wav(path)
+        np.testing.assert_allclose(data[:, 0] + 1j * data[:, 1], iq, atol=1e-6)
+
+    def test_slice_writer_raw_cs16(self, tmp_path):
+        spec = get_format("raw", "pcm_s16le")
+        path = tmp_path / "s.cs16"
+        w = IQSliceWriter(path, 96_000.0, spec)
+        iq = make_tone_iq(96_000.0, 0.01, 100.0, amplitude=0.5)
+        w.write(iq)
+        w.close()
+        raw = np.frombuffer(path.read_bytes(), "<i2").astype(np.float32) / 32767.0
+        got = raw[0::2] + 1j * raw[1::2]
+        assert np.abs(got - iq).max() < 2e-3
+
+
+class TestProbe:
+    def test_probe_prefers_header(self, tmp_path):
+        path = tmp_path / "p.wav"
+        write_stereo_wav(path, np.zeros((10, 2), np.float32), 2_500_000)
+        probe = probe_sample_rate(path)
+        assert probe.value == 2_500_000.0
+        assert probe.header == 2_500_000.0
+        assert probe.wave == 2_500_000.0
+        assert probe.ffprobe is None

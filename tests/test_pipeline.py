@@ -1,0 +1,295 @@
+"""End-to-end pipeline golden tests: every demod mode against the float64
+reference twin at -60 dB, plus the streaming-control behaviors (cancel,
+preview, probe-only, pass-through, dump, multi-target).
+
+This is the analogue of the reference's test_processing.py +
+test_cli_integration.py quantitative audio checks (RMS windows, sample
+counts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import error_db, make_am_iq, make_nfm_iq, make_tone_iq
+
+from iq_to_audio_tpu import ProcessingCancelled, ProcessingConfig, ProcessingPipeline
+from iq_to_audio_tpu.io.riff import parse_wav_header
+from iq_to_audio_tpu.io.writer import read_wav, write_stereo_wav
+from iq_to_audio_tpu.ops.resample import ResamplePlan
+from iq_to_audio_tpu.pipeline.filters import compute_decimation, design_channel_filter
+from iq_to_audio_tpu.pipeline.progress import ProgressSink
+from iq_to_audio_tpu.ref.chain import RefResampler, ref_demod_chain
+
+FS = 250_000.0
+CENTER = 145_000_000.0
+OFFSET = 25_000.0
+
+
+def _write_capture(tmp_path, iq, name=f"baseband_{int(CENTER)}Hz_cap.wav", codec="pcm_s16le"):
+    path = tmp_path / name
+    write_stereo_wav(path, np.column_stack([iq.real, iq.imag]), int(FS), codec=codec)
+    return path
+
+
+def _golden_audio(iq, mode, *, bandwidth=12_500.0, agc=True, mix_sign=1):
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    taps = design_channel_filter(FS, bandwidth, decim)
+    audio_ch, _ = ref_demod_chain(
+        iq.astype(np.complex128),
+        sample_rate=FS,
+        freq_offset=OFFSET,
+        taps=taps,
+        decimation=decim,
+        mode=mode,
+        agc_enabled=agc,
+        mix_sign=mix_sign,
+    )
+    plan = ResamplePlan.create(fs_ch, 48_000.0, 1)
+    audio48 = RefResampler(plan.up, plan.down).resample_all(audio_ch)
+    # the writer clips to +-0.99 before the s16 encode (reference
+    # processing.py:449-452) — mirror it for the comparison
+    return np.clip(audio48, -0.99, 0.99)
+
+
+@pytest.mark.parametrize(
+    "mode,agc,gen",
+    [
+        ("nfm", True, lambda: make_nfm_iq(FS, 1.0, OFFSET)),
+        ("am", True, lambda: make_am_iq(FS, 1.0, OFFSET)),
+        # AGC-off for the exact SSB comparison: the feedback AGC divides by
+        # |x| near zero crossings, chaotically amplifying f32-vs-f64
+        # differences (AGC correctness is covered exactly at op level in
+        # test_ops.py and behaviourally in test_ssb_agc_tracks_target below)
+        ("usb", False, lambda: make_tone_iq(FS, 1.0, OFFSET + 1_000.0)),
+        ("lsb", False, lambda: make_tone_iq(FS, 1.0, OFFSET - 1_000.0)),
+    ],
+)
+def test_golden_all_modes(tmp_path, mode, agc, gen):
+    """Device pipeline audio within -60 dB of the float64 twin chain."""
+    iq = gen()
+    path = _write_capture(tmp_path, iq, codec="pcm_f32le")
+    out = tmp_path / f"audio_{mode}.wav"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + OFFSET,
+        demod_mode=mode,
+        agc_enabled=agc,
+        output_path=out,
+    )
+    result = ProcessingPipeline(cfg).run()
+    got, rate = read_wav(out)
+    got = got[:, 0]
+    assert rate == 48_000
+    ref = _golden_audio(iq, mode, agc=agc, mix_sign=result.mix_sign)
+    n = min(got.size, ref.size)
+    assert abs(got.size - ref.size) <= 2
+    err = error_db(got[:n], ref[:n])
+    assert err < -60.0, (mode, err)
+    # quantitative audio stats like the reference CLI suite
+    assert result.audio_peak > 0.01
+    rms = float(np.sqrt(np.mean(got[4800:43200] ** 2)))
+    assert rms > 0.005
+
+
+def test_ssb_agc_tracks_target(tmp_path):
+    """With AGC on, quiet SSB audio is pulled toward the -12 dBFS target and
+    the device gain trajectory matches the float64 twin's RMS closely."""
+    iq = make_tone_iq(FS, 1.0, OFFSET + 1_000.0, amplitude=0.08, noise_std=0.002)
+    path = _write_capture(tmp_path, iq, codec="pcm_f32le")
+    out = tmp_path / "agc.wav"
+    cfg = ProcessingConfig(
+        in_path=path, target_freq=CENTER + OFFSET, demod_mode="usb", output_path=out
+    )
+    result = ProcessingPipeline(cfg).run()
+    got = read_wav(out)[0][:, 0]
+    ref = _golden_audio(iq, "usb", agc=True, mix_sign=result.mix_sign)
+    n = min(got.size, ref.size)
+    rms_got = float(np.sqrt(np.mean(got[n // 2 : n] ** 2)))
+    rms_ref = float(np.sqrt(np.mean(ref[n // 2 : n] ** 2)))
+    assert abs(rms_got / rms_ref - 1.0) < 0.05
+    # pulled from ~0.04 toward the -12 dBFS (0.25) target
+    assert rms_got > 0.1
+
+
+def test_nfm_recovers_tone(tmp_path):
+    """Demodulated NFM audio must be a clean 1 kHz tone (spectral check)."""
+    iq = make_nfm_iq(FS, 1.0, OFFSET, audio_freq=1_000.0)
+    path = _write_capture(tmp_path, iq)
+    out = tmp_path / "audio.wav"
+    cfg = ProcessingConfig(in_path=path, target_freq=CENTER + OFFSET, output_path=out)
+    ProcessingPipeline(cfg).run()
+    got, _ = read_wav(out)
+    x = got[9600:38400, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(x * np.hanning(x.size)))
+    freqs = np.fft.rfftfreq(x.size, 1 / 48_000.0)
+    peak_freq = freqs[np.argmax(spec)]
+    assert abs(peak_freq - 1_000.0) < 5.0
+    # tone-to-everything-else ratio
+    mask = np.abs(freqs - 1_000.0) < 30.0
+    tone = np.sqrt(np.sum(spec[mask] ** 2))
+    rest = np.sqrt(np.sum(spec[~mask] ** 2))
+    assert tone / (rest + 1e-12) > 3.0
+
+
+def test_chunk_size_invariance(tmp_path):
+    """Chunked streaming must be invariant to the chunk size choice."""
+    iq = make_nfm_iq(FS, 0.8, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    outputs = []
+    for chunk in (65_536, 524_288):
+        out = tmp_path / f"audio_{chunk}.wav"
+        cfg = ProcessingConfig(
+            in_path=path, target_freq=CENTER + OFFSET, output_path=out, chunk_size=chunk
+        )
+        ProcessingPipeline(cfg).run()
+        outputs.append(read_wav(out)[0][:, 0])
+    n = min(map(len, outputs))
+    assert abs(len(outputs[0]) - len(outputs[1])) <= 1
+    assert error_db(outputs[0][:n], outputs[1][:n]) < -70.0
+
+
+def test_mix_sign_autodetect_inverted(tmp_path):
+    """Spectrally-inverted capture (qi order) should flip the mixer sign."""
+    iq = make_tone_iq(FS, 0.5, OFFSET)
+    inv = np.conj(iq)  # inverted spectrum: tone now at -OFFSET
+    path = _write_capture(tmp_path, inv)
+    cfg = ProcessingConfig(in_path=path, target_freq=CENTER + OFFSET, probe_only=True)
+    result = ProcessingPipeline(cfg).run()
+    assert result.mix_sign == -1
+
+
+def test_pass_through_slice(tmp_path):
+    iq = make_tone_iq(FS, 0.5, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    out = tmp_path / "slice.wav"
+    cfg = ProcessingConfig(
+        in_path=path, target_freq=CENTER + OFFSET, demod_mode="none", output_path=out
+    )
+    result = ProcessingPipeline(cfg).run()
+    info = parse_wav_header(out)
+    assert info.channels == 2
+    assert info.codec == "pcm_s16le"  # container/codec preserved
+    assert info.sample_rate == round(result.fs_channel)
+    assert info.num_frames == -(-iq.size // result.decimation)
+    # tone should sit near DC after the shift: strong energy
+    data, _ = read_wav(out)
+    assert float(np.abs(data).max()) > 0.3
+
+
+def test_dump_iq_and_plot_stages(tmp_path):
+    iq = make_nfm_iq(FS, 0.5, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    out = tmp_path / "a.wav"
+    dump = tmp_path / "d.cf32"
+    plot = tmp_path / "stages.png"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + OFFSET,
+        output_path=out,
+        dump_iq_path=dump,
+        plot_stages_path=plot,
+    )
+    result = ProcessingPipeline(cfg).run()
+    raw = np.fromfile(dump, dtype=np.float32)
+    assert raw.size == 2 * (-(-iq.size // result.decimation))
+    assert plot.exists() and plot.stat().st_size > 10_000
+
+
+def test_preview_and_probe_only(tmp_path):
+    iq = make_nfm_iq(FS, 1.0, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    out = tmp_path / "p.wav"
+    cfg = ProcessingConfig(
+        in_path=path, target_freq=CENTER + OFFSET, output_path=out, max_input_seconds=0.3
+    )
+    ProcessingPipeline(cfg).run()
+    data, _ = read_wav(out)
+    assert abs(data.shape[0] - 0.3 * 48_000) < 400
+
+    probe_cfg = ProcessingConfig(in_path=path, target_freq=CENTER + OFFSET, probe_only=True)
+    result = ProcessingPipeline(probe_cfg).run()
+    assert result.audio_peak == 0.0
+    assert result.decimation >= 1
+
+
+def test_multi_target_batching(tmp_path):
+    f1, f2 = CENTER + OFFSET, CENTER - 40_000.0
+    iq = make_nfm_iq(FS, 0.5, OFFSET) + make_nfm_iq(
+        FS, 0.5, -40_000.0, audio_freq=700.0, seed=9
+    )
+    path = _write_capture(tmp_path, (iq / 2).astype(np.complex64))
+    out = tmp_path / "multi.wav"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=f1,
+        extra_target_freqs=[f2],
+        output_path=out,
+        mix_sign_override=1,
+    )
+    result = ProcessingPipeline(cfg).run()
+    assert len(result.output_paths) == 2
+    assert result.output_paths[0].name == f"multi_{int(f1)}.wav"
+    assert result.output_paths[1].name == f"multi_{int(f2)}.wav"
+    for p, peak in zip(result.output_paths, result.audio_peaks):
+        data, rate = read_wav(p)
+        assert rate == 48_000 and data.shape[0] > 20_000
+        assert peak > 0.01
+
+
+class _CancelOnFirstAdvance(ProgressSink):
+    def __init__(self):
+        self._cb = None
+
+    def start(self, phases, *, overall_total):
+        pass
+
+    def advance(self, phase, delta, *, overall_completed, overall_total):
+        if self._cb:
+            self._cb()
+
+    def status(self, message):
+        pass
+
+    def close(self):
+        pass
+
+    def cancel(self):
+        pass
+
+    def set_cancel_callback(self, callback):
+        self._cb = callback
+
+
+def test_cancellation_removes_partial_output(tmp_path):
+    iq = make_nfm_iq(FS, 1.0, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    out = tmp_path / "c.wav"
+    cfg = ProcessingConfig(
+        in_path=path, target_freq=CENTER + OFFSET, output_path=out, chunk_size=32_768
+    )
+    pipeline = ProcessingPipeline(cfg)
+    with pytest.raises(ProcessingCancelled):
+        pipeline.run(_CancelOnFirstAdvance())
+    assert not out.exists()
+
+
+def test_agc_off_changes_ssb_output(tmp_path):
+    iq = make_tone_iq(FS, 0.5, OFFSET + 1_000.0, amplitude=0.1)
+    path = _write_capture(tmp_path, iq)
+    outs = []
+    for agc in (True, False):
+        out = tmp_path / f"ssb_{agc}.wav"
+        cfg = ProcessingConfig(
+            in_path=path,
+            target_freq=CENTER + OFFSET,
+            demod_mode="usb",
+            agc_enabled=agc,
+            output_path=out,
+        )
+        ProcessingPipeline(cfg).run()
+        outs.append(read_wav(out)[0][:, 0])
+    rms_on = np.sqrt(np.mean(outs[0][10_000:] ** 2))
+    rms_off = np.sqrt(np.mean(outs[1][10_000:] ** 2))
+    assert rms_on > 2.0 * rms_off  # AGC pulls the quiet tone toward -12 dBFS

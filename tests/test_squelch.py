@@ -1,0 +1,108 @@
+"""Squelch / audio post (reference tests/test_squelch.py analogue)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from iq_to_audio_tpu.io.riff import WavStreamWriter
+from iq_to_audio_tpu.io.writer import read_wav
+from iq_to_audio_tpu.post.squelch import (
+    AudioPostOptions,
+    SquelchConfig,
+    apply_squelch,
+    gather_audio_targets,
+    process_audio_batch,
+)
+
+
+def make_burst_audio(sample_rate=16_000, seconds=2.0, seed=3):
+    """Quiet noise with a loud tone burst in the middle."""
+    n = int(sample_rate * seconds)
+    rng = np.random.default_rng(seed)
+    audio = rng.normal(scale=0.003, size=n).astype(np.float32)
+    t0, t1 = int(n * 0.4), int(n * 0.6)
+    t = np.arange(t1 - t0) / sample_rate
+    audio[t0:t1] += (0.5 * np.sin(2 * np.pi * 800 * t)).astype(np.float32)
+    return audio
+
+
+class TestApplySquelch:
+    def test_adaptive_estimates_floor(self):
+        audio = make_burst_audio()
+        cleaned, floor_db, threshold_db = apply_squelch(
+            audio, 16_000.0, SquelchConfig(method="adaptive")
+        )
+        assert -70.0 < floor_db < -30.0
+        assert threshold_db == pytest.approx(floor_db + 6.0)
+        # trimmed output keeps the burst but drops most silence
+        assert 0 < cleaned.shape[0] < audio.size
+
+    def test_static_mask_zeroes_silence(self):
+        audio = make_burst_audio()
+        cfg = SquelchConfig(method="static", trim_silence=False)
+        cleaned, floor_db, thr = apply_squelch(audio, 16_000.0, cfg)
+        assert cleaned.shape[0] == audio.size
+        # energy outside the burst should be mostly removed
+        head = cleaned[: int(0.2 * 16_000)]
+        assert np.abs(head).max() < 0.01
+
+    def test_transient_active_ratio(self):
+        audio = make_burst_audio()
+        cfg = SquelchConfig(method="transient", trim_silence=False)
+        cleaned, *_ = apply_squelch(audio, 16_000.0, cfg)
+        active = np.mean(np.abs(cleaned[:, 0]) > 1e-5)
+        assert active < 0.6
+
+    def test_manual_floor(self):
+        audio = make_burst_audio()
+        cfg = SquelchConfig(method="static", auto_noise_floor=False, manual_noise_floor_db=-40.0)
+        _, floor_db, thr = apply_squelch(audio, 16_000.0, cfg)
+        assert floor_db == -40.0
+        assert thr == -34.0
+
+    def test_all_silence_trims_to_empty(self):
+        audio = np.full(16_000, 1e-6, dtype=np.float32)
+        cfg = SquelchConfig(method="static", auto_noise_floor=False, manual_noise_floor_db=-30.0)
+        cleaned, *_ = apply_squelch(audio, 16_000.0, cfg)
+        assert cleaned.shape[0] == 0
+
+
+class TestBatch:
+    def test_batch_roundtrip(self, tmp_path):
+        paths = []
+        for k in range(3):
+            p = tmp_path / f"rec{k}.wav"
+            with WavStreamWriter(p, 16_000, 1, "pcm_s16le") as w:
+                w.write_float(make_burst_audio(seed=k))
+            paths.append(p)
+        (tmp_path / "ignore.txt").write_text("x")
+        options = AudioPostOptions(config=SquelchConfig())
+        targets = gather_audio_targets(tmp_path, options)
+        assert targets == sorted(paths)
+        calls = []
+        summary = process_audio_batch(
+            targets, options, progress_cb=lambda done, total, p: calls.append((done, total))
+        )
+        assert summary.processed == 3
+        assert summary.failed == 0
+        for res in summary.results:
+            assert res.output_path.name.endswith("-cleaned.wav")
+            out, rate = read_wav(res.output_path)
+            assert rate == 16_000
+            assert res.retained_ratio <= 1.0
+            assert res.samples_out == out.shape[0]
+        assert summary.aggregate_duration_delta() < 0  # trimming shortens
+        assert calls[0] == (0, 3) and calls[-1] == (3, 3)
+
+    def test_overwrite_mode(self, tmp_path):
+        p = tmp_path / "rec.wav"
+        with WavStreamWriter(p, 16_000, 1, "pcm_s16le") as w:
+            w.write_float(make_burst_audio())
+        options = AudioPostOptions(config=SquelchConfig(), overwrite=True)
+        summary = process_audio_batch([p], options)
+        assert summary.results[0].output_path == p
+
+    def test_missing_path_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            gather_audio_targets(tmp_path / "nope", AudioPostOptions(config=SquelchConfig()))

@@ -1,0 +1,66 @@
+"""Center-frequency detection (reference tests/test_utils.py analogue)."""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from iq_to_audio_tpu.io.writer import write_stereo_wav
+from iq_to_audio_tpu.utils.freq import detect_center_frequency, parse_center_frequency
+
+
+class TestFilenameDetection:
+    @pytest.mark.parametrize(
+        "name,expected,source",
+        [
+            ("baseband_145500000Hz_2024.wav", 145_500_000.0, "filename:sdrpp"),
+            ("baseband_868300000Hz.wav", 868_300_000.0, "filename:sdrpp"),
+            ("12-34-56_145500kHz.wav", 145_500_000.0, "filename:sdrsharp"),
+            ("capture_446.00625MHz.wav", 446_006_250.0, "filename"),
+            ("rec_1.2GHz.wav", 1_200_000_000.0, "filename"),
+            ("tone_455KHZ.wav", 455_000.0, "filename"),
+        ],
+    )
+    def test_patterns(self, tmp_path, name, expected, source):
+        path = tmp_path / name
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(expected)
+        assert result.source == source
+
+    def test_largest_candidate_wins(self, tmp_path):
+        # multiple frequency candidates: picks the largest (utils.py:194-199)
+        path = tmp_path / "baseband_145500000Hz_12kHz.wav"
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(145_500_000.0)
+
+    def test_below_1khz_ignored(self, tmp_path):
+        assert parse_center_frequency(tmp_path / "capture_500Hz.wav") is None
+
+    def test_no_match(self, tmp_path):
+        assert parse_center_frequency(tmp_path / "capture.wav") is None
+
+
+class TestMetadataDetection:
+    def _write_with_tag(self, path: Path, key_value: bytes):
+        write_stereo_wav(path, np.zeros((8, 2), np.float32), 96_000)
+        pad = b"\0" if len(key_value) % 2 else b""
+        info = b"ICMT" + struct.pack("<I", len(key_value)) + key_value + pad
+        with path.open("ab") as f:
+            f.write(b"LIST" + struct.pack("<I", 4 + len(info)) + b"INFO" + info)
+
+    def test_metadata_preferred_over_filename(self, tmp_path):
+        path = tmp_path / "baseband_100000000Hz.wav"
+        self._write_with_tag(path, b"center_frequency=145500000")
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(145_500_000.0)
+        assert result.source == "metadata:center_frequency"
+
+    def test_unit_suffix_in_metadata(self, tmp_path):
+        path = tmp_path / "plain.wav"
+        self._write_with_tag(path, b"tuner_frequency=145.5MHz")
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(145_500_000.0)
+        assert result.source == "metadata:tuner_frequency"
