@@ -54,9 +54,22 @@ class DDCPlan:
         return self.chunk_size // self.decimation
 
     @staticmethod
-    def create(num_taps: int, decimation: int, *, target_chunk: int, max_chunk: int = 1 << 22):
+    def create(
+        num_taps: int,
+        decimation: int,
+        *,
+        target_chunk: int,
+        max_chunk: int = 1 << 22,
+        out_align: int = 1,
+    ):
+        """``out_align`` forces the decimated per-chunk count to a multiple
+        (e.g. the resampler's ``down``) so downstream block geometry repeats
+        identically every chunk."""
         d = max(1, int(decimation))
-        n = max(d, min(max_chunk, int(round(target_chunk / d)) * d))
+        unit = d * max(1, int(out_align))
+        if unit > max_chunk:
+            unit = d  # pathological alignment: fall back to plain D-alignment
+        n = max(unit, min(max_chunk // unit, max(1, round(target_chunk / unit))) * unit)
         return DDCPlan(num_taps=int(num_taps), decimation=d, chunk_size=n)
 
 

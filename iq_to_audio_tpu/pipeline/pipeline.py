@@ -283,8 +283,15 @@ class ProcessingPipeline:
             LOG.info("Designed FIR channel filter with %d taps.", len(taps))
 
             target_chunk = tune_chunk_size(sample_rate, cfg.chunk_size)
+            rs_align = 1
+            if not pass_through:
+                rate_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, 1)
+                if not rate_plan.identity:
+                    # aligning the decimated chunk to the resampler block
+                    # keeps its geometry identical every chunk
+                    rs_align = rate_plan.down
             ddc_plan = DDCPlan.create(
-                len(taps), decimation, target_chunk=target_chunk
+                len(taps), decimation, target_chunk=target_chunk, out_align=rs_align
             )
             chunk_size = ddc_plan.chunk_size
             n_dec = ddc_plan.out_size
@@ -462,8 +469,11 @@ class ProcessingPipeline:
                 processed_samples = 0
                 dec_emitted = 0
                 limit_exhausted = False
-                pending = None  # (out, counts, idx) awaiting host IO
-                last_audio = {}  # final chunk's buffer for the EOF flush
+                window: list[tuple[int, int]] = []  # (dec_valid, audio_count) per slot
+                last_audio = {}  # final accumulator for the EOF flush
+                acc_chunks = step.acc_chunks
+                audio_cap = step.audio_capacity
+                n_dec_cap = ddc_plan.out_size
                 loop_start = time.perf_counter()
 
                 def _blocks():
@@ -474,44 +484,44 @@ class ProcessingPipeline:
                             return
                         yield nxt
 
-                def _iq_np(out):
-                    yr, yi = out["iq"]
-                    return np.asarray(yr) + 1j * np.asarray(yi)  # (C, n_dec) c64
-
-                def _flush_pending(p):
-                    out, counts, idx = p
-                    (valid_in, dec_valid, audio_count) = counts
-                    if pass_through:
-                        iq_np = _iq_np(out)
-                        for c, w in enumerate(slice_writers):
-                            w.write(iq_np[c, :dec_valid])
-                        tracker.advance("demod", float(dec_valid))
-                    else:
-                        if cfg.dump_iq_path:
-                            iq_np = _iq_np(out)
-                            for c, w in enumerate(iq_writers):
-                                if w.fd:
-                                    w.write(iq_np[c, :dec_valid])
-                            tracker.advance("dump_iq", float(dec_valid))
-                        audio_np = np.asarray(out["audio"])  # (C, cap)
-                        last_audio["buf"] = audio_np
-                        last_audio["count"] = audio_count
-                        for c, w in enumerate(audio_writers):
-                            w.write(audio_np[c, :audio_count])
-                        if idx == 0 or LOG.isEnabledFor(logging.DEBUG):
-                            rms = np.asarray(out["rms_dbfs"])
-                            LOG.debug(
-                                "Demod chunk %d: %d samples, rms=%s dBFS",
-                                idx,
-                                dec_valid,
-                                "/".join(f"{v:.2f}" for v in rms),
-                            )
-                        tracker.advance("demod", float(dec_valid))
-                        tracker.advance(
-                            "encode",
-                            float(dec_valid) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
+                def _flush_window(st):
+                    """One D2H fetch of the device accumulators, then write
+                    every buffered chunk's valid region to the host writers."""
+                    if not window:
+                        return
+                    if pass_through or cfg.dump_iq_path:
+                        iq_np = np.asarray(st["iq_acc_r"]) + 1j * np.asarray(
+                            st["iq_acc_i"]
                         )
-                    tracker.advance("channel", float(dec_valid))
+                    if not pass_through:
+                        audio_np = np.asarray(st["audio_acc"])  # (C, K*cap)
+                    for s, (dec_valid, audio_count) in enumerate(window):
+                        if pass_through:
+                            for c, w in enumerate(slice_writers):
+                                w.write(iq_np[c, s * n_dec_cap : s * n_dec_cap + dec_valid])
+                            tracker.advance("demod", float(dec_valid))
+                        else:
+                            if cfg.dump_iq_path:
+                                for c, w in enumerate(iq_writers):
+                                    if w.fd:
+                                        w.write(
+                                            iq_np[c, s * n_dec_cap : s * n_dec_cap + dec_valid]
+                                        )
+                                tracker.advance("dump_iq", float(dec_valid))
+                            lo = s * audio_cap
+                            for c, w in enumerate(audio_writers):
+                                w.write(audio_np[c, lo : lo + audio_count])
+                            tracker.advance("demod", float(dec_valid))
+                            tracker.advance(
+                                "encode",
+                                float(dec_valid) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
+                            )
+                        tracker.advance("channel", float(dec_valid))
+                    if not pass_through:
+                        last_audio["buf"] = audio_np
+                        last_audio["slot"] = len(window) - 1
+                        last_audio["count"] = window[-1][1]
+                    window.clear()
 
                 for idx, raw_block in enumerate(_blocks()):
                     valid_frames = raw_block.size // 2
@@ -553,11 +563,16 @@ class ProcessingPipeline:
                     else:
                         audio_count = 0
 
-                    raw_dev = jax.device_put(raw_block)
+                    slot = idx % acc_chunks
+                    if slot == 0 and window:
+                        # accumulators are full; fetch BEFORE the next step
+                        # donates the state buffers
+                        _flush_window(state)
 
+                    raw_dev = jax.device_put(raw_block)
                     report(f"C{idx + 1} channel")
                     if want_stages and idx == 0:
-                        new_state, out = step.fn_stages(state, raw_dev, rs_offset)
+                        new_state, out = step.fn_stages(state, raw_dev, rs_offset, slot)
                         stages = out.pop("stages")
                         for name, buf in stages.items():
                             rate = (
@@ -572,20 +587,24 @@ class ProcessingPipeline:
                             stage_snapshots[name] = (arr, rate)
                         state = new_state
                     else:
-                        state, out = step.fn(state, raw_dev, rs_offset)
+                        state, out = step.fn(state, raw_dev, rs_offset, slot)
+                    if idx == 0 and not pass_through:
+                        rms = np.asarray(out["rms_dbfs"])
+                        LOG.debug(
+                            "Demod chunk %d: %d samples, rms=%s dBFS",
+                            idx,
+                            dec_valid,
+                            "/".join(f"{v:.2f}" for v in rms),
+                        )
 
                     tracker.advance("ingest", float(valid_frames))
-                    if pending is not None:
-                        _flush_pending(pending)
-                    pending = (out, (valid_frames, dec_valid, audio_count), idx)
+                    window.append((dec_valid, audio_count))
                     _check_cancel(f"chunk {idx + 1} encode")
                     if max_input_samples is not None and processed_samples >= max_input_samples:
                         limit_exhausted = True
                         break
 
-                if pending is not None:
-                    _flush_pending(pending)
-                    pending = None
+                _flush_window(state)
                 if (
                     rs_plan is not None
                     and not rs_plan.identity
@@ -593,12 +612,12 @@ class ProcessingPipeline:
                     and "buf" in last_audio
                 ):
                     # EOF flush: outputs of the final (incomplete) resampler
-                    # block exist in the last padded buffer
+                    # block exist in the last padded accumulator slot
                     extra = rs_plan.final_flush_count(rs_in_valid, rs_emitted)
                     if extra > 0:
                         buf = last_audio["buf"]
-                        lo = last_audio["count"]
-                        hi = min(lo + extra, buf.shape[-1])
+                        lo = last_audio["slot"] * audio_cap + last_audio["count"]
+                        hi = min(lo + extra, (last_audio["slot"] + 1) * audio_cap)
                         for c, w in enumerate(audio_writers):
                             w.write(buf[c, lo:hi])
                         rs_emitted += hi - lo

@@ -31,6 +31,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..demod.base import Decoder
 from ..ops.ddc import DDCPlan, ddc_apply, ddc_fullrate_stages
@@ -48,6 +49,7 @@ _STATIC_ARGNAMES = (
     "dump_iq",
     "with_stages",
     "num_channels",
+    "acc_chunks",
 )
 
 
@@ -55,6 +57,7 @@ def chunk_step_impl(
     state,
     raw,
     rs_offset,
+    slot,
     incs,
     ddc_kernel,
     rs_kernel,
@@ -68,14 +71,23 @@ def chunk_step_impl(
     dump_iq: bool,
     with_stages: bool,
     num_channels: int,
+    acc_chunks: int,
 ):
+    """One chunk.  Outputs (audio / dumped IQ) are appended into device-side
+    accumulator buffers in ``state`` at slot ``slot`` (0..acc_chunks-1); the
+    host fetches them once per ``acc_chunks`` chunks — a single D2H
+    round-trip amortised over the whole accumulation window, which matters
+    on high-latency host<->TPU links."""
     n = ddc_plan.chunk_size
+    m = ddc_plan.out_size
     xr, xi = _device_convert(raw, codec, iq_order, n)
     inc_lo = incs * jnp.uint32(ddc_plan.decimation)  # exact mod 2**32
     yr, yi, fir_tail, phase_next = ddc_apply(
         ddc_plan, ddc_kernel, xr, xi, state["fir_tail"], state["phase"], inc_lo
     )
     new_state = {"phase": phase_next, "fir_tail": fir_tail}
+    slot = jnp.asarray(slot, jnp.int32)
+    zero = jnp.int32(0)
     out = {}
     stages = {}
     if with_stages:
@@ -87,20 +99,29 @@ def chunk_step_impl(
         stages["filtered"] = (filt_r, filt_i)
         stages["decimated"] = (yr, yi)
     if dump_iq or pass_through:
-        out["iq"] = (yr, yi)
+        new_state["iq_acc_r"] = lax.dynamic_update_slice(
+            state["iq_acc_r"], yr, (zero, slot * jnp.int32(m))
+        )
+        new_state["iq_acc_i"] = lax.dynamic_update_slice(
+            state["iq_acc_i"], yi, (zero, slot * jnp.int32(m))
+        )
     if not pass_through:
         audio_ch, demod_state, inter = decoder.process(state["demod"], yr, yi)
         new_state["demod"] = demod_state
         power = jnp.mean(jnp.square(audio_ch.astype(jnp.float32)), axis=-1)
         out["rms_dbfs"] = 10.0 * jnp.log10(power + 1e-18)
         if rs_plan is None or rs_plan.identity:
-            out["audio"] = audio_ch
+            audio48 = audio_ch
+            cap = m
         else:
             audio48, rs_tail = polyphase_resample(
                 rs_plan, rs_kernel, audio_ch, state["rs_tail"], rs_offset
             )
             new_state["rs_tail"] = rs_tail
-            out["audio"] = audio48
+            cap = rs_plan.out_capacity
+        new_state["audio_acc"] = lax.dynamic_update_slice(
+            state["audio_acc"], audio48, (zero, slot * jnp.int32(cap))
+        )
         if with_stages:
             stages.update(inter)
     if with_stages:
@@ -147,6 +168,7 @@ class ChunkStep:
     pass_through: bool
     dump_iq: bool
     decoder: Decoder | None
+    acc_chunks: int
     _ddc_kernel: jnp.ndarray
     _rs_kernel: jnp.ndarray | None
     _incs: jnp.ndarray
@@ -155,26 +177,43 @@ class ChunkStep:
     def chunk_size(self) -> int:
         return self.ddc_plan.chunk_size
 
+    @property
+    def audio_capacity(self) -> int:
+        """Per-chunk audio slot size inside the accumulator."""
+        if self.pass_through:
+            return 0
+        if self.rs_plan is None or self.rs_plan.identity:
+            return self.ddc_plan.out_size
+        return self.rs_plan.out_capacity
+
     def init_state(self):
         plan = self.ddc_plan
         c = self.num_channels
+        k = self.acc_chunks
         state = {
             "phase": jnp.zeros((c,), dtype=jnp.uint32),
             "fir_tail": jnp.zeros((2, plan.overlap), dtype=jnp.float32),
         }
+        if self.pass_through or self.dump_iq:
+            state["iq_acc_r"] = jnp.zeros((c, k * plan.out_size), dtype=jnp.float32)
+            state["iq_acc_i"] = jnp.zeros((c, k * plan.out_size), dtype=jnp.float32)
         if not self.pass_through:
             state["demod"] = self.decoder.init_state((c,))
             if self.rs_plan is not None and not self.rs_plan.identity:
                 state["rs_tail"] = jnp.zeros(
                     (c, self.rs_plan.tail_len), dtype=jnp.float32
                 )
+            state["audio_acc"] = jnp.zeros(
+                (c, k * self.audio_capacity), dtype=jnp.float32
+            )
         return state
 
-    def _call(self, state, raw, rs_offset, with_stages: bool):
+    def _call(self, state, raw, rs_offset, slot, with_stages: bool):
         return _chunk_step(
             state,
             raw,
             jnp.int32(rs_offset),
+            jnp.int32(slot),
             self._incs,
             self._ddc_kernel,
             self._rs_kernel,
@@ -187,13 +226,14 @@ class ChunkStep:
             dump_iq=self.dump_iq,
             with_stages=with_stages,
             num_channels=self.num_channels,
+            acc_chunks=self.acc_chunks,
         )
 
-    def fn(self, state, raw, rs_offset):
-        return self._call(state, raw, rs_offset, with_stages=False)
+    def fn(self, state, raw, rs_offset, slot):
+        return self._call(state, raw, rs_offset, slot, with_stages=False)
 
-    def fn_stages(self, state, raw, rs_offset):
-        return self._call(state, raw, rs_offset, with_stages=True)
+    def fn_stages(self, state, raw, rs_offset, slot):
+        return self._call(state, raw, rs_offset, slot, with_stages=True)
 
 
 def build_chunk_step(
@@ -208,16 +248,31 @@ def build_chunk_step(
     decoder: Decoder | None,
     pass_through: bool,
     dump_iq: bool,
+    acc_bytes_budget: int = 96 << 20,
 ) -> ChunkStep:
+    c = len(incs_fixed)
+    # accumulation window: batch as many chunks as fit the budget (>=1)
+    per_chunk = 0
+    if not pass_through:
+        cap = (
+            ddc_plan.out_size
+            if (rs_plan is None or rs_plan.identity)
+            else rs_plan.out_capacity
+        )
+        per_chunk += c * cap * 4
+    if pass_through or dump_iq:
+        per_chunk += c * ddc_plan.out_size * 8
+    acc_chunks = max(1, min(64, acc_bytes_budget // max(per_chunk, 1)))
     return ChunkStep(
         ddc_plan=ddc_plan,
         rs_plan=rs_plan,
-        num_channels=len(incs_fixed),
+        num_channels=c,
         codec=codec,
         iq_order=iq_order,
         pass_through=pass_through,
         dump_iq=dump_iq,
         decoder=decoder,
+        acc_chunks=acc_chunks,
         _ddc_kernel=jnp.asarray(ddc_kernel_np, dtype=jnp.float32),
         _rs_kernel=(
             jnp.asarray(rs_kernel_np, dtype=jnp.float32)

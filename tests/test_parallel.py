@@ -95,6 +95,7 @@ def test_sharded_matches_single_device(mode):
     state_sh = sharded_init()
     state_single = single.init_state()
     total_in = 0
+    cap = single.audio_capacity
     for k in range(2):
         raw_k = raw_np[k * 2 * n : (k + 1) * 2 * n]
         off = rs_plan.chunk_offset(total_in)
@@ -103,9 +104,11 @@ def test_sharded_matches_single_device(mode):
         state_sh, audio_sh = sharded_fn(
             state_sh, raw_dev, jnp.int32(off), incs_sh, ddc_k_sh, rs_k_sh
         )
-        state_single, out_single = single.fn(state_single, jnp.asarray(raw_k), off)
+        slot = k % single.acc_chunks
+        state_single, _ = single.fn(state_single, jnp.asarray(raw_k), off, slot)
         total_in += ddc_plan.out_size
         a_sh = np.asarray(audio_sh)[:, :count]
-        a_single = np.asarray(out_single["audio"])[:, :count]
+        acc = np.asarray(state_single["audio_acc"])
+        a_single = acc[:, slot * cap : slot * cap + count]
         err = error_db(a_sh, a_single)
         assert err < -60.0, (mode, k, err)
