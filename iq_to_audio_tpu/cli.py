@@ -237,6 +237,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Overwrite original files when performing --audio-post.")
     parser.add_argument("--audio-post-suffix", dest="audio_post_suffix", default="-cleaned",
                         help="Suffix to append when writing cleaned copies (default: -cleaned).")
+    parser.add_argument("--profile-dir", dest="profile_dir", type=Path,
+                        help="Write a jax.profiler (xprof) trace of the chunk loop to this directory.")
+    parser.add_argument("--checkpoint-secs", dest="checkpoint_secs", type=positive_float,
+                        help="Checkpoint the stream state every N seconds of input for --resume.")
+    parser.add_argument("--resume", dest="resume", action="store_true",
+                        help="Resume an interrupted run from its checkpoint (requires --checkpoint-secs on the original run).")
     parser.add_argument("--verbose", dest="verbose", action="store_true",
                         help="Enable debug logging.")
     parser.add_argument("--version", action="version", version=__version__,
@@ -383,6 +389,9 @@ def main(argv: list[str] | None = None) -> int:
         "input_container": input_container,
         "input_format_source": input_format_source,
         "input_sample_rate": args.input_sample_rate,
+        "profile_dir": args.profile_dir,
+        "checkpoint_secs": args.checkpoint_secs,
+        "resume": args.resume,
     }
     base_kwargs = dict(shared_kwargs)
     base_kwargs.update(
@@ -417,7 +426,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if launch_gui:
         try:
-            from .interactive import launch_interactive_session
+            from .interactive.app import launch_interactive_session
         except ImportError as exc:
             if args.interactive:
                 LOG.error("Interactive mode unavailable: %s", exc)

@@ -1,0 +1,495 @@
+"""Interactive main window (reference ``interactive/app.py``).
+
+A three-page QMainWindow: Capture (spectrum picker), Audio Post (squelch
+batch) and Digital Post (container decoders).  The capture page pairs a
+fixed control column with an interactive matplotlib spectrum: hover cursor,
+click-to-add targets, scroll zoom, drag-span bandwidth selection and a
+synchronised waterfall window.  "Confirm & Run" hands the assembled
+ProcessingConfigs back to the CLI main loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import signal
+import socket
+from pathlib import Path
+
+import numpy as np
+from PySide6.QtCore import Qt, QObject, QSocketNotifier, QThreadPool, QTimer, Signal
+from PySide6.QtGui import QAction, QKeySequence
+from PySide6.QtWidgets import (
+    QApplication,
+    QMainWindow,
+    QScrollArea,
+    QStackedWidget,
+    QStatusBar,
+    QToolBar,
+    QVBoxLayout,
+    QWidget,
+)
+
+from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg as FigureCanvas
+from matplotlib.figure import Figure
+
+from ..io.formats import detect_input_format, resolve_input_format
+from ..io.probe import probe_sample_rate
+from ..utils.freq import detect_center_frequency
+from .models import InteractiveSessionResult, SnapshotData, StatusProgressSink
+from .panels import (
+    ChannelPanel,
+    DemodPanel,
+    RecordingPanel,
+    SpectrumOptionsPanel,
+    StatusPanel,
+    TargetsPanel,
+    WaterfallOptionsPanel,
+)
+from .post import AudioPostPage, DigitalPostPage
+from .state import SPECTRUM_THEMES, InteractiveState
+from .styles import DARK_STYLESHEET
+from .widgets import LockedSplitter, SpanController, WaterfallWindow
+from .workers import PreviewWorker, SnapshotWorker
+
+LOG = logging.getLogger(__name__)
+
+#: demod mode -> (label, description); mirrored from the reference
+#: DEMOD_OPTIONS (app.py:104-130)
+DEMOD_OPTIONS = {
+    "nfm": ("Narrowband FM", "Quadrature discriminator + de-emphasis"),
+    "am": ("AM", "Envelope detector with DC blocking"),
+    "usb": ("USB", "Upper sideband, optional AGC"),
+    "lsb": ("LSB", "Lower sideband, optional AGC"),
+    "none": ("IQ pass-through", "Write the tuned/decimated IQ slice"),
+}
+
+_CLICK_DRAG_THRESHOLD_PX = 5.0
+
+
+class _SigintRelay(QObject):
+    """Relay SIGINT into the Qt event loop via a socketpair (reference
+    ``app.py:135-178``)."""
+
+    triggered = Signal()
+
+    def __init__(self, app: QApplication):
+        super().__init__()
+        self._rsock, self._wsock = socket.socketpair()
+        self._rsock.setblocking(False)
+        self._notifier = QSocketNotifier(self._rsock.fileno(), QSocketNotifier.Read)
+        self._notifier.activated.connect(self._handle)
+        self._old_handler = signal.signal(signal.SIGINT, self._signal_handler)
+        self._old_wakeup = signal.set_wakeup_fd(self._wsock.fileno())
+        self._app = app
+
+    def _signal_handler(self, signum, frame):
+        pass  # the wakeup fd write is enough
+
+    def _handle(self):
+        try:
+            self._rsock.recv(1024)
+        except OSError:
+            pass
+        self.triggered.emit()
+
+    def restore(self):
+        signal.signal(signal.SIGINT, self._old_handler)
+        try:
+            signal.set_wakeup_fd(self._old_wakeup)
+        except ValueError:
+            pass
+
+
+class InteractiveWindow(QMainWindow):
+    def __init__(
+        self,
+        base_kwargs: dict | None = None,
+        input_path: Path | None = None,
+        snapshot_seconds: float = 2.0,
+    ):
+        super().__init__()
+        self.setWindowTitle("iq-to-audio-tpu")
+        self.resize(1280, 800)
+        self.state = InteractiveState(base_kwargs=dict(base_kwargs or {}))
+        self.state.snapshot_seconds = snapshot_seconds
+        if base_kwargs:
+            self.state.bandwidth = base_kwargs.get("bandwidth", self.state.bandwidth)
+            self.state.demod_mode = base_kwargs.get("demod_mode", self.state.demod_mode)
+            for f in base_kwargs.get("target_freqs") or []:
+                self.state.add_target(f)
+        self.result = InteractiveSessionResult()
+        self._pool = QThreadPool.globalInstance()
+        self._snapshot: SnapshotData | None = None
+        self._snapshot_worker = None
+        self._preview_worker = None
+        self._press_xy = None
+        self._input_spec = None
+
+        self._build_toolbar()
+        self._build_pages()
+        self.setStatusBar(QStatusBar())
+
+        if input_path is not None:
+            QTimer.singleShot(0, lambda: self._load_file(Path(input_path)))
+
+    # ------------------------------------------------------------------ UI
+
+    def _build_toolbar(self):
+        bar = QToolBar("Main")
+        bar.setMovable(False)
+        self.addToolBar(bar)
+
+        def act(label, shortcut, slot):
+            action = QAction(label, self)
+            if shortcut:
+                action.setShortcut(QKeySequence(shortcut))
+            action.triggered.connect(slot)
+            bar.addAction(action)
+            return action
+
+        act("Open", "Ctrl+O", lambda: self.recording_panel._browse())
+        self.preview_action = act("Preview", "Ctrl+P", self._start_preview)
+        self.run_action = act("Confirm && Run", "Ctrl+R", self._confirm_run)
+        self.stop_action = act("Stop", "Esc", self._stop_workers)
+        act("Capture", None, lambda: self.pages.setCurrentIndex(0))
+        act("Audio Post", None, lambda: self.pages.setCurrentIndex(1))
+        act("Digital Post", None, lambda: self.pages.setCurrentIndex(2))
+        act("Close", "Ctrl+Q", self.close)
+
+    def _build_pages(self):
+        self.pages = QStackedWidget()
+        self.setCentralWidget(self.pages)
+        self.pages.addWidget(self._build_capture_page())
+        self.audio_post_page = AudioPostPage()
+        self.audio_post_page.status.connect(self._status)
+        self.pages.addWidget(self.audio_post_page)
+        self.digital_post_page = DigitalPostPage()
+        self.digital_post_page.status.connect(self._status)
+        self.pages.addWidget(self.digital_post_page)
+
+    def _build_capture_page(self) -> QWidget:
+        splitter = LockedSplitter(Qt.Horizontal, 360)
+
+        column_host = QWidget()
+        column = QVBoxLayout(column_host)
+        column.setContentsMargins(4, 4, 4, 4)
+        self.recording_panel = RecordingPanel(self.state)
+        self.recording_panel.file_selected.connect(self._load_file)
+        self.recording_panel.settings_changed.connect(self._schedule_snapshot)
+        self.demod_panel = DemodPanel(self.state)
+        self.channel_panel = ChannelPanel(self.state)
+        self.channel_panel.changed.connect(self._selection_changed)
+        self.targets_panel = TargetsPanel(self.state)
+        self.status_panel = StatusPanel()
+        self.status_panel.preview_requested.connect(self._start_preview)
+        self.status_panel.run_requested.connect(self._confirm_run)
+        self.status_panel.stop_requested.connect(self._stop_workers)
+        self.spectrum_options = SpectrumOptionsPanel(self.state)
+        self.spectrum_options.changed.connect(self._render_snapshot)
+        self.waterfall_options = WaterfallOptionsPanel(self.state)
+        self.waterfall_options.changed.connect(self._update_waterfall)
+        self.waterfall_options.show_btn.clicked.connect(self._show_waterfall)
+        for panel in (
+            self.recording_panel,
+            self.demod_panel,
+            self.channel_panel,
+            self.targets_panel,
+            self.status_panel,
+            self.spectrum_options,
+            self.waterfall_options,
+        ):
+            column.addWidget(panel)
+        column.addStretch(1)
+        scroll = QScrollArea()
+        scroll.setWidget(column_host)
+        scroll.setWidgetResizable(True)
+        scroll.setFixedWidth(360)
+        splitter.addWidget(scroll)
+
+        plot_host = QWidget()
+        plot_layout = QVBoxLayout(plot_host)
+        self.figure = Figure(layout="constrained")
+        self.canvas = FigureCanvas(self.figure)
+        self.ax = self.figure.add_subplot(111)
+        plot_layout.addWidget(self.canvas)
+        splitter.addWidget(plot_host)
+
+        self.span = SpanController(self.ax, self._span_selected)
+        self.canvas.mpl_connect("button_press_event", self._on_press)
+        self.canvas.mpl_connect("button_release_event", self._on_release)
+        self.canvas.mpl_connect("scroll_event", self._on_scroll)
+        self.canvas.mpl_connect("motion_notify_event", self._on_motion)
+        self._cursor_line = None
+        self.waterfall_window = WaterfallWindow(self)
+        self.waterfall_window.frequency_clicked.connect(self._retune_from_waterfall)
+        return splitter
+
+    # ------------------------------------------------------------- file flow
+
+    def _load_file(self, path: Path):
+        self.recording_panel.set_path(path)
+        detection = detect_input_format(path)
+        if detection.ok:
+            self._input_spec = detection.spec
+        else:
+            self._status(detection.error or "Unknown input format")
+            self._input_spec = None
+        probe = probe_sample_rate(path)
+        try:
+            self.state.sample_rate = probe.value
+        except RuntimeError:
+            self.state.sample_rate = None
+        self.channel_panel.show_rate(self.state.effective_sample_rate)
+        freq = detect_center_frequency(path)
+        if freq.value is not None:
+            self.state.center_freq = freq.value
+            self.state.center_freq_source = freq.source
+            self.recording_panel.show_center(freq.value, freq.source)
+        self._schedule_snapshot()
+
+    def _schedule_snapshot(self):
+        if self.state.input_path is None:
+            return
+        if self._input_spec is None and self.state.input_format_override is None:
+            return
+        rate = self.state.effective_sample_rate
+        if not rate:
+            self._status("Enter a sample rate to preview this capture.")
+            return
+        spec = self._input_spec
+        if self.state.input_format_override:
+            spec, _ = resolve_input_format(
+                self.state.input_path, requested=self.state.input_format_override
+            )
+        if self._snapshot_worker is not None:
+            self._snapshot_worker.cancel()
+        worker = SnapshotWorker(
+            self.state.input_path,
+            spec,
+            rate,
+            self.state.snapshot_seconds,
+            nfft=min(self.state.spectrum_nfft, 1 << 18),
+            max_slices=self.state.waterfall_slices,
+        )
+        worker.signals.finished.connect(self._snapshot_ready)
+        worker.signals.failed.connect(self._status)
+        worker.signals.progress.connect(self.status_panel.set_progress)
+        self._snapshot_worker = worker
+        self._status("Gathering spectrum snapshot…")
+        self._pool.start(worker)
+
+    def _snapshot_ready(self, snap: SnapshotData):
+        self._snapshot = snap
+        self._status(
+            f"Snapshot ready: {snap.frames} FFT frames over {snap.seconds:.2f} s."
+        )
+        self._render_snapshot()
+        self._update_waterfall()
+
+    # ----------------------------------------------------------- spectrum UI
+
+    def _render_snapshot(self):
+        if self._snapshot is None:
+            return
+        snap = self._snapshot
+        theme = SPECTRUM_THEMES.get(self.state.spectrum_theme, SPECTRUM_THEMES["Night"])
+        center = self.state.center_freq or 0.0
+        psd = snap.psd_db
+        k = max(1, int(self.state.spectrum_smoothing))
+        if k > 1:
+            kernel = np.ones(k) / k
+            psd = np.convolve(psd, kernel, mode="same")
+        self.ax.clear()
+        self._cursor_line = None
+        freqs = snap.freqs + center
+        self.ax.plot(freqs, psd, color=theme["line"], lw=0.7)
+        top = float(np.percentile(psd, 99.5)) + 5.0
+        self.ax.set_ylim(top - self.state.spectrum_dynamic_range, top)
+        self.ax.set_xlim(freqs[0], freqs[-1])
+        self.ax.set_facecolor(theme["bg"])
+        self.figure.set_facecolor(theme["bg"])
+        self.ax.tick_params(colors=theme["fg"])
+        for spine in self.ax.spines.values():
+            spine.set_color(theme["grid"])
+        self.ax.grid(True, color=theme["grid"], alpha=0.5, lw=0.4)
+        self.ax.set_xlabel("Frequency (Hz)", color=theme["fg"])
+        self.ax.set_ylabel("dBFS/Hz", color=theme["fg"])
+        self.span = SpanController(self.ax, self._span_selected)
+        self._draw_targets()
+        self.canvas.draw_idle()
+
+    def _draw_targets(self):
+        for freq in self.state.targets:
+            self.ax.axvline(freq, color="#7cc379", lw=0.9, alpha=0.9)
+        if self.state.targets:
+            self.span.show_selection(self.state.targets[-1], self.state.bandwidth)
+
+    def _update_waterfall(self):
+        if self._snapshot is None or not self.waterfall_window.isVisible():
+            return
+        snap = self._snapshot
+        self.waterfall_window.show_waterfall(
+            snap.freqs,
+            snap.waterfall.times,
+            snap.waterfall.matrix,
+            center_freq=self.state.center_freq or 0.0,
+            floor_db=self.state.waterfall_floor_db,
+            colormap=self.state.waterfall_colormap,
+        )
+
+    def _show_waterfall(self):
+        self.waterfall_window.show()
+        self._update_waterfall()
+
+    def _retune_from_waterfall(self, freq: float):
+        if self.state.add_target(freq):
+            self.targets_panel.refresh()
+            self._render_snapshot()
+
+    def _on_press(self, event):
+        if event.inaxes is self.ax and event.button == 1:
+            self._press_xy = (event.x, event.y)
+
+    def _on_release(self, event):
+        """Click (not drag) adds a target (reference ``app.py:1829-1856``)."""
+        if (
+            self._press_xy is None
+            or event.inaxes is not self.ax
+            or event.button != 1
+            or event.xdata is None
+        ):
+            self._press_xy = None
+            return
+        dx = abs(event.x - self._press_xy[0])
+        dy = abs(event.y - self._press_xy[1])
+        self._press_xy = None
+        if max(dx, dy) > _CLICK_DRAG_THRESHOLD_PX:
+            return  # drag: handled by the span selector
+        if self.state.add_target(float(event.xdata)):
+            self.targets_panel.refresh()
+            self._render_snapshot()
+            self._status(f"Added target {event.xdata / 1e6:.6f} MHz")
+
+    def _on_scroll(self, event):
+        """Zoom around the cursor, clamped to the capture span (reference
+        ``app.py:1858-1904``)."""
+        if event.inaxes is not self.ax or self._snapshot is None:
+            return
+        center = self.state.center_freq or 0.0
+        full_lo = self._snapshot.freqs[0] + center
+        full_hi = self._snapshot.freqs[-1] + center
+        lo, hi = self.ax.get_xlim()
+        factor = 0.8 if event.button == "up" else 1.25
+        x = event.xdata if event.xdata is not None else 0.5 * (lo + hi)
+        new_lo = x - (x - lo) * factor
+        new_hi = x + (hi - x) * factor
+        new_lo = max(new_lo, full_lo)
+        new_hi = min(new_hi, full_hi)
+        if new_hi - new_lo < 100.0:
+            return
+        self.ax.set_xlim(new_lo, new_hi)
+        self.canvas.draw_idle()
+
+    def _on_motion(self, event):
+        if event.inaxes is not self.ax or event.xdata is None:
+            return
+        if self._cursor_line is None:
+            self._cursor_line = self.ax.axvline(
+                event.xdata, color="#9aa3b5", lw=0.5, alpha=0.6
+            )
+        else:
+            self._cursor_line.set_xdata([event.xdata, event.xdata])
+        self.canvas.draw_idle()
+
+    def _span_selected(self, center: float, bandwidth: float):
+        self.state.bandwidth = bandwidth
+        self.channel_panel.set_bandwidth(bandwidth)
+        if self.state.add_target(center):
+            self.targets_panel.refresh()
+        self.span.show_selection(center, bandwidth)
+        self._status(
+            f"Selection {center / 1e6:.6f} MHz, bandwidth {bandwidth / 1e3:.2f} kHz"
+        )
+
+    def _selection_changed(self):
+        self.channel_panel.show_rate(self.state.effective_sample_rate)
+
+    # --------------------------------------------------------------- actions
+
+    def _start_preview(self):
+        configs = self.state.build_configs()
+        if not configs:
+            self._status("Pick a recording and at least one target first.")
+            return
+        worker = PreviewWorker(configs, max(self.state.snapshot_seconds, 2.0))
+        worker.signals.status.connect(self._status)
+        worker.signals.progress.connect(self.status_panel.set_progress)
+        worker.signals.finished.connect(self._preview_done)
+        worker.signals.failed.connect(self._preview_failed)
+        self._preview_worker = worker
+        self.status_panel.set_busy(True)
+        self._status("Preview DSP running…")
+        self._pool.start(worker)
+
+    def _preview_done(self, results):
+        self.status_panel.set_busy(False)
+        if results:
+            paths = ", ".join(str(p) for _, _, p in results)
+            self._status(f"Preview written: {paths}")
+
+    def _preview_failed(self, message: str):
+        self.status_panel.set_busy(False)
+        self._status(f"Preview failed: {message}")
+
+    def _confirm_run(self):
+        configs = self.state.build_configs()
+        if not configs:
+            self._status("Pick a recording and at least one target first.")
+            return
+        self.result.configs = configs
+        self.result.progress_sink = StatusProgressSink()
+        self.close()
+
+    def _stop_workers(self):
+        if self._preview_worker is not None:
+            self._preview_worker.cancel()
+        if self._snapshot_worker is not None:
+            self._snapshot_worker.cancel()
+        self.status_panel.set_busy(False)
+        self._status("Stopped.")
+
+    def _status(self, message: str):
+        self.status_panel.set_status(message)
+        self.statusBar().showMessage(message, 5000)
+
+    def run(self) -> InteractiveSessionResult:
+        return self.result
+
+
+def launch_interactive_session(
+    input_path: Path | None = None,
+    base_kwargs: dict | None = None,
+    snapshot_seconds: float = 2.0,
+) -> InteractiveSessionResult:
+    """Run the GUI event loop and return the configured session (reference
+    ``app.py:2435-2486``)."""
+    app = QApplication.instance() or QApplication([])
+    app.setStyleSheet(DARK_STYLESHEET)
+    window = InteractiveWindow(
+        base_kwargs=base_kwargs, input_path=input_path, snapshot_seconds=snapshot_seconds
+    )
+    relay = _SigintRelay(app)
+    relay.triggered.connect(window.close)
+    window.show()
+    try:
+        app.exec()
+    finally:
+        relay.restore()
+    return window.run()
+
+
+def interactive_select(*args, **kwargs):
+    """Backwards-compatible shim (reference ``app.py:2488-2523``): returns
+    (configs, progress_sink)."""
+    session = launch_interactive_session(*args, **kwargs)
+    return session.configs, session.progress_sink

@@ -1,0 +1,306 @@
+"""Audio-post and digital-post pages (reference ``interactive/post.py``)."""
+
+from __future__ import annotations
+
+import logging
+import shlex
+from pathlib import Path
+
+from PySide6.QtCore import Qt, QThreadPool, Signal
+from PySide6.QtWidgets import (
+    QComboBox,
+    QCheckBox,
+    QDoubleSpinBox,
+    QFileDialog,
+    QGridLayout,
+    QHBoxLayout,
+    QLabel,
+    QLineEdit,
+    QProgressBar,
+    QPushButton,
+    QTableWidget,
+    QTableWidgetItem,
+    QVBoxLayout,
+    QWidget,
+)
+
+from ..post.squelch import AudioPostOptions, SquelchConfig, gather_audio_targets
+from .widgets import PanelGroup
+
+LOG = logging.getLogger(__name__)
+
+
+class AudioPostPage(QWidget):
+    """Squelch batch processing page (reference ``post.py:16-613``)."""
+
+    status = Signal(str)
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._pool = QThreadPool.globalInstance()
+        layout = QVBoxLayout(self)
+
+        source = PanelGroup("Source")
+        row = QHBoxLayout()
+        self.path_label = QLabel("No file or folder selected")
+        self.path_label.setProperty("dim", True)
+        pick_file = QPushButton("File…")
+        pick_dir = QPushButton("Folder…")
+        pick_file.clicked.connect(self._pick_file)
+        pick_dir.clicked.connect(self._pick_dir)
+        row.addWidget(self.path_label, 1)
+        row.addWidget(pick_file)
+        row.addWidget(pick_dir)
+        source.add_layout(row)
+        layout.addWidget(source)
+
+        opts = PanelGroup("Squelch")
+        grid = QGridLayout()
+        grid.addWidget(QLabel("Method"), 0, 0)
+        self.method_combo = QComboBox()
+        for m in ("adaptive", "static", "transient"):
+            self.method_combo.addItem(m)
+        grid.addWidget(self.method_combo, 0, 1)
+        grid.addWidget(QLabel("Noise floor (dB)"), 1, 0)
+        self.floor_spin = QDoubleSpinBox()
+        self.floor_spin.setRange(-140.0, 0.0)
+        self.floor_spin.setValue(-60.0)
+        self.floor_spin.setEnabled(False)
+        grid.addWidget(self.floor_spin, 1, 1)
+        self.auto_floor = QCheckBox("Auto noise floor")
+        self.auto_floor.setChecked(True)
+        self.auto_floor.toggled.connect(lambda on: self.floor_spin.setEnabled(not on))
+        grid.addWidget(self.auto_floor, 1, 2)
+        grid.addWidget(QLabel("Margin (dB)"), 2, 0)
+        self.margin_spin = QDoubleSpinBox()
+        self.margin_spin.setRange(0.0, 40.0)
+        self.margin_spin.setValue(6.0)
+        grid.addWidget(self.margin_spin, 2, 1)
+        self.trim_check = QCheckBox("Trim lead/trail silence")
+        self.trim_check.setChecked(True)
+        grid.addWidget(self.trim_check, 3, 0, 1, 2)
+        self.overwrite_check = QCheckBox("Overwrite originals")
+        grid.addWidget(self.overwrite_check, 4, 0, 1, 2)
+        opts.add_layout(grid)
+        run_btn = QPushButton("Process")
+        run_btn.clicked.connect(self._run)
+        opts.add(run_btn)
+        layout.addWidget(opts)
+
+        self.progress = QProgressBar()
+        self.progress.setRange(0, 1000)
+        layout.addWidget(self.progress)
+
+        self.table = QTableWidget(0, 5)
+        self.table.setHorizontalHeaderLabels(
+            ["File", "Kept %", "Floor dB", "Threshold dB", "Output"]
+        )
+        self.table.horizontalHeader().setStretchLastSection(True)
+        layout.addWidget(self.table, 1)
+
+        self._path: Path | None = None
+
+    def _pick_file(self):
+        path, _ = QFileDialog.getOpenFileName(self, "Audio file", "", "Audio (*.wav)")
+        if path:
+            self._set_path(Path(path))
+
+    def _pick_dir(self):
+        path = QFileDialog.getExistingDirectory(self, "Audio folder")
+        if path:
+            self._set_path(Path(path))
+
+    def _set_path(self, path: Path):
+        self._path = path
+        self.path_label.setText(str(path))
+
+    def _options(self) -> AudioPostOptions:
+        config = SquelchConfig(
+            method=self.method_combo.currentText(),
+            auto_noise_floor=self.auto_floor.isChecked(),
+            manual_noise_floor_db=(
+                None if self.auto_floor.isChecked() else self.floor_spin.value()
+            ),
+            threshold_margin_db=self.margin_spin.value(),
+            trim_silence=self.trim_check.isChecked(),
+        )
+        return AudioPostOptions(config=config, overwrite=self.overwrite_check.isChecked())
+
+    def _run(self):
+        if self._path is None:
+            self.status.emit("Select an audio file or folder first.")
+            return
+        options = self._options()
+        try:
+            targets = gather_audio_targets(self._path, options)
+        except OSError as exc:
+            self.status.emit(str(exc))
+            return
+        if not targets:
+            self.status.emit("No .wav files found.")
+            return
+        from .workers import AudioPostWorker
+
+        worker = AudioPostWorker(targets, options)
+        worker.signals.progress.connect(
+            lambda done, total, p: self.progress.setValue(int(done / max(total, 1) * 1000))
+        )
+        worker.signals.finished.connect(self._show_summary)
+        worker.signals.failed.connect(self.status.emit)
+        self.table.setRowCount(0)
+        self.status.emit(f"Processing {len(targets)} file(s)…")
+        self._pool.start(worker)
+
+    def _show_summary(self, summary):
+        self.table.setRowCount(len(summary.results))
+        for row, res in enumerate(summary.results):
+            items = [
+                res.input_path.name,
+                f"{res.retained_ratio * 100:.1f}",
+                f"{res.noise_floor_db:.1f}",
+                f"{res.threshold_db:.1f}",
+                str(res.output_path),
+            ]
+            for col, text in enumerate(items):
+                item = QTableWidgetItem(text)
+                item.setFlags(item.flags() & ~Qt.ItemIsEditable)
+                self.table.setItem(row, col, item)
+        self.status.emit(
+            f"Audio post complete: {summary.processed} processed, {summary.failed} failed."
+        )
+
+
+class DigitalPostPage(QWidget):
+    """Digital decoder hand-off page (reference ``post.py:743-1021``)."""
+
+    status = Signal(str)
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._pool = QThreadPool.globalInstance()
+        self._console = None
+        self._worker = None
+        layout = QVBoxLayout(self)
+
+        decoder_panel = PanelGroup("Decoder")
+        grid = QGridLayout()
+        grid.addWidget(QLabel("Preset"), 0, 0)
+        self.decoder_combo = QComboBox()
+        from ..post.digital import DIGITAL_DECODERS
+
+        for dec in DIGITAL_DECODERS:
+            self.decoder_combo.addItem(dec.label, dec.key)
+        self.decoder_combo.currentIndexChanged.connect(self._describe)
+        grid.addWidget(self.decoder_combo, 0, 1)
+        self.description = QLabel(DIGITAL_DECODERS[0].description)
+        self.description.setWordWrap(True)
+        self.description.setProperty("dim", True)
+        grid.addWidget(self.description, 1, 0, 1, 2)
+        grid.addWidget(QLabel("Command"), 2, 0)
+        self.command_edit = QLineEdit()
+        self.command_edit.setPlaceholderText("(preset default; shell-style args)")
+        grid.addWidget(self.command_edit, 2, 1)
+        decoder_panel.add_layout(grid)
+        layout.addWidget(decoder_panel)
+
+        audio_panel = PanelGroup("Audio directory")
+        row = QHBoxLayout()
+        self.dir_label = QLabel("No directory selected")
+        self.dir_label.setProperty("dim", True)
+        pick = QPushButton("Folder…")
+        pick.clicked.connect(self._pick_dir)
+        row.addWidget(self.dir_label, 1)
+        row.addWidget(pick)
+        audio_panel.add_layout(row)
+        layout.addWidget(audio_panel)
+
+        docker_panel = PanelGroup("Docker backend")
+        row2 = QHBoxLayout()
+        self.docker_status = QLabel("Docker status unknown")
+        self.docker_status.setProperty("dim", True)
+        probe_btn = QPushButton("Check")
+        probe_btn.clicked.connect(self._probe)
+        update_btn = QPushButton("Update image")
+        update_btn.clicked.connect(self._update_image)
+        row2.addWidget(self.docker_status, 1)
+        row2.addWidget(probe_btn)
+        row2.addWidget(update_btn)
+        docker_panel.add_layout(row2)
+        launch_btn = QPushButton("Launch decoder")
+        launch_btn.clicked.connect(self._launch)
+        docker_panel.add(launch_btn)
+        layout.addWidget(docker_panel)
+        layout.addStretch(1)
+
+        self._dir: Path | None = None
+
+    def _describe(self, index: int):
+        from ..post.digital import DIGITAL_DECODERS
+
+        self.description.setText(DIGITAL_DECODERS[index].description)
+
+    def _pick_dir(self):
+        path = QFileDialog.getExistingDirectory(self, "Audio directory")
+        if path:
+            self._dir = Path(path)
+            self.dir_label.setText(path)
+
+    def _backend(self):
+        from ..post.docker_backend import DockerBackend
+
+        return DockerBackend()
+
+    def _probe(self):
+        from .workers import DockerProbeWorker
+
+        worker = DockerProbeWorker(self._backend)
+        worker.signals.result.connect(
+            lambda ok, msg: self.docker_status.setText(msg)
+        )
+        self._pool.start(worker)
+
+    def _update_image(self):
+        from .workers import DockerImageUpdateWorker
+
+        try:
+            backend = self._backend()
+        except Exception as exc:
+            self.docker_status.setText(str(exc))
+            return
+        self.docker_status.setText("Pulling backend image…")
+        worker = DockerImageUpdateWorker(backend)
+        worker.signals.result.connect(lambda ok, msg: self.docker_status.setText(msg))
+        self._pool.start(worker)
+
+    def _launch(self):
+        if self._dir is None:
+            self.status.emit("Select an audio directory first.")
+            return
+        from ..post.digital import get_decoder
+        from ..post.docker_backend import DockerLaunchRequest
+        from .docker_console import DockerConsole
+        from .workers import DockerLaunchWorker
+
+        key = self.decoder_combo.currentData()
+        decoder = get_decoder(key)
+        custom = self.command_edit.text().strip()
+        command = tuple(shlex.split(custom)) if custom else decoder.default_command
+        try:
+            backend = self._backend()
+            backend.ensure_connection()
+        except Exception as exc:
+            self.status.emit(f"Docker unavailable: {exc}")
+            return
+        request = DockerLaunchRequest(
+            command=command, audio_dir=self._dir, decoder_key=key
+        )
+        console = DockerConsole(f"Decoder: {key}", self)
+        worker = DockerLaunchWorker(backend, request)
+        worker.signals.log.connect(console.append_log)
+        worker.signals.finished.connect(console.mark_finished)
+        worker.signals.failed.connect(lambda msg: console.append_log(f"ERROR: {msg}"))
+        console.cancel_requested.connect(worker.cancel)
+        self._console = console
+        self._worker = worker
+        console.show()
+        self._pool.start(worker)

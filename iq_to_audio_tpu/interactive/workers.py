@@ -1,0 +1,323 @@
+"""Background workers (reference ``interactive/workers.py``).
+
+``gather_snapshot``/``compute_full_psd`` are plain functions (testable
+without Qt); the QRunnable wrappers route results back to the UI thread via
+queued signals.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+from pathlib import Path
+
+import numpy as np
+
+from ..analysis.spectrum import streaming_waterfall
+from ..io.formats import InputFormatSpec
+from ..io.reader import IQReader
+from ..pipeline.config import ProcessingConfig
+from ..pipeline.pipeline import ProcessingCancelled, ProcessingPipeline
+from ..pipeline.preview import run_preview
+from .models import MAX_RETAINED_SAMPLES, SnapshotData
+
+LOG = logging.getLogger(__name__)
+
+
+def gather_snapshot(
+    path: Path,
+    spec: InputFormatSpec,
+    sample_rate: float,
+    seconds: float,
+    *,
+    iq_order: str = "iq",
+    nfft: int = 262_144,
+    max_slices: int = 400,
+    progress_cb: Callable[[float], None] | None = None,
+    cancelled: Callable[[], bool] | None = None,
+) -> SnapshotData:
+    """Stream the first ``seconds`` through the waterfall accumulator
+    (reference ``workers.py:36-161``)."""
+    total = max(1, int(seconds * sample_rate))
+    chunk = max(nfft, 1 << 18)
+    retained: list[np.ndarray] = []
+    retained_count = 0
+    consumed = 0
+
+    def _chunks():
+        nonlocal consumed, retained_count
+        with IQReader(
+            path,
+            chunk,
+            iq_order,
+            spec,
+            sample_rate=sample_rate if spec.container == "raw" else None,
+        ) as reader:
+            for block in reader:
+                if cancelled and cancelled():
+                    return
+                remaining = total - consumed
+                if remaining <= 0:
+                    return
+                if block.size > remaining:
+                    block = block[:remaining]
+                consumed += block.size
+                if retained_count < MAX_RETAINED_SAMPLES:
+                    take = min(block.size, MAX_RETAINED_SAMPLES - retained_count)
+                    retained.append(block[:take].copy())
+                    retained_count += take
+                if progress_cb:
+                    progress_cb(min(consumed / total, 1.0))
+                yield block
+
+    nfft_eff = min(nfft, total)
+    freqs, avg_psd, waterfall, frames = streaming_waterfall(
+        _chunks(), sample_rate, nfft=nfft_eff, max_slices=max_slices
+    )
+    return SnapshotData(
+        freqs=freqs,
+        psd_db=avg_psd,
+        waterfall=waterfall,
+        frames=frames,
+        sample_rate=sample_rate,
+        retained=np.concatenate(retained) if retained else np.empty(0, np.complex64),
+        seconds=consumed / sample_rate if sample_rate > 0 else 0.0,
+    )
+
+
+def compute_full_psd(
+    path: Path,
+    spec: InputFormatSpec,
+    sample_rate: float,
+    *,
+    iq_order: str = "iq",
+    nfft: int = 262_144,
+    progress_cb: Callable[[float], None] | None = None,
+    cancelled: Callable[[], bool] | None = None,
+):
+    """Averaged PSD over the whole capture (reference ``workers.py:164-286``)."""
+    total_bytes = path.stat().st_size
+    consumed = 0
+
+    def _chunks():
+        nonlocal consumed
+        with IQReader(
+            path,
+            max(nfft, 1 << 19),
+            iq_order,
+            spec,
+            sample_rate=sample_rate if spec.container == "raw" else None,
+        ) as reader:
+            total = reader.total_frames
+            for block in reader:
+                if cancelled and cancelled():
+                    return
+                consumed += block.size
+                if progress_cb and total:
+                    progress_cb(min(consumed / total, 1.0))
+                yield block
+
+    freqs, avg_psd, _, frames = streaming_waterfall(
+        _chunks(), sample_rate, nfft=nfft, max_slices=1
+    )
+    del total_bytes
+    return freqs, avg_psd, frames
+
+
+# ---------------------------------------------------------------------------
+# Qt runnables (import guarded: everything above is usable headless)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - exercised only with PySide6 installed
+    from PySide6.QtCore import QObject, QRunnable, Signal, Slot
+
+    class _SnapshotSignals(QObject):
+        finished = Signal(object)  # SnapshotData
+        failed = Signal(str)
+        progress = Signal(float)
+
+    class SnapshotWorker(QRunnable):
+        """Gather a spectrum snapshot off the UI thread."""
+
+        def __init__(self, path, spec, sample_rate, seconds, *, iq_order="iq", nfft=262_144,
+                     max_slices=400):
+            super().__init__()
+            self.signals = _SnapshotSignals()
+            self._args = (path, spec, sample_rate, seconds)
+            self._kw = dict(iq_order=iq_order, nfft=nfft, max_slices=max_slices)
+            self._cancelled = False
+
+        def cancel(self):
+            self._cancelled = True
+
+        @Slot()
+        def run(self):
+            try:
+                snap = gather_snapshot(
+                    *self._args,
+                    **self._kw,
+                    progress_cb=self.signals.progress.emit,
+                    cancelled=lambda: self._cancelled,
+                )
+                if not self._cancelled:
+                    self.signals.finished.emit(snap)
+            except Exception as exc:  # surfaced in the status bar
+                LOG.exception("Snapshot failed")
+                self.signals.failed.emit(str(exc))
+
+    class _PreviewSignals(QObject):
+        finished = Signal(list)  # [(config, result, path)]
+        failed = Signal(str)
+        status = Signal(str)
+        progress = Signal(float)
+
+    class PreviewWorker(QRunnable):
+        """Run preview DSP for the session configs (reference
+        ``workers.py:348-410``)."""
+
+        def __init__(self, configs: list[ProcessingConfig], seconds: float):
+            super().__init__()
+            self.signals = _PreviewSignals()
+            self.configs = configs
+            self.seconds = seconds
+            self._pipelines: list[ProcessingPipeline] = []
+            self._cancelled = False
+
+        def cancel(self):
+            self._cancelled = True
+            for p in self._pipelines:
+                p.cancel()
+
+        @Slot()
+        def run(self):
+            from .models import StatusProgressSink
+
+            results = []
+            try:
+                for config in self.configs:
+                    if self._cancelled:
+                        return
+                    sink = StatusProgressSink(
+                        self.signals.status.emit, self.signals.progress.emit
+                    )
+                    result, out_path = run_preview(
+                        config,
+                        self.seconds,
+                        progress_sink=sink,
+                        on_pipeline=self._pipelines.append,
+                    )
+                    results.append((config, result, out_path))
+                self.signals.finished.emit(results)
+            except ProcessingCancelled:
+                self.signals.status.emit("Preview cancelled.")
+            except Exception as exc:
+                LOG.exception("Preview failed")
+                self.signals.failed.emit(str(exc))
+
+    class _AudioPostSignals(QObject):
+        finished = Signal(object)  # SquelchSummary
+        failed = Signal(str)
+        progress = Signal(int, int, str)
+
+    class AudioPostWorker(QRunnable):
+        def __init__(self, targets, options):
+            super().__init__()
+            self.signals = _AudioPostSignals()
+            self.targets = targets
+            self.options = options
+
+        @Slot()
+        def run(self):
+            from ..post.squelch import process_audio_batch
+
+            try:
+                summary = process_audio_batch(
+                    self.targets,
+                    self.options,
+                    progress_cb=lambda done, total, p: self.signals.progress.emit(
+                        done, total, str(p)
+                    ),
+                )
+                self.signals.finished.emit(summary)
+            except Exception as exc:
+                LOG.exception("Audio post failed")
+                self.signals.failed.emit(str(exc))
+
+    class _DockerSignals(QObject):
+        log = Signal(str)
+        finished = Signal(int)
+        failed = Signal(str)
+
+    class DockerLaunchWorker(QRunnable):
+        """Launch a backend decoder container and stream its logs
+        (reference ``workers.py:452-525``)."""
+
+        def __init__(self, backend, request):
+            super().__init__()
+            self.signals = _DockerSignals()
+            self.backend = backend
+            self.request = request
+            self._cancelled = False
+            self._container_id = None
+
+        def cancel(self):
+            self._cancelled = True
+            try:
+                if self._container_id is not None:
+                    self.backend.client.containers.get(self._container_id).kill()
+            except Exception:  # pragma: no cover
+                LOG.debug("Container kill failed", exc_info=True)
+
+        @Slot()
+        def run(self):
+            try:
+                code = self.backend.run_and_stream(
+                    self.request, log_callback=self.signals.log.emit
+                )
+                self.signals.finished.emit(code)
+            except Exception as exc:
+                if not self._cancelled:
+                    self.signals.failed.emit(str(exc))
+
+    class _DockerProbeSignals(QObject):
+        result = Signal(bool, str)
+
+    class DockerProbeWorker(QRunnable):
+        def __init__(self, backend_factory):
+            super().__init__()
+            self.signals = _DockerProbeSignals()
+            self.backend_factory = backend_factory
+
+        @Slot()
+        def run(self):
+            try:
+                backend = self.backend_factory()
+                conn = backend.probe()
+                info = backend.get_image_info()
+                msg = conn.message if not conn.available else info.format_status()
+                self.signals.result.emit(conn.available, msg)
+            except Exception as exc:
+                self.signals.result.emit(False, str(exc))
+
+    class DockerImageUpdateWorker(QRunnable):
+        def __init__(self, backend):
+            super().__init__()
+            self.signals = _DockerProbeSignals()
+            self.backend = backend
+
+        @Slot()
+        def run(self):
+            try:
+                self.backend.pull_image()
+                info = self.backend.get_image_info()
+                self.signals.result.emit(True, info.format_status())
+            except Exception as exc:
+                self.signals.result.emit(False, str(exc))
+
+except ImportError:  # pragma: no cover - headless environments
+    SnapshotWorker = None  # type: ignore[assignment]
+    PreviewWorker = None  # type: ignore[assignment]
+    AudioPostWorker = None  # type: ignore[assignment]
+    DockerLaunchWorker = None  # type: ignore[assignment]
+    DockerProbeWorker = None  # type: ignore[assignment]
+    DockerImageUpdateWorker = None  # type: ignore[assignment]

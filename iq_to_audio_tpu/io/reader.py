@@ -86,6 +86,7 @@ class IQReader:
         *,
         sample_rate: float | None = None,
         prefetch_depth: int = 2,
+        start_frame: int = 0,
     ):
         self.path = Path(path)
         self.chunk_size = int(chunk_size)  # complex frames per block
@@ -93,6 +94,7 @@ class IQReader:
         self.input_format = input_format
         self.sample_rate = sample_rate
         self.prefetch_depth = max(1, prefetch_depth)
+        self.start_frame = max(0, int(start_frame))  # resume offset
         self._dtype = _CODEC_DTYPE[input_format.codec]
         self._payload_offset = 0
         self._payload_size = 0
@@ -124,6 +126,10 @@ class IQReader:
             self._payload_size = info.data_size
         frame_bytes = self.input_format.bytes_per_frame
         self._payload_size -= self._payload_size % frame_bytes
+        if self.start_frame:
+            skip = min(self.start_frame * frame_bytes, self._payload_size)
+            self._payload_offset += skip
+            self._payload_size -= skip
         self._fd = self.path.open("rb", buffering=0)
         self._fd.seek(self._payload_offset)
         self._queue = queue.Queue(maxsize=self.prefetch_depth)

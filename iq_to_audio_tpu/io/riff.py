@@ -183,9 +183,21 @@ _CODEC_FMT = {
 
 
 class WavStreamWriter:
-    """Streaming WAV writer: header with placeholder sizes, patched on close."""
+    """Streaming WAV writer: header with placeholder sizes, patched on close.
 
-    def __init__(self, path: Path | str, sample_rate: int, channels: int, codec: str):
+    ``append=True`` reopens an existing WAV (same rate/channels/codec) and
+    continues after its last frame — used by checkpoint/resume.
+    """
+
+    def __init__(
+        self,
+        path: Path | str,
+        sample_rate: int,
+        channels: int,
+        codec: str,
+        *,
+        append: bool = False,
+    ):
         if codec not in _CODEC_FMT:
             raise ValueError(f"Unsupported WAV writer codec: {codec}")
         self.path = Path(path)
@@ -196,8 +208,23 @@ class WavStreamWriter:
         self._fmt = fmt
         self._bits = bits
         self._data_bytes = 0
-        self._fd = self.path.open("wb")
-        self._write_header(0)
+        if append and self.path.exists():
+            info = parse_wav_header(self.path)
+            if (
+                info.sample_rate != self.sample_rate
+                or info.channels != self.channels
+                or info.codec != codec
+            ):
+                raise ValueError(
+                    f"Cannot append to {self.path}: existing format "
+                    f"{info.codec}@{info.sample_rate}x{info.channels} does not match."
+                )
+            self._data_bytes = info.data_size
+            self._fd = self.path.open("r+b")
+            self._fd.seek(info.data_offset + info.data_size)
+        else:
+            self._fd = self.path.open("wb")
+            self._write_header(0)
 
     def _write_header(self, data_size: int) -> None:
         bits = self._bits

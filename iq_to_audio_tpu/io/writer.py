@@ -30,12 +30,21 @@ class AudioWriter:
     match the reference (``processing.py:449-452``).
     """
 
-    def __init__(self, output_path: Path, input_rate: float, *, output_rate: int = 48_000):
+    def __init__(
+        self,
+        output_path: Path,
+        input_rate: float,
+        *,
+        output_rate: int = 48_000,
+        append: bool = False,
+    ):
         self.output_path = Path(output_path)
         self.input_rate = float(input_rate)
         self.output_rate = int(output_rate)
         self.peak = 0.0
-        self._writer = WavStreamWriter(self.output_path, self.output_rate, 1, "pcm_s16le")
+        self._writer = WavStreamWriter(
+            self.output_path, self.output_rate, 1, "pcm_s16le", append=append
+        )
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
         self._error: BaseException | None = None
         self._closed = False
@@ -58,6 +67,21 @@ class AudioWriter:
         if self._error:
             raise RuntimeError("audio writer failed") from self._error
 
+    def write_s16(self, samples: np.ndarray) -> None:
+        """Enqueue audio that was already s16-encoded (e.g. on device).
+
+        Peak tracking is the caller's responsibility on this path (the
+        device tracks the true pre-clip peak).
+        """
+        if self._closed:
+            raise RuntimeError("AudioWriter has already been closed.")
+        if self._error:
+            raise RuntimeError("audio writer failed") from self._error
+        samples = np.asarray(samples, dtype=np.int16)
+        if samples.size == 0:
+            return
+        self._queue.put(samples)
+
     def _drain(self) -> None:
         from .native import encode_s16
 
@@ -68,6 +92,9 @@ class AudioWriter:
             if self._error is not None:
                 continue
             try:
+                if payload.dtype == np.int16:  # already device-encoded
+                    self._writer.write_raw(payload.tobytes())
+                    continue
                 encoded = encode_s16(payload, clip=1.0)  # input pre-clipped
                 if encoded is not None:
                     self._writer.write_raw(encoded[0].tobytes())
@@ -92,10 +119,11 @@ class IQDebugWriter:
     """Raw interleaved float32 (.cf32) dump of the channelized IQ
     (reference ``processing.py:363-378``)."""
 
-    def __init__(self, path: Path | None, sample_rate: float):
+    def __init__(self, path: Path | None, sample_rate: float, *, append: bool = False):
         self.path = Path(path) if path else None
         self.sample_rate = sample_rate
-        self.fd = self.path.open("wb") if self.path else None
+        mode = "ab" if append else "wb"
+        self.fd = self.path.open(mode) if self.path else None
 
     def write(self, samples: np.ndarray) -> None:
         if not self.fd or samples.size == 0:
@@ -129,7 +157,14 @@ class IQSliceWriter:
     """Write complex IQ slices preserving container/codec (pass-through mode,
     reference ``processing.py:542-596``)."""
 
-    def __init__(self, output_path: Path, sample_rate: float, spec: InputFormatSpec):
+    def __init__(
+        self,
+        output_path: Path,
+        sample_rate: float,
+        spec: InputFormatSpec,
+        *,
+        append: bool = False,
+    ):
         self.output_path = Path(output_path)
         self.sample_rate = float(sample_rate)
         self.spec = spec
@@ -142,9 +177,10 @@ class IQSliceWriter:
                 max(1, int(round(self.sample_rate))),
                 2,
                 spec.codec,
+                append=append,
             )
         else:
-            self._fd = self.output_path.open("wb")
+            self._fd = self.output_path.open("ab" if append else "wb")
 
     def write(self, samples: np.ndarray) -> None:
         samples = np.asarray(samples)

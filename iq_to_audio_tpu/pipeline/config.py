@@ -50,6 +50,15 @@ class ProcessingConfig:
     auto_filter_block: bool = True
     #: device platform override (e.g. "cpu" for tests); None = default
     device: str | None = None
+    #: write a jax.profiler trace of the chunk loop to this directory
+    #: (view with TensorBoard / xprof) — the reference has no tracer;
+    #: this is the TPU-native observability hook (SURVEY §5)
+    profile_dir: Path | None = None
+    #: checkpoint the carried stream state every N seconds of input to
+    #: <output>.ckpt.npz so an interrupted run can --resume (None = off)
+    checkpoint_secs: float | None = None
+    #: resume from a checkpoint written by an earlier interrupted run
+    resume: bool = False
 
     def all_target_freqs(self) -> list[float]:
         return [self.target_freq, *self.extra_target_freqs]

@@ -21,6 +21,7 @@ from __future__ import annotations
 import contextlib
 import logging
 import math
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -74,11 +75,25 @@ class ProcessingCancelled(RuntimeError):  # noqa: N818 - parity with reference
     """Raised when processing is aborted early by user request."""
 
 
+def _truncate_payload(path: Path, payload_bytes: int) -> None:
+    """Truncate a WAV's data payload to ``payload_bytes`` (resume support)."""
+    from ..io.riff import parse_wav_header
+
+    path = Path(path)
+    if not path.exists():
+        return
+    info = parse_wav_header(path)
+    keep = min(payload_bytes, info.data_size)
+    with path.open("r+b") as f:
+        f.truncate(info.data_offset + keep)
+
+
 class ProcessingPipeline:
     def __init__(self, config: ProcessingConfig):
         self.config = config
         self._cancelled = False
         self._input_spec: InputFormatSpec | None = None
+        self._profiling = False
 
     def cancel(self) -> None:
         self._cancelled = True
@@ -299,6 +314,26 @@ class ProcessingPipeline:
             if not pass_through:
                 rs_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, n_dec)
 
+            # --- checkpoint/resume (SURVEY §5: carried state + input offset) --
+            resume_data = None
+            ckpt_path: Path | None = None
+            if (cfg.checkpoint_secs or cfg.resume) and not cfg.probe_only:
+                paths_for_ckpt = self._channel_paths(freqs, cfg.output_path)
+                ckpt_path = Path(str(paths_for_ckpt[0]) + ".ckpt")
+            if cfg.resume and ckpt_path is not None and ckpt_path.exists():
+                import pickle
+
+                with ckpt_path.open("rb") as f:
+                    resume_data = pickle.load(f)
+                LOG.info(
+                    "Resuming from %s (%.2f s of input already processed).",
+                    ckpt_path,
+                    resume_data["counters"]["processed_samples"] / sample_rate,
+                )
+            resume_frames = (
+                resume_data["counters"]["processed_samples"] if resume_data else 0
+            )
+
             # --- totals for progress ----------------------------------------
             reader = IQReader(
                 cfg.in_path,
@@ -306,6 +341,7 @@ class ProcessingPipeline:
                 cfg.iq_order,
                 input_spec,
                 sample_rate=sample_rate if input_spec.container == "raw" else None,
+                start_frame=resume_frames,
             )
             phases: list[PhaseState] = []
             with reader:
@@ -375,7 +411,9 @@ class ProcessingPipeline:
                     raise RuntimeError("Input stream produced no samples.")
                 _check_cancel("warm-up")
 
-                if cfg.mix_sign_override in (1, -1):
+                if resume_data is not None:
+                    mix_sign = resume_data["mix_sign"]
+                elif cfg.mix_sign_override in (1, -1):
                     mix_sign = cfg.mix_sign_override
                 else:
                     probe_len = min(
@@ -418,15 +456,39 @@ class ProcessingPipeline:
                         for f in freqs
                     ]
 
+                appending = resume_data is not None
+                if appending:
+                    # outputs may contain windows flushed AFTER the last
+                    # checkpoint: truncate back to the checkpointed position
+                    ctr = resume_data["counters"]
+                    if pass_through:
+                        frame_out = 2 * {"pcm_u8": 1, "pcm_s16le": 2, "pcm_f32le": 4}[
+                            input_spec.codec
+                        ]
+                        for p in output_paths:
+                            _truncate_payload(p, ctr["dec_emitted"] * frame_out)
+                    else:
+                        for p in output_paths:
+                            _truncate_payload(p, ctr["rs_emitted"] * 2)  # mono s16
+                    for p in dump_paths:
+                        if p is not None and Path(p).exists():
+                            with Path(p).open("r+b") as f:
+                                f.truncate(ctr["dec_emitted"] * 8)  # cf32 pairs
                 audio_writers: list[AudioWriter] = []
                 slice_writers: list[IQSliceWriter] = []
-                iq_writers = [IQDebugWriter(p, fs_channel) for p in dump_paths]
+                iq_writers = [
+                    IQDebugWriter(p, fs_channel, append=appending) for p in dump_paths
+                ]
                 if pass_through:
                     slice_writers = [
-                        IQSliceWriter(p, fs_channel, input_spec) for p in output_paths
+                        IQSliceWriter(p, fs_channel, input_spec, append=appending)
+                        for p in output_paths
                     ]
                 else:
-                    audio_writers = [AudioWriter(p, _OUTPUT_RATE) for p in output_paths]
+                    audio_writers = [
+                        AudioWriter(p, _OUTPUT_RATE, append=appending)
+                        for p in output_paths
+                    ]
 
                 # --- build the device step -----------------------------------
                 incs = [
@@ -444,6 +506,13 @@ class ProcessingPipeline:
                         agc_enabled=cfg.agc_enabled,
                     )
                     decoder.setup(fs_channel)
+                acc_cap = None
+                if cfg.checkpoint_secs and sample_rate > 0:
+                    # checkpoints land on window boundaries: keep windows
+                    # no longer than the checkpoint cadence
+                    acc_cap = max(
+                        1, int(cfg.checkpoint_secs * sample_rate // chunk_size)
+                    )
                 step = build_chunk_step(
                     ddc_plan=ddc_plan,
                     rs_plan=rs_plan,
@@ -455,9 +524,26 @@ class ProcessingPipeline:
                     decoder=decoder,
                     pass_through=pass_through,
                     dump_iq=cfg.dump_iq_path is not None,
+                    acc_chunks_cap=acc_cap,
                 )
                 state = step.init_state()
+                accs = step.init_accs()
 
+                import hashlib
+
+                fingerprint = {
+                    "chunk": chunk_size,
+                    "decimation": decimation,
+                    "sample_rate": sample_rate,
+                    "bandwidth": cfg.bandwidth,
+                    "taps_sha": hashlib.sha1(taps.tobytes()).hexdigest(),
+                    "mode": cfg.demod_mode.lower(),
+                    "agc": cfg.agc_enabled,
+                    "incs": tuple(incs),
+                    "codec": input_spec.codec,
+                    "iq_order": cfg.iq_order,
+                    "acc_chunks": step.acc_chunks,
+                }
                 stage_snapshots: dict[str, tuple[np.ndarray, float]] = {}
                 want_stages = cfg.plot_stages_path is not None
 
@@ -468,38 +554,168 @@ class ProcessingPipeline:
                 rs_emitted = 0  # 48 kHz samples written so far
                 processed_samples = 0
                 dec_emitted = 0
+                if resume_data is not None:
+                    if resume_data["fingerprint"] != fingerprint:
+                        raise ValueError(
+                            f"Checkpoint {ckpt_path} does not match this "
+                            "configuration; remove it or rerun without --resume."
+                        )
+                    state = jax.tree_util.tree_map(jnp.asarray, resume_data["state"])
+                    if "peak" in accs:
+                        accs["peak"] = jnp.asarray(resume_data["peak"])
+                    ctr = resume_data["counters"]
+                    rs_in_device = ctr["rs_in_device"]
+                    rs_in_valid = ctr["rs_in_valid"]
+                    rs_emitted = ctr["rs_emitted"]
+                    processed_samples = ctr["processed_samples"]
+                    dec_emitted = ctr["dec_emitted"]
+                next_ckpt_at = None
+                if cfg.checkpoint_secs and sample_rate > 0 and not pass_through:
+                    next_ckpt_at = processed_samples + int(
+                        cfg.checkpoint_secs * sample_rate
+                    )
+
+                def _save_checkpoint(st):
+                    import pickle
+
+                    payload = {
+                        "version": 1,
+                        "fingerprint": fingerprint,
+                        "mix_sign": mix_sign,
+                        "state": jax.tree_util.tree_map(np.asarray, st),
+                        "peak": np.asarray(accs["peak"]) if "peak" in accs else None,
+                        "counters": {
+                            "processed_samples": processed_samples,
+                            "dec_emitted": dec_emitted,
+                            "rs_in_device": rs_in_device,
+                            "rs_in_valid": rs_in_valid,
+                            "rs_emitted": rs_emitted,
+                        },
+                    }
+                    tmp = ckpt_path.with_suffix(".ckpt.tmp")
+                    with tmp.open("wb") as f:
+                        pickle.dump(payload, f)
+                    tmp.replace(ckpt_path)
+                    LOG.info(
+                        "Checkpoint written at %.2f s of input (%s).",
+                        processed_samples / sample_rate,
+                        ckpt_path,
+                    )
                 limit_exhausted = False
                 window: list[tuple[int, int]] = []  # (dec_valid, audio_count) per slot
-                last_audio = {}  # final accumulator for the EOF flush
+                pending_flush = None  # (accs handle, counts) fetched one window later
+                last_audio = {}  # final fetched accumulator for the EOF flush
                 acc_chunks = step.acc_chunks
                 audio_cap = step.audio_capacity
                 n_dec_cap = ddc_plan.out_size
+                if cfg.profile_dir:
+                    # TPU-native observability: xprof trace of the chunk loop
+                    jax.profiler.start_trace(str(cfg.profile_dir))
+                    self._profiling = True
                 loop_start = time.perf_counter()
 
-                def _blocks():
-                    yield raw_first
-                    while True:
-                        nxt = reader.read_block_raw()
-                        if nxt is None or nxt.size == 0:
-                            return
-                        yield nxt
+                # uploader thread: slice/pad blocks and device_put them ahead
+                # of the compute loop, so H2D transfers overlap device work
+                import queue as _queue
+                import threading as _threading
 
-                def _flush_window(st):
-                    """One D2H fetch of the device accumulators, then write
-                    every buffered chunk's valid region to the host writers."""
-                    if not window:
+                feed_q: _queue.Queue = _queue.Queue(maxsize=3)
+                feeder_stop = _threading.Event()
+                feed_state = {"error": None, "limit_exhausted": False}
+
+                def _feeder():
+                    budget = (
+                        None
+                        if max_input_samples is None
+                        else max_input_samples - processed_samples
+                    )
+
+                    def push(block) -> bool:
+                        nonlocal budget
+                        valid = block.size // 2
+                        if budget is not None:
+                            if budget <= 0:
+                                feed_state["limit_exhausted"] = True
+                                return False
+                            if valid > budget:
+                                block = block[: 2 * budget]
+                                valid = budget
+                                feed_state["limit_exhausted"] = True
+                        if valid == 0:
+                            return True
+                        if block.size < 2 * chunk_size:
+                            padded = np.zeros(2 * chunk_size, dtype=block.dtype)
+                            padded[: block.size] = block
+                            block = padded
+                        t0 = time.perf_counter()
+                        dev = jax.device_put(block)
+                        timing["feed"] += time.perf_counter() - t0
+                        if budget is not None:
+                            budget -= valid
+                        while not feeder_stop.is_set():
+                            try:
+                                feed_q.put((valid, dev), timeout=0.2)
+                                break
+                            except _queue.Full:
+                                continue
+                        if budget is not None and budget <= 0:
+                            feed_state["limit_exhausted"] = True
+                            return False
+                        return True
+
+                    try:
+                        if push(raw_first):
+                            while not feeder_stop.is_set():
+                                nxt = reader.read_block_raw()
+                                if nxt is None or nxt.size == 0:
+                                    break
+                                if not push(nxt):
+                                    break
+                    except BaseException as exc:  # surfaced in the main loop
+                        feed_state["error"] = exc
+                    finally:
+                        with contextlib.suppress(Exception):
+                            feed_q.put(None, timeout=5)
+
+                feeder = _threading.Thread(target=_feeder, name="DeviceFeeder", daemon=True)
+
+                def _device_blocks():
+                    feeder.start()
+                    try:
+                        while True:
+                            item = feed_q.get()
+                            if item is None:
+                                if feed_state["error"] is not None:
+                                    raise RuntimeError(
+                                        f"IQ feed failed: {feed_state['error']}"
+                                    ) from feed_state["error"]
+                                return
+                            yield item
+                    finally:
+                        feeder_stop.set()
+
+                timing = {"fetch": 0.0, "write": 0.0, "dispatch": 0.0, "feed": 0.0}
+                want_timing = bool(os.environ.get("IQ2A_TIMING"))
+
+                def _write_flush(handle, counts):
+                    """Fetch one completed accumulation window (a single D2H
+                    round-trip, overlapped with the following window's
+                    compute) and write every chunk's valid region."""
+                    if not counts:
                         return
+                    t0 = time.perf_counter()
                     if pass_through or cfg.dump_iq_path:
-                        iq_np = np.asarray(st["iq_acc_r"]) + 1j * np.asarray(
-                            st["iq_acc_i"]
+                        iq_np = np.asarray(handle["iq_r"]) + 1j * np.asarray(
+                            handle["iq_i"]
                         )
                     if not pass_through:
-                        audio_np = np.asarray(st["audio_acc"])  # (C, K*cap)
-                    for s, (dec_valid, audio_count) in enumerate(window):
+                        audio_np = np.asarray(handle["audio"])  # (C, K*cap) int16
+                    timing["fetch"] += time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    for s, (dec_valid, audio_count) in enumerate(counts):
                         if pass_through:
                             for c, w in enumerate(slice_writers):
                                 w.write(iq_np[c, s * n_dec_cap : s * n_dec_cap + dec_valid])
-                            tracker.advance("demod", float(dec_valid))
                         else:
                             if cfg.dump_iq_path:
                                 for c, w in enumerate(iq_writers):
@@ -507,41 +723,39 @@ class ProcessingPipeline:
                                         w.write(
                                             iq_np[c, s * n_dec_cap : s * n_dec_cap + dec_valid]
                                         )
-                                tracker.advance("dump_iq", float(dec_valid))
                             lo = s * audio_cap
                             for c, w in enumerate(audio_writers):
-                                w.write(audio_np[c, lo : lo + audio_count])
-                            tracker.advance("demod", float(dec_valid))
-                            tracker.advance(
-                                "encode",
-                                float(dec_valid) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
-                            )
-                        tracker.advance("channel", float(dec_valid))
+                                w.write_s16(audio_np[c, lo : lo + audio_count])
                     if not pass_through:
                         last_audio["buf"] = audio_np
-                        last_audio["slot"] = len(window) - 1
-                        last_audio["count"] = window[-1][1]
-                    window.clear()
+                        last_audio["slot"] = len(counts) - 1
+                        last_audio["count"] = counts[-1][1]
+                        last_audio["peak"] = np.asarray(handle["peak"])
+                    timing["write"] += time.perf_counter() - t0
 
-                for idx, raw_block in enumerate(_blocks()):
-                    valid_frames = raw_block.size // 2
-                    if max_input_samples is not None:
-                        remaining = max_input_samples - processed_samples
-                        if remaining <= 0:
-                            limit_exhausted = True
-                            break
-                        if valid_frames > remaining:
-                            raw_block = raw_block[: 2 * remaining]
-                            valid_frames = remaining
-                            limit_exhausted = True
-                    if valid_frames == 0:
-                        continue
+                for idx, (valid_frames, raw_dev) in enumerate(_device_blocks()):
                     _check_cancel(f"chunk {idx + 1}")
 
-                    if raw_block.size < 2 * chunk_size:
-                        padded = np.zeros(2 * chunk_size, dtype=raw_block.dtype)
-                        padded[: raw_block.size] = raw_block
-                        raw_block = padded
+                    slot = idx % acc_chunks
+                    if slot == 0 and window:
+                        # window complete: hand its accumulator to the
+                        # deferred-fetch slot; write out the PREVIOUS window
+                        # (its D2H overlapped with this window's compute).
+                        # This runs BEFORE this chunk's bookkeeping so the
+                        # counters in a checkpoint describe exactly what has
+                        # been dispatched and flushed.
+                        if pending_flush is not None:
+                            _write_flush(*pending_flush)
+                        pending_flush = (accs, window)
+                        window = []
+                        if next_ckpt_at is not None and processed_samples >= next_ckpt_at:
+                            # drain so the files match the state snapshot
+                            _write_flush(*pending_flush)
+                            pending_flush = None
+                            _save_checkpoint(state)
+                            next_ckpt_at = processed_samples + int(
+                                cfg.checkpoint_secs * sample_rate
+                            )
 
                     # exact host bookkeeping (Python ints, no device syncs)
                     processed_samples += valid_frames
@@ -563,16 +777,11 @@ class ProcessingPipeline:
                     else:
                         audio_count = 0
 
-                    slot = idx % acc_chunks
-                    if slot == 0 and window:
-                        # accumulators are full; fetch BEFORE the next step
-                        # donates the state buffers
-                        _flush_window(state)
-
-                    raw_dev = jax.device_put(raw_block)
                     report(f"C{idx + 1} channel")
                     if want_stages and idx == 0:
-                        new_state, out = step.fn_stages(state, raw_dev, rs_offset, slot)
+                        state, accs, out = step.fn_stages(
+                            state, accs, raw_dev, rs_offset, slot
+                        )
                         stages = out.pop("stages")
                         for name, buf in stages.items():
                             rate = (
@@ -585,9 +794,10 @@ class ProcessingPipeline:
                             else:
                                 arr = np.asarray(buf)
                             stage_snapshots[name] = (arr, rate)
-                        state = new_state
                     else:
-                        state, out = step.fn(state, raw_dev, rs_offset, slot)
+                        t0 = time.perf_counter()
+                        state, accs, out = step.fn(state, accs, raw_dev, rs_offset, slot)
+                        timing["dispatch"] += time.perf_counter() - t0
                     if idx == 0 and not pass_through:
                         rms = np.asarray(out["rms_dbfs"])
                         LOG.debug(
@@ -599,12 +809,27 @@ class ProcessingPipeline:
 
                     tracker.advance("ingest", float(valid_frames))
                     window.append((dec_valid, audio_count))
+                    # downstream progress is host-known without device syncs
+                    tracker.advance("channel", float(dec_valid))
+                    if not pass_through:
+                        if cfg.dump_iq_path:
+                            tracker.advance("dump_iq", float(dec_valid))
+                        tracker.advance("demod", float(dec_valid))
+                        tracker.advance(
+                            "encode",
+                            float(dec_valid) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
+                        )
+                    else:
+                        tracker.advance("demod", float(dec_valid))
                     _check_cancel(f"chunk {idx + 1} encode")
                     if max_input_samples is not None and processed_samples >= max_input_samples:
                         limit_exhausted = True
                         break
+                limit_exhausted = limit_exhausted or feed_state["limit_exhausted"]
 
-                _flush_window(state)
+                if pending_flush is not None:
+                    _write_flush(*pending_flush)
+                _write_flush(accs, window)
                 if (
                     rs_plan is not None
                     and not rs_plan.identity
@@ -619,9 +844,28 @@ class ProcessingPipeline:
                         lo = last_audio["slot"] * audio_cap + last_audio["count"]
                         hi = min(lo + extra, (last_audio["slot"] + 1) * audio_cap)
                         for c, w in enumerate(audio_writers):
-                            w.write(buf[c, lo:hi])
+                            w.write_s16(buf[c, lo:hi])
                         rs_emitted += hi - lo
+                if "peak" in last_audio:
+                    for c, w in enumerate(audio_writers):
+                        w.peak = max(w.peak, float(last_audio["peak"][c]))
                 loop_seconds = time.perf_counter() - loop_start
+                if want_timing:
+                    LOG.info(
+                        "timing: loop=%.3fs dispatch=%.3fs flush_fetch=%.3fs "
+                        "flush_write=%.3fs h2d(feeder thread)=%.3fs",
+                        loop_seconds,
+                        timing["dispatch"],
+                        timing["fetch"],
+                        timing["write"],
+                        timing["feed"],
+                    )
+                if self._profiling:
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    LOG.info("Profiler trace written to %s", cfg.profile_dir)
+                if ckpt_path is not None and ckpt_path.exists() and not limit_exhausted:
+                    ckpt_path.unlink(missing_ok=True)  # run completed: drop ckpt
 
                 report("flush outputs")
                 if decoder is not None:
@@ -699,7 +943,10 @@ class ProcessingPipeline:
                 input_samples=processed_samples,
             )
         except ProcessingCancelled:
-            if not cfg.probe_only:
+            # reference semantics: delete partial outputs on cancel
+            # (processing.py:1205-1211) — unless checkpointing is on, in
+            # which case the partial output + checkpoint enable --resume
+            if not cfg.probe_only and not cfg.checkpoint_secs:
                 for p in output_paths:
                     try:
                         Path(p).unlink(missing_ok=True)
@@ -707,4 +954,8 @@ class ProcessingPipeline:
                         LOG.debug("Failed to remove cancelled output %s", p)
             raise
         finally:
+            if self._profiling:
+                with contextlib.suppress(Exception):
+                    jax.profiler.stop_trace()
+                self._profiling = False
             tracker.close()

@@ -55,6 +55,7 @@ _STATIC_ARGNAMES = (
 
 def chunk_step_impl(
     state,
+    accs,
     raw,
     rs_offset,
     slot,
@@ -73,11 +74,17 @@ def chunk_step_impl(
     num_channels: int,
     acc_chunks: int,
 ):
-    """One chunk.  Outputs (audio / dumped IQ) are appended into device-side
-    accumulator buffers in ``state`` at slot ``slot`` (0..acc_chunks-1); the
-    host fetches them once per ``acc_chunks`` chunks — a single D2H
-    round-trip amortised over the whole accumulation window, which matters
-    on high-latency host<->TPU links."""
+    """One chunk.
+
+    ``state`` (donated) carries the small DSP stream state; ``accs`` (NOT
+    donated) carries output accumulators that fill slot-by-slot over
+    ``acc_chunks`` chunks.  Each call returns fresh accumulator buffers, so
+    the host can hold a window's handle and fetch it a full window later —
+    one D2H round-trip per window, overlapped with compute.  Audio is
+    s16-encoded on device (the WAV payload format): half the D2H bytes, and
+    peak tracking stays on-chip (clip +-0.99 / scale 32767 / round —
+    reference processing.py:449-452 semantics).
+    """
     n = ddc_plan.chunk_size
     m = ddc_plan.out_size
     xr, xi = _device_convert(raw, codec, iq_order, n)
@@ -86,6 +93,7 @@ def chunk_step_impl(
         ddc_plan, ddc_kernel, xr, xi, state["fir_tail"], state["phase"], inc_lo
     )
     new_state = {"phase": phase_next, "fir_tail": fir_tail}
+    new_accs = {}
     slot = jnp.asarray(slot, jnp.int32)
     zero = jnp.int32(0)
     out = {}
@@ -99,11 +107,11 @@ def chunk_step_impl(
         stages["filtered"] = (filt_r, filt_i)
         stages["decimated"] = (yr, yi)
     if dump_iq or pass_through:
-        new_state["iq_acc_r"] = lax.dynamic_update_slice(
-            state["iq_acc_r"], yr, (zero, slot * jnp.int32(m))
+        new_accs["iq_r"] = lax.dynamic_update_slice(
+            accs["iq_r"], yr, (zero, slot * jnp.int32(m))
         )
-        new_state["iq_acc_i"] = lax.dynamic_update_slice(
-            state["iq_acc_i"], yi, (zero, slot * jnp.int32(m))
+        new_accs["iq_i"] = lax.dynamic_update_slice(
+            accs["iq_i"], yi, (zero, slot * jnp.int32(m))
         )
     if not pass_through:
         audio_ch, demod_state, inter = decoder.process(state["demod"], yr, yi)
@@ -119,14 +127,18 @@ def chunk_step_impl(
             )
             new_state["rs_tail"] = rs_tail
             cap = rs_plan.out_capacity
-        new_state["audio_acc"] = lax.dynamic_update_slice(
-            state["audio_acc"], audio48, (zero, slot * jnp.int32(cap))
+        new_accs["peak"] = jnp.maximum(accs["peak"], jnp.max(jnp.abs(audio48), axis=-1))
+        encoded = jnp.round(
+            jnp.clip(audio48, -0.99, 0.99) * jnp.float32(32767.0)
+        ).astype(jnp.int16)
+        new_accs["audio"] = lax.dynamic_update_slice(
+            accs["audio"], encoded, (zero, slot * jnp.int32(cap))
         )
         if with_stages:
             stages.update(inter)
     if with_stages:
         out["stages"] = stages
-    return new_state, out
+    return new_state, new_accs, out
 
 
 _chunk_step = jax.jit(
@@ -189,31 +201,48 @@ class ChunkStep:
     def init_state(self):
         plan = self.ddc_plan
         c = self.num_channels
-        k = self.acc_chunks
         state = {
             "phase": jnp.zeros((c,), dtype=jnp.uint32),
             "fir_tail": jnp.zeros((2, plan.overlap), dtype=jnp.float32),
         }
-        if self.pass_through or self.dump_iq:
-            state["iq_acc_r"] = jnp.zeros((c, k * plan.out_size), dtype=jnp.float32)
-            state["iq_acc_i"] = jnp.zeros((c, k * plan.out_size), dtype=jnp.float32)
         if not self.pass_through:
             state["demod"] = self.decoder.init_state((c,))
             if self.rs_plan is not None and not self.rs_plan.identity:
                 state["rs_tail"] = jnp.zeros(
                     (c, self.rs_plan.tail_len), dtype=jnp.float32
                 )
-            state["audio_acc"] = jnp.zeros(
-                (c, k * self.audio_capacity), dtype=jnp.float32
-            )
         return state
 
-    def _call(self, state, raw, rs_offset, slot, with_stages: bool):
+    def init_accs(self):
+        plan = self.ddc_plan
+        c = self.num_channels
+        k = self.acc_chunks
+        accs = {}
+        if self.pass_through or self.dump_iq:
+            accs["iq_r"] = jnp.zeros((c, k * plan.out_size), dtype=jnp.float32)
+            accs["iq_i"] = jnp.zeros((c, k * plan.out_size), dtype=jnp.float32)
+        if not self.pass_through:
+            accs["audio"] = jnp.zeros((c, k * self.audio_capacity), dtype=jnp.int16)
+            accs["peak"] = jnp.zeros((c,), dtype=jnp.float32)
+        return accs
+
+    def _scalar(self, value: int):
+        """Cached int32 device scalars: rs_offset/slot repeat every chunk, so
+        re-uploading them would add two host->device RPCs per chunk."""
+        cache = self.__dict__.setdefault("_scalar_cache", {})
+        arr = cache.get(value)
+        if arr is None:
+            arr = jnp.int32(value)
+            cache[value] = arr
+        return arr
+
+    def _call(self, state, accs, raw, rs_offset, slot, with_stages: bool):
         return _chunk_step(
             state,
+            accs,
             raw,
-            jnp.int32(rs_offset),
-            jnp.int32(slot),
+            self._scalar(int(rs_offset)),
+            self._scalar(int(slot)),
             self._incs,
             self._ddc_kernel,
             self._rs_kernel,
@@ -229,11 +258,11 @@ class ChunkStep:
             acc_chunks=self.acc_chunks,
         )
 
-    def fn(self, state, raw, rs_offset, slot):
-        return self._call(state, raw, rs_offset, slot, with_stages=False)
+    def fn(self, state, accs, raw, rs_offset, slot):
+        return self._call(state, accs, raw, rs_offset, slot, with_stages=False)
 
-    def fn_stages(self, state, raw, rs_offset, slot):
-        return self._call(state, raw, rs_offset, slot, with_stages=True)
+    def fn_stages(self, state, accs, raw, rs_offset, slot):
+        return self._call(state, accs, raw, rs_offset, slot, with_stages=True)
 
 
 def build_chunk_step(
@@ -249,6 +278,7 @@ def build_chunk_step(
     pass_through: bool,
     dump_iq: bool,
     acc_bytes_budget: int = 96 << 20,
+    acc_chunks_cap: int | None = None,
 ) -> ChunkStep:
     c = len(incs_fixed)
     # accumulation window: batch as many chunks as fit the budget (>=1)
@@ -259,10 +289,12 @@ def build_chunk_step(
             if (rs_plan is None or rs_plan.identity)
             else rs_plan.out_capacity
         )
-        per_chunk += c * cap * 4
+        per_chunk += c * cap * 2
     if pass_through or dump_iq:
         per_chunk += c * ddc_plan.out_size * 8
     acc_chunks = max(1, min(64, acc_bytes_budget // max(per_chunk, 1)))
+    if acc_chunks_cap is not None:
+        acc_chunks = max(1, min(acc_chunks, acc_chunks_cap))
     return ChunkStep(
         ddc_plan=ddc_plan,
         rs_plan=rs_plan,

@@ -1,0 +1,109 @@
+"""Checkpoint/resume: an interrupted run resumed from its checkpoint must
+produce byte-identical audio to an uninterrupted run (the carried-state
+tuple + input offset is the complete resume story, SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import make_nfm_iq
+
+from iq_to_audio_tpu import ProcessingCancelled, ProcessingConfig, ProcessingPipeline
+from iq_to_audio_tpu.io.writer import read_wav, write_stereo_wav
+from iq_to_audio_tpu.pipeline.progress import ProgressSink
+
+FS = 250_000.0
+CENTER = 145_000_000.0
+TARGET = CENTER + 25_000.0
+
+
+class _CancelAfter(ProgressSink):
+    """Cancel once the ingest phase passes a sample threshold."""
+
+    def __init__(self, threshold):
+        self.threshold = threshold
+        self._cb = None
+        self._seen = 0.0
+
+    def start(self, phases, *, overall_total):
+        pass
+
+    def advance(self, phase, delta, *, overall_completed, overall_total):
+        if phase.key == "ingest":
+            self._seen += delta
+            if self._seen >= self.threshold and self._cb:
+                self._cb()
+
+    def status(self, message):
+        pass
+
+    def close(self):
+        pass
+
+    def cancel(self):
+        pass
+
+    def set_cancel_callback(self, callback):
+        self._cb = callback
+
+
+@pytest.fixture
+def capture(tmp_path):
+    iq = make_nfm_iq(FS, 2.0, 25_000.0)
+    path = tmp_path / f"baseband_{int(CENTER)}Hz_long.wav"
+    write_stereo_wav(path, np.column_stack([iq.real, iq.imag]), int(FS))
+    return path
+
+
+def test_resume_produces_identical_audio(tmp_path, capture):
+    # uninterrupted reference run
+    ref_out = tmp_path / "ref.wav"
+    ProcessingPipeline(
+        ProcessingConfig(
+            in_path=capture, target_freq=TARGET, output_path=ref_out, chunk_size=32_768
+        )
+    ).run()
+    ref, _ = read_wav(ref_out)
+
+    # interrupted run with frequent checkpoints (cancel mid-stream)
+    out = tmp_path / "resumable.wav"
+    cfg = dict(
+        in_path=capture,
+        target_freq=TARGET,
+        output_path=out,
+        chunk_size=32_768,
+        checkpoint_secs=0.4,
+        mix_sign_override=1,
+    )
+    with pytest.raises(ProcessingCancelled):
+        ProcessingPipeline(ProcessingConfig(**cfg)).run(_CancelAfter(FS * 1.2))
+    ckpt = tmp_path / "resumable.wav.ckpt"
+    assert ckpt.exists(), "checkpoint must survive cancellation"
+    assert out.exists(), "partial output must survive cancellation when checkpointing"
+
+    # resume to completion
+    result = ProcessingPipeline(ProcessingConfig(**cfg, resume=True)).run()
+    assert not ckpt.exists(), "checkpoint removed after successful completion"
+    got, rate = read_wav(out)
+    assert rate == 48_000
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got[:, 0], ref[:, 0])
+    assert result.audio_peak > 0.01
+
+
+def test_resume_rejects_mismatched_config(tmp_path, capture):
+    out = tmp_path / "a.wav"
+    cfg = dict(
+        in_path=capture,
+        target_freq=TARGET,
+        output_path=out,
+        chunk_size=32_768,
+        checkpoint_secs=0.2,
+        mix_sign_override=1,
+    )
+    with pytest.raises(ProcessingCancelled):
+        ProcessingPipeline(ProcessingConfig(**cfg)).run(_CancelAfter(FS * 0.8))
+    bad = dict(cfg, bandwidth=25_000.0, resume=True)
+    with pytest.raises(ValueError, match="does not match"):
+        ProcessingPipeline(ProcessingConfig(**bad)).run()

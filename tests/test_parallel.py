@@ -94,6 +94,7 @@ def test_sharded_matches_single_device(mode):
 
     state_sh = sharded_init()
     state_single = single.init_state()
+    accs_single = single.init_accs()
     total_in = 0
     cap = single.audio_capacity
     for k in range(2):
@@ -105,10 +106,15 @@ def test_sharded_matches_single_device(mode):
             state_sh, raw_dev, jnp.int32(off), incs_sh, ddc_k_sh, rs_k_sh
         )
         slot = k % single.acc_chunks
-        state_single, _ = single.fn(state_single, jnp.asarray(raw_k), off, slot)
+        state_single, accs_single, _ = single.fn(
+            state_single, accs_single, jnp.asarray(raw_k), off, slot
+        )
         total_in += ddc_plan.out_size
         a_sh = np.asarray(audio_sh)[:, :count]
-        acc = np.asarray(state_single["audio_acc"])
+        acc = np.asarray(accs_single["audio"]).astype(np.float32) / 32767.0
         a_single = acc[:, slot * cap : slot * cap + count]
+        # sharded path emits float audio; single-device path s16-encodes on
+        # device — compare at s16 resolution
+        a_sh = np.round(np.clip(a_sh, -0.99, 0.99) * 32767.0) / 32767.0
         err = error_db(a_sh, a_single)
-        assert err < -60.0, (mode, k, err)
+        assert err < -55.0, (mode, k, err)
