@@ -70,6 +70,9 @@ class DDCPlan:
         if unit > max_chunk:
             unit = d  # pathological alignment: fall back to plain D-alignment
         n = max(unit, min(max_chunk // unit, max(1, round(target_chunk / unit))) * unit)
+        # the carried tail requires chunk >= L-1
+        min_units = -(-(int(num_taps) - 1) // unit)
+        n = max(n, min_units * unit)
         return DDCPlan(num_taps=int(num_taps), decimation=d, chunk_size=n)
 
 

@@ -298,6 +298,11 @@ class ProcessingPipeline:
             LOG.info("Designed FIR channel filter with %d taps.", len(taps))
 
             target_chunk = tune_chunk_size(sample_rate, cfg.chunk_size)
+            if jax.default_backend() != "cpu":
+                # accelerators amortise per-chunk host-interaction latency:
+                # prefer the 4Mi cap unless the user asked for less
+                if cfg.chunk_size >= 1_048_576:
+                    target_chunk = max(target_chunk, 1 << 22)
             rs_align = 1
             if not pass_through:
                 rate_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, 1)
@@ -680,6 +685,33 @@ class ProcessingPipeline:
                 feeder = _threading.Thread(target=_feeder, name="DeviceFeeder", daemon=True)
 
                 def _device_blocks():
+                    if os.environ.get("IQ2A_NO_FEEDER"):
+                        # diagnostic path: inline uploads on the main thread
+                        budget = max_input_samples
+                        block = raw_first
+                        while True:
+                            valid = block.size // 2
+                            if budget is not None:
+                                if processed_samples >= budget:
+                                    feed_state["limit_exhausted"] = True
+                                    return
+                                valid = min(valid, budget - processed_samples)
+                                if valid < block.size // 2:
+                                    block = block[: 2 * valid]
+                                    feed_state["limit_exhausted"] = True
+                            if valid:
+                                if block.size < 2 * chunk_size:
+                                    padded = np.zeros(2 * chunk_size, dtype=block.dtype)
+                                    padded[: block.size] = block
+                                    block = padded
+                                t0 = time.perf_counter()
+                                dev = jax.device_put(block)
+                                timing["feed"] += time.perf_counter() - t0
+                                yield valid, dev
+                            nxt = reader.read_block_raw()
+                            if nxt is None or nxt.size == 0:
+                                return
+                            block = nxt
                     feeder.start()
                     try:
                         while True:
@@ -730,7 +762,7 @@ class ProcessingPipeline:
                         last_audio["buf"] = audio_np
                         last_audio["slot"] = len(counts) - 1
                         last_audio["count"] = counts[-1][1]
-                        last_audio["peak"] = np.asarray(handle["peak"])
+                        last_audio["peak_handle"] = handle["peak"]
                     timing["write"] += time.perf_counter() - t0
 
                 for idx, (valid_frames, raw_dev) in enumerate(_device_blocks()):
@@ -798,8 +830,12 @@ class ProcessingPipeline:
                         t0 = time.perf_counter()
                         state, accs, out = step.fn(state, accs, raw_dev, rs_offset, slot)
                         timing["dispatch"] += time.perf_counter() - t0
-                    if idx == 0 and not pass_through:
-                        rms = np.asarray(out["rms_dbfs"])
+                        if os.environ.get("IQ2A_TIMING") == "2":
+                            t0 = time.perf_counter()
+                            jax.block_until_ready(accs["audio" if not pass_through else "iq_r"])
+                            LOG.info("chunk %d exec %.1f ms", idx, 1e3 * (time.perf_counter() - t0))
+                    if not pass_through and LOG.isEnabledFor(logging.DEBUG):
+                        rms = np.asarray(out["rms_dbfs"])  # D2H: debug only
                         LOG.debug(
                             "Demod chunk %d: %d samples, rms=%s dBFS",
                             idx,
@@ -846,9 +882,11 @@ class ProcessingPipeline:
                         for c, w in enumerate(audio_writers):
                             w.write_s16(buf[c, lo:hi])
                         rs_emitted += hi - lo
-                if "peak" in last_audio:
+                if "peak_handle" in last_audio:
+                    # peak is only needed at the end: one tiny D2H total
+                    peaks_np = np.asarray(last_audio["peak_handle"])
                     for c, w in enumerate(audio_writers):
-                        w.peak = max(w.peak, float(last_audio["peak"][c]))
+                        w.peak = max(w.peak, float(peaks_np[c]))
                 loop_seconds = time.perf_counter() - loop_start
                 if want_timing:
                     LOG.info(

@@ -1,0 +1,124 @@
+"""Performance test groups (reference tests/test_benchmark.py shape:
+demod-synthetic, sample-rate-scaling, chunk-size, agc-impact,
+bandwidth-scaling, sustained-performance).
+
+pytest-benchmark is not a baked-in dependency, so these use a light
+timing harness: each case runs the full pipeline and records seconds per
+second of signal.  On CPU CI the assertions are sanity bounds only
+(non-zero output, forward progress); the real throughput gate is bench.py
+on TPU hardware.  Run with -m perf to include the slower groups:
+``python -m pytest tests/test_benchmark.py -q``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from conftest import make_nfm_iq, make_am_iq, make_tone_iq
+
+from iq_to_audio_tpu import ProcessingConfig, ProcessingPipeline
+from iq_to_audio_tpu.io.writer import read_wav, write_stereo_wav
+
+CENTER = 400_000_000.0
+RESULTS: list[dict] = []
+
+
+def _run_case(tmp_path, name, iq, fs, *, demod="nfm", offset=25_000.0, **kwargs):
+    path = tmp_path / f"bench_{name}_fc-{int(CENTER)}Hz.wav"
+    write_stereo_wav(path, np.column_stack([iq.real, iq.imag]), int(fs))
+    out = tmp_path / f"bench_{name}.wav"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + offset,
+        center_freq=CENTER,
+        demod_mode=demod,
+        output_path=out,
+        mix_sign_override=1,
+        **kwargs,
+    )
+    # warm (compile) then measure
+    ProcessingPipeline(cfg).run()
+    start = time.perf_counter()
+    result = ProcessingPipeline(cfg).run()
+    elapsed = time.perf_counter() - start
+    seconds = iq.size / fs
+    RESULTS.append(
+        {
+            "case": name,
+            "signal_seconds": seconds,
+            "elapsed": elapsed,
+            "realtime_factor": seconds / elapsed,
+        }
+    )
+    if demod != "none":
+        audio, rate = read_wav(out)
+        assert rate == 48_000 and audio.shape[0] > 0
+    assert result.input_samples == iq.size
+    return elapsed, seconds
+
+
+@pytest.mark.parametrize("demod", ["nfm", "am", "usb", "lsb"])
+def test_demod_synthetic(tmp_path, demod):
+    """Group: demod-synthetic (reference test_benchmark.py:78-135)."""
+    fs = 250_000.0
+    gen = {
+        "nfm": lambda: make_nfm_iq(fs, 0.5, 25_000.0),
+        "am": lambda: make_am_iq(fs, 0.5, 25_000.0),
+        "usb": lambda: make_tone_iq(fs, 0.5, 26_000.0),
+        "lsb": lambda: make_tone_iq(fs, 0.5, 24_000.0),
+    }[demod]
+    elapsed, seconds = _run_case(tmp_path, f"demod-{demod}", gen(), fs, demod=demod)
+    assert elapsed < 60.0  # sanity only; TPU gate lives in bench.py
+
+
+@pytest.mark.parametrize("fs", [96_000.0, 1_000_000.0, 2_500_000.0])
+def test_sample_rate_scaling(tmp_path, fs):
+    """Group: sample-rate-scaling (reference :143-190)."""
+    iq = make_nfm_iq(fs, 0.4, min(25_000.0, fs / 8))
+    _run_case(tmp_path, f"rate-{int(fs)}", iq, fs, offset=min(25_000.0, fs / 8))
+
+
+@pytest.mark.parametrize("chunk", [32_768, 131_072, 524_288])
+def test_chunk_size_scaling(tmp_path, chunk):
+    """Group: chunk-size (reference :193-240)."""
+    fs = 500_000.0
+    iq = make_nfm_iq(fs, 0.4, 25_000.0)
+    _run_case(tmp_path, f"chunk-{chunk}", iq, fs, chunk_size=chunk)
+
+
+@pytest.mark.parametrize("agc", [True, False])
+def test_agc_impact(tmp_path, agc):
+    """Group: agc-impact (reference :243-276)."""
+    fs = 250_000.0
+    iq = make_tone_iq(fs, 0.5, 26_000.0)
+    _run_case(tmp_path, f"agc-{agc}", iq, fs, demod="usb", agc_enabled=agc)
+
+
+@pytest.mark.parametrize("bw", [2_800.0, 12_500.0, 200_000.0])
+def test_bandwidth_scaling(tmp_path, bw):
+    """Group: bandwidth-scaling (reference :278-325)."""
+    fs = 1_000_000.0
+    iq = make_nfm_iq(fs, 0.4, 50_000.0)
+    _run_case(tmp_path, f"bw-{int(bw)}", iq, fs, offset=50_000.0, bandwidth=bw)
+
+
+def test_sustained_performance(tmp_path):
+    """Group: sustained-performance (reference :386-413)."""
+    fs = 500_000.0
+    iq = make_nfm_iq(fs, 1.0, 25_000.0)
+    elapsed, seconds = _run_case(tmp_path, "sustained", iq, fs)
+    assert elapsed < 120.0
+
+
+def test_zz_report(tmp_path):
+    """Emit the collected timings as JSON (CI artifact, reference ci.yml
+    benchmark-json export)."""
+    out = Path(os.environ.get("IQ2A_BENCH_JSON", tmp_path / "benchmark.json"))
+    out.write_text(json.dumps(RESULTS, indent=2))
+    assert RESULTS, "benchmark cases must have run"
