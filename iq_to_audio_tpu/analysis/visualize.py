@@ -93,3 +93,46 @@ def save_stage_psd(
     output_path.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(output_path, dpi=110)
     plt.close(fig)
+
+
+def interactive_select_frequency(
+    samples: np.ndarray,
+    sample_rate: float,
+    center_freq: float = 0.0,
+    *,
+    nfft: int = 1 << 16,
+) -> tuple[float | None, float | None]:
+    """Minimal matplotlib SpanSelector frequency/bandwidth picker.
+
+    Legacy fallback (reference ``visualize.py:106-191``) superseded by the Qt
+    GUI; kept for environments with matplotlib but no PySide6.  Returns
+    ``(target_freq, bandwidth)`` or ``(None, None)`` if the window is closed
+    without a selection.
+    """
+    import matplotlib.pyplot as plt
+    from matplotlib.widgets import SpanSelector
+
+    freqs, psd_db = compute_psd(np.asarray(samples), sample_rate, nfft=nfft)
+    fig, ax = plt.subplots(figsize=(11, 5))
+    ax.plot(freqs + center_freq, psd_db, lw=0.6)
+    ax.set_xlabel("Frequency (Hz)")
+    ax.set_ylabel("dBFS/Hz")
+    ax.set_title("Drag to select a channel (close the window to confirm)")
+    selection: dict[str, float] = {}
+
+    def _on_select(xmin: float, xmax: float):
+        if xmax > xmin:
+            selection["target"] = 0.5 * (xmin + xmax)
+            selection["bandwidth"] = xmax - xmin
+            ax.set_title(
+                f"Selected {selection['target'] / 1e6:.6f} MHz, "
+                f"bw {selection['bandwidth'] / 1e3:.2f} kHz — close to confirm"
+            )
+            fig.canvas.draw_idle()
+
+    _selector = SpanSelector(
+        ax, _on_select, "horizontal", useblit=True, props={"alpha": 0.3}
+    )
+    plt.show()
+    del _selector
+    return selection.get("target"), selection.get("bandwidth")

@@ -93,8 +93,12 @@ class IQReader:
         self.iq_order = iq_order
         self.input_format = input_format
         self.sample_rate = sample_rate
-        self.prefetch_depth = max(1, prefetch_depth)
+        #: 0 disables the prefetch thread (synchronous reads) — page-cache
+        #: reads are cheap, and a busy Python thread can interfere with the
+        #: accelerator dispatch path on high-latency runtimes
+        self.prefetch_depth = max(0, prefetch_depth)
         self.start_frame = max(0, int(start_frame))  # resume offset
+        self._remaining = 0
         self._dtype = _CODEC_DTYPE[input_format.codec]
         self._payload_offset = 0
         self._payload_size = 0
@@ -132,12 +136,14 @@ class IQReader:
             self._payload_size -= skip
         self._fd = self.path.open("rb", buffering=0)
         self._fd.seek(self._payload_offset)
-        self._queue = queue.Queue(maxsize=self.prefetch_depth)
+        self._remaining = self._payload_size
         self._stop.clear()
-        self._thread = threading.Thread(
-            target=self._producer, name="IQReader-prefetch", daemon=True
-        )
-        self._thread.start()
+        if self.prefetch_depth > 0:
+            self._queue = queue.Queue(maxsize=self.prefetch_depth)
+            self._thread = threading.Thread(
+                target=self._producer, name="IQReader-prefetch", daemon=True
+            )
+            self._thread.start()
         return self
 
     def __exit__(self, exc_type, exc_val, exc_tb) -> None:
@@ -199,10 +205,27 @@ class IQReader:
             except queue.Full:
                 continue
 
+    def _read_sync(self) -> np.ndarray | None:
+        frame_bytes = self.input_format.bytes_per_frame
+        if self._remaining <= 0:
+            return None
+        want = min(self.chunk_size * frame_bytes, self._remaining)
+        buf = self._fd.read(want)
+        if not buf:
+            self._remaining = 0
+            return None
+        self._remaining -= len(buf)
+        usable = len(buf) - (len(buf) % frame_bytes)
+        if usable <= 0:
+            return None
+        return np.frombuffer(buf[:usable], dtype=self._dtype)
+
     def read_block_raw(self) -> np.ndarray | None:
         """Next raw interleaved block (dtype per codec), or None at EOF."""
-        if self._queue is None:
+        if self._fd is None:
             raise RuntimeError("IQReader has not been entered.")
+        if self._queue is None:
+            return self._read_sync()
         item = self._queue.get()
         if item is _SENTINEL:
             if self._error is not None:

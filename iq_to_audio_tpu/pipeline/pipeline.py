@@ -298,11 +298,13 @@ class ProcessingPipeline:
             LOG.info("Designed FIR channel filter with %d taps.", len(taps))
 
             target_chunk = tune_chunk_size(sample_rate, cfg.chunk_size)
-            if jax.default_backend() != "cpu":
-                # accelerators amortise per-chunk host-interaction latency:
-                # prefer the 4Mi cap unless the user asked for less
-                if cfg.chunk_size >= 1_048_576:
-                    target_chunk = max(target_chunk, 1 << 22)
+            max_chunk = 1 << 22
+            if jax.default_backend() != "cpu" and cfg.chunk_size >= 1_048_576:
+                # accelerators amortise the fixed per-chunk host-interaction
+                # latency (one H2D upload RPC): use 16Mi-sample chunks
+                # (~64 MB of s16 on the wire) unless the user asked for less
+                target_chunk = max(target_chunk, 1 << 24)
+                max_chunk = 1 << 24
             rs_align = 1
             if not pass_through:
                 rate_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, 1)
@@ -311,7 +313,11 @@ class ProcessingPipeline:
                     # keeps its geometry identical every chunk
                     rs_align = rate_plan.down
             ddc_plan = DDCPlan.create(
-                len(taps), decimation, target_chunk=target_chunk, out_align=rs_align
+                len(taps),
+                decimation,
+                target_chunk=target_chunk,
+                out_align=rs_align,
+                max_chunk=max_chunk,
             )
             chunk_size = ddc_plan.chunk_size
             n_dec = ddc_plan.out_size
@@ -347,6 +353,9 @@ class ProcessingPipeline:
                 input_spec,
                 sample_rate=sample_rate if input_spec.container == "raw" else None,
                 start_frame=resume_frames,
+                # synchronous reads: page-cache reads are cheap and a busy
+                # Python thread interferes with accelerator dispatch latency
+                prefetch_depth=0 if jax.default_backend() != "cpu" else 2,
             )
             phases: list[PhaseState] = []
             with reader:
@@ -685,8 +694,11 @@ class ProcessingPipeline:
                 feeder = _threading.Thread(target=_feeder, name="DeviceFeeder", daemon=True)
 
                 def _device_blocks():
-                    if os.environ.get("IQ2A_NO_FEEDER"):
-                        # diagnostic path: inline uploads on the main thread
+                    if not os.environ.get("IQ2A_FEEDER"):
+                        # default: inline synchronous uploads — measured
+                        # faster than a feeder thread on high-latency
+                        # runtimes (thread interference costs more than the
+                        # lost overlap); IQ2A_FEEDER=1 restores the thread
                         budget = max_input_samples
                         block = raw_first
                         while True:
