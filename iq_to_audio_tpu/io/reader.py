@@ -177,20 +177,11 @@ class IQReader:
         return self._dtype
 
     def _producer(self) -> None:
-        frame_bytes = self.input_format.bytes_per_frame
-        block_bytes = self.chunk_size * frame_bytes
-        remaining = self._payload_size
         try:
-            while remaining > 0 and not self._stop.is_set():
-                want = min(block_bytes, remaining)
-                buf = self._fd.read(want)
-                if not buf:
+            while not self._stop.is_set():
+                arr = self._read_block_owned()
+                if arr is None:
                     break
-                remaining -= len(buf)
-                usable = len(buf) - (len(buf) % frame_bytes)
-                if usable <= 0:
-                    break
-                arr = np.frombuffer(buf[:usable], dtype=self._dtype)
                 self._put(arr)
         except BaseException as exc:  # surfaced on next consumer read
             self._error = exc
@@ -205,27 +196,36 @@ class IQReader:
             except queue.Full:
                 continue
 
-    def _read_sync(self) -> np.ndarray | None:
+    def _read_block_owned(self) -> np.ndarray | None:
+        """Read the next block into a FRESH owned, aligned numpy array.
+
+        Owned contiguous buffers matter: accelerator runtimes take a
+        zero-copy/pinned fast path for them, while `np.frombuffer` views
+        over `bytes` can fall into a slow chopped-copy transfer path.
+        """
         frame_bytes = self.input_format.bytes_per_frame
         if self._remaining <= 0:
             return None
         want = min(self.chunk_size * frame_bytes, self._remaining)
-        buf = self._fd.read(want)
-        if not buf:
+        arr = np.empty(want // self._dtype.itemsize, dtype=self._dtype)
+        got = self._fd.readinto(memoryview(arr).cast("B"))
+        if not got:
             self._remaining = 0
             return None
-        self._remaining -= len(buf)
-        usable = len(buf) - (len(buf) % frame_bytes)
+        self._remaining -= got
+        usable = got - (got % frame_bytes)
         if usable <= 0:
             return None
-        return np.frombuffer(buf[:usable], dtype=self._dtype)
+        if usable == want:
+            return arr
+        return arr[: usable // self._dtype.itemsize]
 
     def read_block_raw(self) -> np.ndarray | None:
         """Next raw interleaved block (dtype per codec), or None at EOF."""
         if self._fd is None:
             raise RuntimeError("IQReader has not been entered.")
         if self._queue is None:
-            return self._read_sync()
+            return self._read_block_owned()
         item = self._queue.get()
         if item is _SENTINEL:
             if self._error is not None:

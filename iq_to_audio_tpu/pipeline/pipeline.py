@@ -300,11 +300,9 @@ class ProcessingPipeline:
             target_chunk = tune_chunk_size(sample_rate, cfg.chunk_size)
             max_chunk = 1 << 22
             if jax.default_backend() != "cpu" and cfg.chunk_size >= 1_048_576:
-                # accelerators amortise the fixed per-chunk host-interaction
-                # latency (one H2D upload RPC): use 16Mi-sample chunks
-                # (~64 MB of s16 on the wire) unless the user asked for less
-                target_chunk = max(target_chunk, 1 << 24)
-                max_chunk = 1 << 24
+                # accelerators amortise per-chunk host-interaction latency:
+                # prefer the 4Mi cap unless the user asked for less
+                target_chunk = max(target_chunk, 1 << 22)
             rs_align = 1
             if not pass_through:
                 rate_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, 1)
