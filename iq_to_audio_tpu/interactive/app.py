@@ -186,6 +186,7 @@ class InteractiveWindow(QMainWindow):
         self.status_panel.stop_requested.connect(self._stop_workers)
         self.spectrum_options = SpectrumOptionsPanel(self.state)
         self.spectrum_options.changed.connect(self._render_snapshot)
+        self.spectrum_options.full_psd_btn.clicked.connect(self._analyze_full)
         self.waterfall_options = WaterfallOptionsPanel(self.state)
         self.waterfall_options.changed.connect(self._update_waterfall)
         self.waterfall_options.show_btn.clicked.connect(self._show_waterfall)
@@ -340,6 +341,63 @@ class InteractiveWindow(QMainWindow):
     def _show_waterfall(self):
         self.waterfall_window.show()
         self._update_waterfall()
+
+    def _analyze_full(self):
+        """Average the ENTIRE capture into the spectrum (reference README
+        'Analyze entire recording' toggle)."""
+        if self.state.input_path is None or self._input_spec is None:
+            self._status("Open a recording first.")
+            return
+        rate = self.state.effective_sample_rate
+        if not rate:
+            self._status("Enter a sample rate first.")
+            return
+        from PySide6.QtCore import QRunnable, QObject, Signal, Slot
+
+        window = self
+
+        class _FullPsdWorker(QRunnable):
+            class Signals(QObject):
+                finished = Signal(object)
+                failed = Signal(str)
+                progress = Signal(float)
+
+            def __init__(self):
+                super().__init__()
+                self.signals = self.Signals()
+
+            @Slot()
+            def run(self):
+                from .workers import compute_full_psd
+
+                try:
+                    result = compute_full_psd(
+                        window.state.input_path,
+                        window._input_spec,
+                        rate,
+                        nfft=min(window.state.spectrum_nfft, 1 << 18),
+                        progress_cb=self.signals.progress.emit,
+                    )
+                    self.signals.finished.emit(result)
+                except Exception as exc:
+                    self.signals.failed.emit(str(exc))
+
+        worker = _FullPsdWorker()
+
+        def _done(result):
+            freqs, psd, frames = result
+            if self._snapshot is not None:
+                self._snapshot.freqs = freqs
+                self._snapshot.psd_db = psd
+                self._snapshot.frames = frames
+            self._status(f"Full-capture spectrum averaged over {frames} frames.")
+            self._render_snapshot()
+
+        worker.signals.finished.connect(_done)
+        worker.signals.failed.connect(self._status)
+        worker.signals.progress.connect(self.status_panel.set_progress)
+        self._status("Averaging entire recording…")
+        self._pool.start(worker)
 
     def _retune_from_waterfall(self, freq: float):
         if self.state.add_target(freq):

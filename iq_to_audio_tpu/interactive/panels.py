@@ -353,6 +353,11 @@ class SpectrumOptionsPanel(PanelGroup):
         self.theme_combo.currentIndexChanged.connect(self._apply)
         grid.addWidget(self.theme_combo, 3, 1)
         self.add_layout(grid)
+        self.full_psd_btn = QPushButton("Analyze entire recording")
+        self.full_psd_btn.setToolTip(
+            "Average the full capture into the spectrum (maximum frequency resolution)."
+        )
+        self.add(self.full_psd_btn)
 
     def _apply(self, *_):
         self.state.spectrum_nfft = self.nfft_combo.currentData()
