@@ -39,8 +39,9 @@ def main() -> int:
     from iq_to_audio_tpu.pipeline.config import ProcessingConfig
     from iq_to_audio_tpu.pipeline.pipeline import ProcessingPipeline
 
+    import os
     sample_rate = 2_500_000.0
-    seconds = 10.0
+    seconds = float(os.environ.get("IQ2A_BENCH_SECONDS", "10"))
     warm_seconds = 2.0
     offset = 25_000.0
     center = 400_000_000.0

@@ -525,6 +525,14 @@ class ProcessingPipeline:
                     acc_cap = max(
                         1, int(cfg.checkpoint_secs * sample_rate // chunk_size)
                     )
+                # supersteps require a constant per-chunk resampler geometry
+                # and are pointless for stage-snapshot runs
+                rs_aligned = (
+                    rs_plan is None
+                    or rs_plan.identity
+                    or n_dec % rs_plan.down == 0
+                )
+                super_req = None if rs_aligned and not cfg.plot_stages_path else 1
                 step = build_chunk_step(
                     ddc_plan=ddc_plan,
                     rs_plan=rs_plan,
@@ -537,6 +545,7 @@ class ProcessingPipeline:
                     pass_through=pass_through,
                     dump_iq=cfg.dump_iq_path is not None,
                     acc_chunks_cap=acc_cap,
+                    super_chunks=super_req,
                 )
                 state = step.init_state()
                 accs = step.init_accs()
@@ -626,115 +635,46 @@ class ProcessingPipeline:
                     self._profiling = True
                 loop_start = time.perf_counter()
 
-                # uploader thread: slice/pad blocks and device_put them ahead
-                # of the compute loop, so H2D transfers overlap device work
-                import queue as _queue
-                import threading as _threading
+                feed_state = {"limit_exhausted": False}
+                super_chunks = step.super_chunks
 
-                feed_q: _queue.Queue = _queue.Queue(maxsize=3)
-                feeder_stop = _threading.Event()
-                feed_state = {"error": None, "limit_exhausted": False}
-
-                def _feeder():
-                    budget = (
-                        None
-                        if max_input_samples is None
-                        else max_input_samples - processed_samples
-                    )
-
-                    def push(block) -> bool:
-                        nonlocal budget
+                def _raw_blocks():
+                    """Valid-sliced, zero-padded raw blocks (owned arrays)."""
+                    consumed = 0
+                    block = raw_first
+                    while True:
                         valid = block.size // 2
-                        if budget is not None:
-                            if budget <= 0:
+                        if max_input_samples is not None:
+                            remaining = max_input_samples - consumed
+                            if remaining <= 0:
                                 feed_state["limit_exhausted"] = True
-                                return False
-                            if valid > budget:
-                                block = block[: 2 * budget]
-                                valid = budget
+                                return
+                            if valid > remaining:
+                                block = block[: 2 * remaining]
+                                valid = remaining
                                 feed_state["limit_exhausted"] = True
-                        if valid == 0:
-                            return True
-                        if block.size < 2 * chunk_size:
-                            padded = np.zeros(2 * chunk_size, dtype=block.dtype)
-                            padded[: block.size] = block
-                            block = padded
-                        t0 = time.perf_counter()
-                        dev = jax.device_put(block)
-                        timing["feed"] += time.perf_counter() - t0
-                        if budget is not None:
-                            budget -= valid
-                        while not feeder_stop.is_set():
-                            try:
-                                feed_q.put((valid, dev), timeout=0.2)
-                                break
-                            except _queue.Full:
-                                continue
-                        if budget is not None and budget <= 0:
-                            feed_state["limit_exhausted"] = True
-                            return False
-                        return True
+                        if valid:
+                            if block.size < 2 * chunk_size:
+                                padded = np.zeros(2 * chunk_size, dtype=block.dtype)
+                                padded[: block.size] = block
+                                block = padded
+                            consumed += valid
+                            yield valid, block
+                        nxt = reader.read_block_raw()
+                        if nxt is None or nxt.size == 0:
+                            return
+                        block = nxt
 
-                    try:
-                        if push(raw_first):
-                            while not feeder_stop.is_set():
-                                nxt = reader.read_block_raw()
-                                if nxt is None or nxt.size == 0:
-                                    break
-                                if not push(nxt):
-                                    break
-                    except BaseException as exc:  # surfaced in the main loop
-                        feed_state["error"] = exc
-                    finally:
-                        with contextlib.suppress(Exception):
-                            feed_q.put(None, timeout=5)
-
-                feeder = _threading.Thread(target=_feeder, name="DeviceFeeder", daemon=True)
-
-                def _device_blocks():
-                    if not os.environ.get("IQ2A_FEEDER"):
-                        # default: inline synchronous uploads — measured
-                        # faster than a feeder thread on high-latency
-                        # runtimes (thread interference costs more than the
-                        # lost overlap); IQ2A_FEEDER=1 restores the thread
-                        budget = max_input_samples
-                        block = raw_first
-                        while True:
-                            valid = block.size // 2
-                            if budget is not None:
-                                if processed_samples >= budget:
-                                    feed_state["limit_exhausted"] = True
-                                    return
-                                valid = min(valid, budget - processed_samples)
-                                if valid < block.size // 2:
-                                    block = block[: 2 * valid]
-                                    feed_state["limit_exhausted"] = True
-                            if valid:
-                                if block.size < 2 * chunk_size:
-                                    padded = np.zeros(2 * chunk_size, dtype=block.dtype)
-                                    padded[: block.size] = block
-                                    block = padded
-                                t0 = time.perf_counter()
-                                dev = jax.device_put(block)
-                                timing["feed"] += time.perf_counter() - t0
-                                yield valid, dev
-                            nxt = reader.read_block_raw()
-                            if nxt is None or nxt.size == 0:
-                                return
-                            block = nxt
-                    feeder.start()
-                    try:
-                        while True:
-                            item = feed_q.get()
-                            if item is None:
-                                if feed_state["error"] is not None:
-                                    raise RuntimeError(
-                                        f"IQ feed failed: {feed_state['error']}"
-                                    ) from feed_state["error"]
-                                return
-                            yield item
-                    finally:
-                        feeder_stop.set()
+                def _groups():
+                    """Groups of up to ``super_chunks`` blocks per dispatch."""
+                    group: list[tuple[int, np.ndarray]] = []
+                    for item in _raw_blocks():
+                        group.append(item)
+                        if len(group) == super_chunks:
+                            yield group
+                            group = []
+                    if group:
+                        yield group
 
                 timing = {"fetch": 0.0, "write": 0.0, "dispatch": 0.0, "feed": 0.0}
                 want_timing = bool(os.environ.get("IQ2A_TIMING"))
@@ -775,15 +715,16 @@ class ProcessingPipeline:
                         last_audio["peak_handle"] = handle["peak"]
                     timing["write"] += time.perf_counter() - t0
 
-                for idx, (valid_frames, raw_dev) in enumerate(_device_blocks()):
+                idx = 0  # global chunk counter (device-consumed chunks)
+                for group in _groups():
                     _check_cancel(f"chunk {idx + 1}")
 
-                    slot = idx % acc_chunks
-                    if slot == 0 and window:
+                    slot_base = idx % acc_chunks
+                    if slot_base == 0 and window:
                         # window complete: hand its accumulator to the
                         # deferred-fetch slot; write out the PREVIOUS window
                         # (its D2H overlapped with this window's compute).
-                        # This runs BEFORE this chunk's bookkeeping so the
+                        # This runs BEFORE this group's bookkeeping so the
                         # counters in a checkpoint describe exactly what has
                         # been dispatched and flushed.
                         if pending_flush is not None:
@@ -799,78 +740,93 @@ class ProcessingPipeline:
                                 cfg.checkpoint_secs * sample_rate
                             )
 
-                    # exact host bookkeeping (Python ints, no device syncs)
-                    processed_samples += valid_frames
-                    dec_total = -(-processed_samples // decimation)  # ceil
-                    dec_valid = dec_total - dec_emitted
-                    dec_emitted = dec_total
+                    n_real = len(group)
                     rs_offset = 0
                     if rs_plan is not None and not rs_plan.identity:
-                        # the device consumes the full padded chunk; valid
-                        # outputs are those whose block completed within the
-                        # real (non-pad) samples
                         rs_offset = rs_plan.chunk_offset(rs_in_device)
-                        audio_count = rs_plan.out_count(rs_in_device, dec_valid)
-                        rs_in_device += n_dec
-                        rs_in_valid += dec_valid
-                        rs_emitted += audio_count
-                    elif rs_plan is not None:
-                        audio_count = dec_valid
-                    else:
-                        audio_count = 0
+                    group_valid = 0
+                    for valid_frames, _blk in group:
+                        # exact host bookkeeping (Python ints, no device syncs)
+                        processed_samples += valid_frames
+                        group_valid += valid_frames
+                        dec_total = -(-processed_samples // decimation)  # ceil
+                        dec_valid = dec_total - dec_emitted
+                        dec_emitted = dec_total
+                        if rs_plan is not None and not rs_plan.identity:
+                            audio_count = rs_plan.out_count(rs_in_device, dec_valid)
+                            rs_in_device += n_dec
+                            rs_in_valid += dec_valid
+                            rs_emitted += audio_count
+                        elif rs_plan is not None:
+                            audio_count = dec_valid
+                        else:
+                            audio_count = 0
+                        window.append((dec_valid, audio_count))
 
                     report(f"C{idx + 1} channel")
-                    if want_stages and idx == 0:
-                        state, accs, out = step.fn_stages(
-                            state, accs, raw_dev, rs_offset, slot
+                    t0 = time.perf_counter()
+                    if n_real == super_chunks and super_chunks > 1:
+                        stack = np.empty(
+                            (super_chunks, 2 * chunk_size), dtype=group[0][1].dtype
                         )
-                        stages = out.pop("stages")
-                        for name, buf in stages.items():
-                            rate = (
-                                sample_rate
-                                if name in {"input", "mixed", "filtered"}
-                                else fs_channel
-                            )
-                            if isinstance(buf, tuple):  # (re, im) pair
-                                arr = np.asarray(buf[0]) + 1j * np.asarray(buf[1])
-                            else:
-                                arr = np.asarray(buf)
-                            stage_snapshots[name] = (arr, rate)
+                        for s, (_v, blk) in enumerate(group):
+                            stack[s] = blk
+                        raw_dev = jax.device_put(stack)
+                        state, accs = step.fn_super(
+                            state, accs, raw_dev, rs_offset, slot_base
+                        )
                     else:
+                        # final partial group (or S==1): one chunk per dispatch
+                        for s, (_v, blk) in enumerate(group):
+                            raw_dev = jax.device_put(blk)
+                            if want_stages and idx + s == 0:
+                                state, accs, out = step.fn_stages(
+                                    state, accs, raw_dev, rs_offset, slot_base + s
+                                )
+                                stages = out.pop("stages")
+                                for name, buf in stages.items():
+                                    rate = (
+                                        sample_rate
+                                        if name in {"input", "mixed", "filtered"}
+                                        else fs_channel
+                                    )
+                                    if isinstance(buf, tuple):  # (re, im) pair
+                                        arr = np.asarray(buf[0]) + 1j * np.asarray(
+                                            buf[1]
+                                        )
+                                    else:
+                                        arr = np.asarray(buf)
+                                    stage_snapshots[name] = (arr, rate)
+                            else:
+                                state, accs, _out = step.fn(
+                                    state, accs, raw_dev, rs_offset, slot_base + s
+                                )
+                    timing["dispatch"] += time.perf_counter() - t0
+                    if os.environ.get("IQ2A_TIMING") == "2":
                         t0 = time.perf_counter()
-                        state, accs, out = step.fn(state, accs, raw_dev, rs_offset, slot)
-                        timing["dispatch"] += time.perf_counter() - t0
-                        if os.environ.get("IQ2A_TIMING") == "2":
-                            t0 = time.perf_counter()
-                            jax.block_until_ready(accs["audio" if not pass_through else "iq_r"])
-                            LOG.info("chunk %d exec %.1f ms", idx, 1e3 * (time.perf_counter() - t0))
-                    if not pass_through and LOG.isEnabledFor(logging.DEBUG):
-                        rms = np.asarray(out["rms_dbfs"])  # D2H: debug only
-                        LOG.debug(
-                            "Demod chunk %d: %d samples, rms=%s dBFS",
-                            idx,
-                            dec_valid,
-                            "/".join(f"{v:.2f}" for v in rms),
+                        jax.block_until_ready(
+                            accs["audio" if not pass_through else "iq_r"]
                         )
+                        LOG.info(
+                            "group @%d exec %.1f ms", idx, 1e3 * (time.perf_counter() - t0)
+                        )
+                    idx += n_real
 
-                    tracker.advance("ingest", float(valid_frames))
-                    window.append((dec_valid, audio_count))
+                    tracker.advance("ingest", float(group_valid))
+                    group_dec = sum(d for d, _ in window[-n_real:])
                     # downstream progress is host-known without device syncs
-                    tracker.advance("channel", float(dec_valid))
+                    tracker.advance("channel", float(group_dec))
                     if not pass_through:
                         if cfg.dump_iq_path:
-                            tracker.advance("dump_iq", float(dec_valid))
-                        tracker.advance("demod", float(dec_valid))
+                            tracker.advance("dump_iq", float(group_dec))
+                        tracker.advance("demod", float(group_dec))
                         tracker.advance(
                             "encode",
-                            float(dec_valid) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
+                            float(group_dec) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
                         )
                     else:
-                        tracker.advance("demod", float(dec_valid))
-                    _check_cancel(f"chunk {idx + 1} encode")
-                    if max_input_samples is not None and processed_samples >= max_input_samples:
-                        limit_exhausted = True
-                        break
+                        tracker.advance("demod", float(group_dec))
+                    _check_cancel(f"chunk {idx} encode")
                 limit_exhausted = limit_exhausted or feed_state["limit_exhausted"]
 
                 if pending_flush is not None:
@@ -887,8 +843,18 @@ class ProcessingPipeline:
                     extra = rs_plan.final_flush_count(rs_in_valid, rs_emitted)
                     if extra > 0:
                         buf = last_audio["buf"]
-                        lo = last_audio["slot"] * audio_cap + last_audio["count"]
-                        hi = min(lo + extra, (last_audio["slot"] + 1) * audio_cap)
+                        if n_dec % rs_plan.down == 0:
+                            # aligned geometry: every full chunk emits exactly
+                            # per_chunk_out samples, locating the completing
+                            # block's slot directly
+                            per_chunk_out = (n_dec // rs_plan.down) * rs_plan.up
+                            j = rs_emitted // per_chunk_out
+                            slot = j % acc_chunks
+                            lo = slot * audio_cap + (rs_emitted % per_chunk_out)
+                            hi = min(lo + extra, (slot + 1) * audio_cap)
+                        else:
+                            lo = last_audio["slot"] * audio_cap + last_audio["count"]
+                            hi = min(lo + extra, (last_audio["slot"] + 1) * audio_cap)
                         for c, w in enumerate(audio_writers):
                             w.write_s16(buf[c, lo:hi])
                         rs_emitted += hi - lo

@@ -146,6 +146,41 @@ _chunk_step = jax.jit(
 )
 
 
+def superstep_impl(
+    state,
+    accs,
+    raw_stack,
+    rs_offset,
+    slot_base,
+    incs,
+    ddc_kernel,
+    rs_kernel,
+    **static,
+):
+    """Process ``S`` chunks in ONE dispatch: ``lax.scan`` over the stacked
+    raw blocks, filling accumulator slots ``slot_base..slot_base+S-1``.
+
+    On runtimes with high per-call host<->device latency this divides the
+    fixed per-dispatch and per-upload costs by S.  Output metadata (rms) is
+    not returned — the host computes all counts exactly anyway.
+    """
+
+    def body(carry, raw):
+        st, ac, k = carry
+        st, ac, _ = chunk_step_impl(
+            st, ac, raw, rs_offset, slot_base + k, incs, ddc_kernel, rs_kernel, **static
+        )
+        return (st, ac, k + jnp.int32(1)), None
+
+    (state, accs, _), _ = lax.scan(body, (state, accs, jnp.int32(0)), raw_stack)
+    return state, accs
+
+
+_superstep = jax.jit(
+    superstep_impl, static_argnames=_STATIC_ARGNAMES, donate_argnames=("state",)
+)
+
+
 def _device_convert(raw: jnp.ndarray, codec: str, iq_order: str, n: int):
     """On-device sample conversion + de-interleave to a float32 (re, im)
     pair (ffmpeg-compatible scaling, reference IQ-order semantics
@@ -181,6 +216,7 @@ class ChunkStep:
     dump_iq: bool
     decoder: Decoder | None
     acc_chunks: int
+    super_chunks: int
     _ddc_kernel: jnp.ndarray
     _rs_kernel: jnp.ndarray | None
     _incs: jnp.ndarray
@@ -264,6 +300,29 @@ class ChunkStep:
     def fn_stages(self, state, accs, raw, rs_offset, slot):
         return self._call(state, accs, raw, rs_offset, slot, with_stages=True)
 
+    def fn_super(self, state, accs, raw_stack, rs_offset, slot_base):
+        """One dispatch over a stack of ``raw_stack.shape[0]`` chunks."""
+        return _superstep(
+            state,
+            accs,
+            raw_stack,
+            self._scalar(int(rs_offset)),
+            self._scalar(int(slot_base)),
+            self._incs,
+            self._ddc_kernel,
+            self._rs_kernel,
+            ddc_plan=self.ddc_plan,
+            rs_plan=self.rs_plan,
+            decoder=self.decoder,
+            codec=self.codec,
+            iq_order=self.iq_order,
+            pass_through=self.pass_through,
+            dump_iq=self.dump_iq,
+            with_stages=False,
+            num_channels=self.num_channels,
+            acc_chunks=self.acc_chunks,
+        )
+
 
 def build_chunk_step(
     *,
@@ -279,6 +338,7 @@ def build_chunk_step(
     dump_iq: bool,
     acc_bytes_budget: int = 96 << 20,
     acc_chunks_cap: int | None = None,
+    super_chunks: int | None = None,
 ) -> ChunkStep:
     c = len(incs_fixed)
     # accumulation window: batch as many chunks as fit the budget (>=1)
@@ -295,6 +355,18 @@ def build_chunk_step(
     acc_chunks = max(1, min(64, acc_bytes_budget // max(per_chunk, 1)))
     if acc_chunks_cap is not None:
         acc_chunks = max(1, min(acc_chunks, acc_chunks_cap))
+    # superstep size: scan S chunks per dispatch; accumulation windows must
+    # be a whole number of supersteps
+    if super_chunks is None:
+        import os
+
+        env = os.environ.get("IQ2A_SUPER")
+        if env:
+            super_chunks = int(env)
+        else:
+            super_chunks = 8 if jax.default_backend() != "cpu" else 1
+    super_chunks = max(1, min(super_chunks, acc_chunks))
+    acc_chunks = (acc_chunks // super_chunks) * super_chunks
     return ChunkStep(
         ddc_plan=ddc_plan,
         rs_plan=rs_plan,
@@ -305,6 +377,7 @@ def build_chunk_step(
         dump_iq=dump_iq,
         decoder=decoder,
         acc_chunks=acc_chunks,
+        super_chunks=super_chunks,
         _ddc_kernel=jnp.asarray(ddc_kernel_np, dtype=jnp.float32),
         _rs_kernel=(
             jnp.asarray(rs_kernel_np, dtype=jnp.float32)

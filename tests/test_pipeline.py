@@ -133,6 +133,33 @@ def test_nfm_recovers_tone(tmp_path):
     assert tone / (rest + 1e-12) > 3.0
 
 
+def test_superstep_equals_single_step(tmp_path, monkeypatch):
+    """Scanning S chunks per dispatch must produce identical audio to the
+    one-chunk-per-dispatch path (including the padded final group)."""
+    iq = make_nfm_iq(FS, 1.3, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    outputs = {}
+    for label, super_env in (("single", "1"), ("super4", "4")):
+        monkeypatch.setenv("IQ2A_SUPER", super_env)
+        out = tmp_path / f"audio_{label}.wav"
+        cfg = ProcessingConfig(
+            in_path=path,
+            target_freq=CENTER + OFFSET,
+            output_path=out,
+            chunk_size=32_768,
+            mix_sign_override=1,
+        )
+        ProcessingPipeline(cfg).run()
+        outputs[label] = read_wav(out)[0][:, 0]
+    monkeypatch.delenv("IQ2A_SUPER")
+    assert outputs["single"].shape == outputs["super4"].shape
+    # XLA may reorder f32 inside lax.scan: allow 1-LSB flips at s16
+    # quantiser boundaries on a vanishing fraction of samples
+    diff = np.abs(outputs["single"] - outputs["super4"])
+    assert diff.max() <= 1.5 / 32767.0
+    assert float(np.mean(diff > 0)) < 1e-3
+
+
 def test_chunk_size_invariance(tmp_path):
     """Chunked streaming must be invariant to the chunk size choice."""
     iq = make_nfm_iq(FS, 0.8, OFFSET)
