@@ -129,6 +129,8 @@ def ddc_apply(
     tail: jnp.ndarray,
     phase0_fixed: jnp.ndarray,
     inc_lo_fixed: jnp.ndarray,
+    *,
+    poly_w: jnp.ndarray | None = None,
 ):
     """One chunk through the fused mix+filter+decimate stage.
 
@@ -139,29 +141,38 @@ def ddc_apply(
     tail: ``(2, L-1)`` carried raw-input tail (rows: re, im).
     phase0_fixed: ``(C,)`` uint32 oscillator phase at this chunk's first
         decimated sample;  inc_lo_fixed: ``(C,)`` uint32 low-rate increment.
+    poly_w: optional ``(K, F, 2C)`` polyphase tensor — when given, the FIR
+        runs through the hand-written Pallas kernel
+        (:mod:`iq_to_audio_tpu.ops.pallas_ddc`; measured ~4x the XLA conv on
+        v5e at -130 dB agreement) instead of ``lax.conv``.
 
     Returns ``(yr, yi, new_tail, phase_next)`` with ``yr/yi`` of shape
     ``(C, N/D)`` — the mixed+filtered+decimated baseband.
     """
     L, D, N = plan.num_taps, plan.decimation, plan.chunk_size
     assert xr.shape[-1] == N
-    x_full = jnp.stack(
+    m = plan.out_size
+    x_pair = jnp.stack(
         [
             jnp.concatenate([tail[0], xr]),
             jnp.concatenate([tail[1], xi]),
         ]
-    )[None]  # (1, 2, L-1+N)
-    out = lax.conv_general_dilated(
-        x_full,
-        kernel,
-        window_strides=(D,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=lax.Precision.HIGHEST,  # full f32: bf16 default is ~-48 dB
-        preferred_element_type=jnp.float32,
-    )  # (1, 2C, N/D)
-    m = plan.out_size
-    bb = out[0].reshape(-1, 2, m)  # (C, 2, m)
+    )  # (2, L-1+N)
+    if poly_w is not None:
+        from .pallas_ddc import pallas_poly_fir
+
+        bb = pallas_poly_fir(x_pair, poly_w, D, m).reshape(-1, 2, m)
+    else:
+        out = lax.conv_general_dilated(
+            x_pair[None],
+            kernel,
+            window_strides=(D,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=lax.Precision.HIGHEST,  # full f32: bf16 is ~-48 dB
+            preferred_element_type=jnp.float32,
+        )  # (1, 2C, N/D)
+        bb = out[0].reshape(-1, 2, m)  # (C, 2, m)
     br, bi = bb[:, 0], bb[:, 1]
     cos, sin = lowrate_osc(phase0_fixed, inc_lo_fixed, m)
     yr = br * cos - bi * sin
