@@ -211,6 +211,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--benchmark-offset", dest="benchmark_offset", type=float,
                         default=25_000.0,
                         help="Frequency offset (Hz) between center and target for benchmark tone (default: 25 kHz).")
+    parser.add_argument("--benchmark-channels", dest="benchmark_channels", type=int,
+                        default=1, choices=range(1, 6), metavar="N",
+                        help="Batch N channels through the shared channelizer pass when benchmarking (default: 1).")
     parser.add_argument("--cli", dest="cli", action="store_true",
                         help="Run in CLI mode (default launches the interactive GUI when available).")
     parser.add_argument("--audio-post", dest="audio_post_path", type=Path,
@@ -413,6 +416,7 @@ def main(argv: list[str] | None = None) -> int:
                 center_freq=args.center_freq,
                 target_freq=frequencies[0] if frequencies else None,
                 base_kwargs=benchmark_kwargs,
+                channels=args.benchmark_channels,
             )
         except Exception as exc:
             LOG.error("Benchmark failed: %s", exc)

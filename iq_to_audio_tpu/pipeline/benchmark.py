@@ -34,17 +34,26 @@ def generate_synthetic_iq(
     *,
     amplitude: float = 0.7,
     noise_std: float = 0.02,
+    extra_offsets: tuple[float, ...] = (),
 ) -> None:
-    """Synthetic capture generator (reference ``benchmark.py:19-38``)."""
+    """Synthetic capture generator (reference ``benchmark.py:19-38``).
+
+    ``extra_offsets`` adds further carriers for multi-channel benchmarking.
+    """
     total_samples = int(round(sample_rate * seconds))
     if total_samples <= 0:
         raise ValueError("Benchmark duration is too short to generate samples.")
     t = np.arange(total_samples, dtype=np.float64) / sample_rate
     tone = np.exp(1j * 2.0 * math.pi * freq_offset * t)
+    for k, off in enumerate(extra_offsets):
+        tone = tone + 0.6 * np.exp(
+            1j * (2.0 * math.pi * off * t + 0.37 * (k + 1))
+        )
+    scale = amplitude / (1.0 + 0.6 * len(extra_offsets))
     rng = np.random.default_rng(42)
     noise = rng.normal(scale=noise_std, size=(total_samples, 2))
-    i = amplitude * tone.real + noise[:, 0]
-    q = amplitude * tone.imag + noise[:, 1]
+    i = scale * tone.real + noise[:, 0]
+    q = scale * tone.imag + noise[:, 1]
     iq = np.clip(np.column_stack((i, q)).astype(np.float32), -0.999, 0.999)
     write_stereo_wav(path, iq, int(sample_rate), codec="pcm_s16le")
 
@@ -59,7 +68,10 @@ def run_benchmark(
     base_kwargs: Mapping[str, object] | None,
     warmup: bool = True,
     results_out: dict | None = None,
+    channels: int = 1,
 ) -> int:
+    """Synthetic throughput benchmark; ``channels > 1`` exercises the
+    batched shared-channelizer pass (carriers spread across the capture)."""
     if seconds <= 0:
         raise ValueError("Benchmark duration must be positive.")
     if sample_rate <= 0:
@@ -95,8 +107,21 @@ def run_benchmark(
     with tempfile.TemporaryDirectory() as tmpdir:
         tmpdir_path = Path(tmpdir)
         input_path = tmpdir_path / f"benchmark_fc-{int(center_freq)}Hz.wav"
+        extra_offsets: tuple[float, ...] = ()
+        extra_targets: list[float] = []
+        if channels > 1:
+            span = sample_rate * 0.35
+            extra_offsets = tuple(
+                span * (k + 1) / channels * (1 if k % 2 == 0 else -1)
+                for k in range(channels - 1)
+            )
+            extra_targets = [center_freq + o for o in extra_offsets]
         generate_synthetic_iq(
-            input_path, sample_rate=sample_rate, seconds=seconds, freq_offset=offset
+            input_path,
+            sample_rate=sample_rate,
+            seconds=seconds,
+            freq_offset=offset,
+            extra_offsets=extra_offsets,
         )
 
         kwargs: dict[str, Any] = dict(base_kwargs) if base_kwargs is not None else {}
@@ -104,11 +129,13 @@ def run_benchmark(
         kwargs.update(
             {
                 "target_freq": target_freq,
+                "extra_target_freqs": extra_targets,
                 "center_freq": center_freq,
                 "center_freq_source": "benchmark",
                 "demod_mode": demod_mode,
                 "output_path": tmpdir_path / f"benchmark_audio_{demod_mode}.wav",
                 "probe_only": False,
+                "mix_sign_override": 1 if channels > 1 else kwargs.get("mix_sign_override"),
             }
         )
 
