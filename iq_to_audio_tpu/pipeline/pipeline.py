@@ -2,14 +2,17 @@
 
 Drives the jitted chunk step (:mod:`.step`) from a host loop with:
 
-* prefetching reader thread (disk ahead of device),
-* lag-1 result fetching (host IO of chunk k overlaps device compute of k+1),
+* superstep dispatch: S chunks scanned per device call with one batched
+  upload (reads and uploads are synchronous-by-design — helper threads
+  measurably degrade dispatch on high-latency runtimes),
+* window-deferred output fetching: each accumulation window's D2H happens
+  one window later, overlapped with compute,
 * exact host-side sample bookkeeping (valid counts for the padded final
   chunk and the resampler come from Python-int mirrors, never device syncs),
-* cooperative cancellation with partial-output cleanup, progress phases,
-  probe-only mode, preview limits, IQ dumping, pass-through slicing and
-  stage snapshots — the full capability surface of the reference
-  ``ProcessingPipeline`` (reference ``processing.py:682-1233``).
+* cooperative cancellation with partial-output cleanup, checkpoint/resume,
+  progress phases, probe-only mode, preview limits, IQ dumping,
+  pass-through slicing and stage snapshots — the full capability surface of
+  the reference ``ProcessingPipeline`` (reference ``processing.py:682-1233``).
 
 Up to five target frequencies are batched through one shared channelizer
 pass (leading channel axis) instead of the reference's sequential per-target
@@ -867,7 +870,7 @@ class ProcessingPipeline:
                 if want_timing:
                     LOG.info(
                         "timing: loop=%.3fs dispatch=%.3fs flush_fetch=%.3fs "
-                        "flush_write=%.3fs h2d(feeder thread)=%.3fs",
+                        "flush_write=%.3fs h2d=%.3fs",
                         loop_seconds,
                         timing["dispatch"],
                         timing["fetch"],
