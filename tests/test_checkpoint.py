@@ -107,3 +107,40 @@ def test_resume_rejects_mismatched_config(tmp_path, capture):
     bad = dict(cfg, bandwidth=25_000.0, resume=True)
     with pytest.raises(ValueError, match="does not match"):
         ProcessingPipeline(ProcessingConfig(**bad)).run()
+
+
+def test_resume_with_supersteps(tmp_path, capture, monkeypatch):
+    """Checkpoint/resume must also hold when S chunks dispatch per call."""
+    monkeypatch.setenv("IQ2A_SUPER", "4")
+    ref_out = tmp_path / "ref_s.wav"
+    ProcessingPipeline(
+        ProcessingConfig(
+            in_path=capture,
+            target_freq=TARGET,
+            output_path=ref_out,
+            chunk_size=32_768,
+            mix_sign_override=1,
+        )
+    ).run()
+    ref, _ = read_wav(ref_out)
+
+    out = tmp_path / "res_s.wav"
+    cfg = dict(
+        in_path=capture,
+        target_freq=TARGET,
+        output_path=out,
+        chunk_size=32_768,
+        checkpoint_secs=0.5,
+        mix_sign_override=1,
+    )
+    with pytest.raises(ProcessingCancelled):
+        ProcessingPipeline(ProcessingConfig(**cfg)).run(_CancelAfter(FS * 1.1))
+    assert (tmp_path / "res_s.wav.ckpt").exists()
+    ProcessingPipeline(ProcessingConfig(**cfg, resume=True)).run()
+    got, _ = read_wav(out)
+    assert got.shape == ref.shape
+    # single-step vs scan-compiled executables may differ by 1 s16 LSB at
+    # quantiser boundaries (XLA f32 reassociation inside lax.scan)
+    diff = np.abs(got[:, 0] - ref[:, 0])
+    assert diff.max() <= 1.5 / 32767.0
+    assert float(np.mean(diff > 0)) < 1e-3
