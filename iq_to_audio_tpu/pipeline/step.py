@@ -362,6 +362,11 @@ def build_chunk_step(
     acc_chunks = max(1, min(64, acc_bytes_budget // max(per_chunk, 1)))
     if acc_chunks_cap is not None:
         acc_chunks = max(1, min(acc_chunks, acc_chunks_cap))
+    import os as _os
+
+    acc_env = _os.environ.get("IQ2A_ACC")
+    if acc_env:
+        acc_chunks = max(1, min(acc_chunks, int(acc_env)))
     # superstep size: scan S chunks per dispatch; accumulation windows must
     # be a whole number of supersteps
     if super_chunks is None:
