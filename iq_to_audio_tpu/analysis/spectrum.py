@@ -1,13 +1,17 @@
-"""PSD and bounded-memory streaming waterfall.
+"""Spectral analysis: one-shot PSD and a bounded-memory waterfall.
 
-Same math as the reference (reference ``spectrum.py``): Hann window,
-``10*log10(|X|^2 / (N*fs*win_power))`` scaling, fftshift, hop = nfft/4
-sliding windows with pending-tail carry, and a pairwise time-averaging
-aggregator that caps the number of waterfall slices.
+Numerically matches the reference implementation (reference
+``spectrum.py``): Hann window, ``10*log10(|X|^2 / (N*fs*win_power))``
+scaling, fftshifted bins, hop = nfft/4 sliding windows with a carried
+tail between blocks, and pairwise time-averaging so the waterfall never
+holds more than ``max_slices`` rows.
 
-The FFTs run through a pluggable backend: NumPy (default — snapshot sizes
-are small) or JAX for device-accelerated batched sweeps over large captures
-(``backend="jax"`` batches every window of a chunk into one device FFT).
+FFTs go through a pluggable backend. The default is SciPy/NumPy —
+snapshot sizes are small and host FFTs avoid a device round-trip — while
+``backend="jax"`` batches every window of a block into one device FFT
+for accelerated sweeps over large captures (on accelerators whose
+runtime supports complex FFT HLOs; the axon TPU relay does not, so jax
+here means jax-on-CPU unless the platform allows otherwise).
 """
 
 from __future__ import annotations
@@ -23,6 +27,44 @@ LOG = logging.getLogger(__name__)
 _EPS = 1e-18
 
 
+@dataclass
+class WaterfallResult:
+    freqs: np.ndarray
+    times: np.ndarray
+    matrix: np.ndarray
+
+
+def _run_fft(x: np.ndarray, nfft: int, backend: str) -> np.ndarray:
+    """FFT along the last axis, zero-padding to nfft when needed."""
+    if backend == "jax":
+        import jax.numpy as jnp
+
+        short = nfft - x.shape[-1]
+        if short > 0:
+            x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, short)])
+        return np.asarray(jnp.fft.fft(jnp.asarray(x, dtype=jnp.complex64), axis=-1))
+    from scipy.fft import fft as sfft
+
+    return np.asarray(sfft(x, n=nfft))
+
+
+def _hann_scale(length: int, sample_rate: float) -> tuple[np.ndarray, float]:
+    """Hann window of ``length`` and the matching PSD denominator."""
+    window = np.hanning(length).astype(np.float64)
+    win_power = np.sum(window**2) / length
+    return window, length * sample_rate * win_power + _EPS
+
+
+def _psd_db(spectra: np.ndarray, scale: float) -> np.ndarray:
+    shifted = np.fft.fftshift(np.asarray(spectra), axes=-1)
+    power = np.abs(shifted * np.conj(shifted)) / scale
+    return 10.0 * np.log10(power + _EPS)
+
+
+def _bin_freqs(nfft: int, sample_rate: float) -> np.ndarray:
+    return np.fft.fftshift(np.fft.fftfreq(nfft, d=1.0 / sample_rate)).astype(np.float64)
+
+
 def compute_psd(
     samples: np.ndarray,
     sample_rate: float,
@@ -31,42 +73,13 @@ def compute_psd(
     fft_workers: int | None = None,  # accepted for parity; unused
     backend: str = "numpy",
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Single-shot PSD (dBFS/Hz) of complex samples."""
+    """One-shot PSD (dBFS/Hz) of up to ``nfft`` complex samples."""
     if samples.size == 0:
         raise ValueError("Cannot compute PSD for an empty signal.")
-    use = samples
-    if use.size > nfft:
-        use = use[:nfft]
-    window = np.hanning(use.size).astype(np.float64)
-    win_power = np.sum(window**2) / use.size
-    windowed = np.asarray(use, dtype=np.complex128) * window
-    spectrum = _fft(windowed, nfft, backend)
-    spectrum = np.fft.fftshift(spectrum)
-    freqs = np.fft.fftshift(np.fft.fftfreq(nfft, d=1.0 / sample_rate)).astype(np.float64)
-    scale = (use.size * sample_rate * win_power) + _EPS
-    psd = spectrum * np.conj(spectrum) / scale
-    psd_db = 10.0 * np.log10(np.abs(psd) + _EPS)
-    return freqs, psd_db.astype(np.float64)
-
-
-def _fft(x: np.ndarray, nfft: int, backend: str) -> np.ndarray:
-    if backend == "jax":
-        import jax.numpy as jnp
-
-        if x.shape[-1] < nfft:
-            pad = [(0, 0)] * (x.ndim - 1) + [(0, nfft - x.shape[-1])]
-            x = np.pad(x, pad)
-        return np.asarray(jnp.fft.fft(jnp.asarray(x, dtype=jnp.complex64), axis=-1))
-    from scipy.fft import fft as sfft
-
-    return np.asarray(sfft(x, n=nfft))
-
-
-@dataclass
-class WaterfallResult:
-    freqs: np.ndarray
-    times: np.ndarray
-    matrix: np.ndarray
+    use = samples[:nfft] if samples.size > nfft else samples
+    window, scale = _hann_scale(use.size, sample_rate)
+    spectra = _run_fft(np.asarray(use, dtype=np.complex128) * window, nfft, backend)
+    return _bin_freqs(nfft, sample_rate), _psd_db(spectra, scale).astype(np.float64)
 
 
 def streaming_waterfall(
@@ -79,112 +92,103 @@ def streaming_waterfall(
     fft_workers: int | None = None,  # parity; unused
     backend: str = "numpy",
 ) -> tuple[np.ndarray, np.ndarray, WaterfallResult, int]:
-    """Averaged PSD + capped waterfall from a stream of sample blocks.
+    """Averaged PSD plus capped waterfall over a stream of sample blocks.
 
-    Returns ``(freqs, avg_psd_db, WaterfallResult, frames)``.
+    Returns ``(freqs, avg_psd_db, WaterfallResult, frames)``; raises if the
+    stream is shorter than one FFT frame.
     """
     hop = max(1, hop or nfft // 4)
-    window = np.hanning(nfft).astype(np.float64)
-    win_power = np.sum(window**2) / nfft
-    freqs = np.fft.fftshift(np.fft.fftfreq(nfft, d=1.0 / sample_rate)).astype(np.float64)
-    scale = (nfft * sample_rate * win_power) + _EPS
-    aggregator = _WaterfallAggregator(max_slices=max_slices)
-    psd_sum: np.ndarray | None = None
+    window, scale = _hann_scale(nfft, sample_rate)
+    freqs = _bin_freqs(nfft, sample_rate)
+    store = _SliceStore(max_slices)
+    running: np.ndarray | None = None
     frames = 0
 
-    # batch all windows that start inside one incoming block into a single
-    # (num_windows, nfft) FFT — one device call per block with backend="jax"
-    for start_index, windows in _sliding_window_batches(chunks, nfft=nfft, hop=hop):
-        windowed = windows.astype(np.complex128) * window
-        spectra = _fft(windowed, nfft, backend)
-        spectra = np.fft.fftshift(np.asarray(spectra), axes=-1)
-        psd = np.abs(spectra * np.conj(spectra)) / scale
-        psd_db = 10.0 * np.log10(psd + _EPS)
-        for k in range(psd_db.shape[0]):
-            if psd_sum is None:
-                psd_sum = psd_db[k].astype(np.float64, copy=True)
-            else:
-                psd_sum += psd_db[k]
-            aggregator.add(psd_db[k], (start_index + k * hop) / sample_rate)
+    # all windows starting inside one block form a single (num, nfft) FFT
+    # batch — with backend="jax" that is one device call per block
+    for start, batch in _windowed_blocks(chunks, nfft=nfft, hop=hop):
+        rows = _psd_db(_run_fft(batch.astype(np.complex128) * window, nfft, backend), scale)
+        for k, row in enumerate(rows):
+            running = row.astype(np.float64, copy=True) if running is None else running + row
+            store.push(row, (start + k * hop) / sample_rate)
             frames += 1
         if frames and frames % 200 == 0:
             LOG.debug("Accumulated %d FFT frames for waterfall preview.", frames)
 
-    if frames == 0 or psd_sum is None:
+    if frames == 0 or running is None:
         raise ValueError("Input did not contain enough samples for one FFT frame.")
 
-    avg_psd = psd_sum / frames
-    times, matrix = aggregator.finalize()
-    waterfall = WaterfallResult(freqs=freqs.copy(), times=times, matrix=matrix)
-    return freqs.copy(), avg_psd.astype(np.float64), waterfall, frames
+    times, matrix = store.collect()
+    result = WaterfallResult(freqs=freqs.copy(), times=times, matrix=matrix)
+    return freqs.copy(), (running / frames).astype(np.float64), result, frames
 
 
-def _sliding_window_batches(
+def _windowed_blocks(
     chunks: Iterable[np.ndarray | None],
     *,
     nfft: int,
     hop: int,
 ) -> Iterator[tuple[int, np.ndarray]]:
-    """Yield (start_index, (num_windows, nfft)) batches with tail carry."""
-    pending = np.empty(0, dtype=np.complex64)
-    offset = 0
+    """Yield ``(start_sample, (num_windows, nfft))`` arrays, carrying the
+    unconsumed tail of each block into the next so no window is lost at
+    block boundaries."""
+    carry = np.empty(0, dtype=np.complex64)
+    cursor = 0
     for chunk in chunks:
         if chunk is None:
             continue
         block = np.asarray(chunk, dtype=np.complex64)
         if block.size == 0:
             continue
-        if pending.size:
-            block = np.concatenate((pending, block))
-            offset -= pending.size
-        total = block.size
-        if total < nfft:
-            pending = block
-            offset += total
+        if carry.size:
+            block = np.concatenate((carry, block))
+            cursor -= carry.size
+        if block.size < nfft:
+            carry = block
+            cursor += block.size
             continue
-        num = (total - nfft) // hop + 1
-        idx = np.arange(num)[:, None] * hop + np.arange(nfft)[None, :]
-        yield offset, block[idx]
-        consumed = num * hop
-        pending = block[consumed:]
-        offset += total - pending.size
-        if pending.size > nfft:
-            pending = pending[-nfft:]
+        num = (block.size - nfft) // hop + 1
+        gather = np.arange(num)[:, None] * hop + np.arange(nfft)[None, :]
+        yield cursor, block[gather]
+        carry = block[num * hop :]
+        cursor += block.size - carry.size
+        if carry.size > nfft:
+            carry = carry[-nfft:]
 
 
-class _WaterfallAggregator:
-    """Bounded-memory accumulator: pairwise time-averages slices when the
-    count exceeds ``max_slices`` (reference ``spectrum.py:172-208``)."""
+class _SliceStore:
+    """Waterfall rows with bounded memory: once the row count passes the
+    cap, adjacent pairs are averaged in time (halving the count), exactly
+    like the reference aggregator (reference ``spectrum.py:172-208``)."""
 
-    def __init__(self, *, max_slices: int):
-        self.max_slices = max(1, int(max_slices))
-        self._slices: list[np.ndarray] = []
-        self._times: list[float] = []
+    def __init__(self, max_slices: int):
+        self._cap = max(1, int(max_slices))
+        self._rows: list[np.ndarray] = []
+        self._stamps: list[float] = []
 
-    def add(self, psd: np.ndarray, time_seconds: float) -> None:
-        self._slices.append(np.asarray(psd, dtype=np.float32))
-        self._times.append(float(time_seconds))
-        self._maybe_reduce()
+    def push(self, psd_row: np.ndarray, t: float) -> None:
+        self._rows.append(np.asarray(psd_row, dtype=np.float32))
+        self._stamps.append(float(t))
+        while len(self._rows) > self._cap:
+            self._halve()
 
-    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
-        if not self._slices:
+    def _halve(self) -> None:
+        rows, stamps = self._rows, self._stamps
+        kept_rows: list[np.ndarray] = []
+        kept_stamps: list[float] = []
+        for i in range(0, len(rows), 2):
+            if i + 1 < len(rows):
+                merged = (rows[i].astype(np.float64) + rows[i + 1].astype(np.float64)) / 2.0
+                kept_rows.append(merged.astype(np.float32))
+            else:
+                kept_rows.append(rows[i])
+            kept_stamps.append(stamps[i])
+        self._rows, self._stamps = kept_rows, kept_stamps
+
+    def collect(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self._rows:
             return np.empty(0, dtype=np.float32), np.empty((0, 0), dtype=np.float32)
-        matrix = np.stack(self._slices, axis=0).astype(np.float32, copy=False)
-        times = np.asarray(self._times, dtype=np.float32)
-        return times, matrix
-
-    def _maybe_reduce(self) -> None:
-        while len(self._slices) > self.max_slices:
-            new_slices: list[np.ndarray] = []
-            new_times: list[float] = []
-            for idx in range(0, len(self._slices), 2):
-                first = self._slices[idx]
-                if idx + 1 < len(self._slices):
-                    second = self._slices[idx + 1]
-                    avg = (first.astype(np.float64) + second.astype(np.float64)) / 2.0
-                    new_slices.append(avg.astype(np.float32))
-                else:
-                    new_slices.append(first)
-                new_times.append(self._times[idx])
-            self._slices = new_slices
-            self._times = new_times
+        return (
+            np.asarray(self._stamps, dtype=np.float32),
+            np.stack(self._rows, axis=0).astype(np.float32, copy=False),
+        )

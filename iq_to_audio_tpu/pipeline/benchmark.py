@@ -1,10 +1,14 @@
-"""Built-in synthetic throughput benchmark (reference ``benchmark.py``).
+"""Self-contained synthetic throughput benchmark.
 
-Generates the same synthetic capture (complex tone at offset + Gaussian
-noise, rng(42), PCM_16 WAV) and runs the full pipeline, reporting elapsed,
-x-realtime and audio peak.  Because XLA compiles the chunk step on first
-use, a warm-up run is performed first and the steady-state pass is timed —
-the compile-inclusive cold time is reported separately.
+Mirrors the reference's built-in benchmark (reference ``benchmark.py``):
+synthesise a capture (carrier at a known offset plus Gaussian noise,
+seeded rng, PCM_16 WAV), push it through the full pipeline, and report
+elapsed wall time, realtime factor and audio peak.
+
+XLA compiles the chunk step on first use, so when ``warmup=True`` an
+untimed pass runs first and the steady-state pass is what gets timed;
+the compile-inclusive cold time is reported separately in
+``results_out["cold_elapsed"]``.
 """
 
 from __future__ import annotations
@@ -25,6 +29,8 @@ from .pipeline import ProcessingPipeline
 
 LOG = logging.getLogger(__name__)
 
+__all__ = ["run_benchmark", "generate_synthetic_iq"]
+
 
 def generate_synthetic_iq(
     path: Path,
@@ -36,26 +42,55 @@ def generate_synthetic_iq(
     noise_std: float = 0.02,
     extra_offsets: tuple[float, ...] = (),
 ) -> None:
-    """Synthetic capture generator (reference ``benchmark.py:19-38``).
+    """Write a synthetic IQ WAV: one carrier at ``freq_offset`` (plus one
+    per entry of ``extra_offsets`` for multi-channel runs) over seeded
+    Gaussian noise, clipped and stored as PCM_16 stereo.
 
-    ``extra_offsets`` adds further carriers for multi-channel benchmarking.
+    Behavior-matches the reference generator (reference
+    ``benchmark.py:19-38``) with the multi-carrier extension.
     """
-    total_samples = int(round(sample_rate * seconds))
-    if total_samples <= 0:
+    n = int(round(sample_rate * seconds))
+    if n <= 0:
         raise ValueError("Benchmark duration is too short to generate samples.")
-    t = np.arange(total_samples, dtype=np.float64) / sample_rate
-    tone = np.exp(1j * 2.0 * math.pi * freq_offset * t)
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    carriers = np.exp(2j * math.pi * freq_offset * t)
     for k, off in enumerate(extra_offsets):
-        tone = tone + 0.6 * np.exp(
-            1j * (2.0 * math.pi * off * t + 0.37 * (k + 1))
-        )
-    scale = amplitude / (1.0 + 0.6 * len(extra_offsets))
-    rng = np.random.default_rng(42)
-    noise = rng.normal(scale=noise_std, size=(total_samples, 2))
-    i = scale * tone.real + noise[:, 0]
-    q = scale * tone.imag + noise[:, 1]
-    iq = np.clip(np.column_stack((i, q)).astype(np.float32), -0.999, 0.999)
-    write_stereo_wav(path, iq, int(sample_rate), codec="pcm_s16le")
+        carriers = carriers + 0.6 * np.exp(1j * (2.0 * math.pi * off * t + 0.37 * (k + 1)))
+    # normalise so the summed carriers still peak near `amplitude`
+    gain = amplitude / (1.0 + 0.6 * len(extra_offsets))
+    noise = np.random.default_rng(42).normal(scale=noise_std, size=(n, 2))
+    frames = np.empty((n, 2), dtype=np.float32)
+    frames[:, 0] = gain * carriers.real + noise[:, 0]
+    frames[:, 1] = gain * carriers.imag + noise[:, 1]
+    np.clip(frames, -0.999, 0.999, out=frames)
+    write_stereo_wav(path, frames, int(sample_rate), codec="pcm_s16le")
+
+
+def _resolve_freqs(
+    center: float | None, target: float | None, offset: float
+) -> tuple[float, float, float]:
+    """Fill in whichever of (center, target) is missing; return
+    (center, target, actual_offset)."""
+    if center is not None and target is not None:
+        return center, target, target - center
+    if center is not None:
+        return center, center + offset, offset
+    if target is not None:
+        return target - offset, target, offset
+    center = 400_000_000.0
+    return center, center + offset, offset
+
+
+def _spread_channels(center: float, sample_rate: float, channels: int):
+    """Extra carriers alternating above/below center across 35% of the band."""
+    if channels <= 1:
+        return (), []
+    span = sample_rate * 0.35
+    offsets = tuple(
+        span * (k + 1) / channels * (1 if k % 2 == 0 else -1)
+        for k in range(channels - 1)
+    )
+    return offsets, [center + o for o in offsets]
 
 
 def run_benchmark(
@@ -70,91 +105,73 @@ def run_benchmark(
     results_out: dict | None = None,
     channels: int = 1,
 ) -> int:
-    """Synthetic throughput benchmark; ``channels > 1`` exercises the
-    batched shared-channelizer pass (carriers spread across the capture)."""
+    """Generate a synthetic capture and time one full pipeline pass.
+
+    ``channels > 1`` benchmarks the batched shared-channelizer path by
+    spreading additional carriers across the capture bandwidth. Returns 0
+    (CLI exit code); detailed numbers land in ``results_out`` if given.
+    """
     if seconds <= 0:
         raise ValueError("Benchmark duration must be positive.")
     if sample_rate <= 0:
         raise ValueError("Benchmark sample rate must be positive.")
-    half_band = sample_rate / 2.0
-    if abs(freq_offset) >= half_band:
+    if abs(freq_offset) >= sample_rate / 2.0:
         raise ValueError("Benchmark offset must be within half the sample rate.")
 
-    demod_value = (base_kwargs or {}).get("demod_mode")
-    demod_mode = demod_value.lower() if isinstance(demod_value, str) else "nfm"
-
-    if center_freq is not None and target_freq is not None:
-        offset = target_freq - center_freq
-    elif center_freq is not None:
-        target_freq = center_freq + freq_offset
-        offset = freq_offset
-    elif target_freq is not None:
-        center_freq = target_freq - freq_offset
-        offset = freq_offset
-    else:
-        center_freq = 400_000_000.0
-        target_freq = center_freq + freq_offset
-        offset = freq_offset
-
+    overrides: dict[str, Any] = dict(base_kwargs) if base_kwargs else {}
+    mode = overrides.get("demod_mode")
+    demod = mode.lower() if isinstance(mode, str) else "nfm"
+    center_freq, target_freq, offset = _resolve_freqs(
+        center_freq, target_freq, freq_offset
+    )
     LOG.info(
         "Running benchmark: %.2f s at %.2f MS/s, demod=%s, offset %.1f kHz",
         seconds,
         sample_rate / 1e6,
-        demod_mode.upper(),
+        demod.upper(),
         offset / 1e3,
     )
 
     with tempfile.TemporaryDirectory() as tmpdir:
-        tmpdir_path = Path(tmpdir)
-        input_path = tmpdir_path / f"benchmark_fc-{int(center_freq)}Hz.wav"
-        extra_offsets: tuple[float, ...] = ()
-        extra_targets: list[float] = []
-        if channels > 1:
-            span = sample_rate * 0.35
-            extra_offsets = tuple(
-                span * (k + 1) / channels * (1 if k % 2 == 0 else -1)
-                for k in range(channels - 1)
-            )
-            extra_targets = [center_freq + o for o in extra_offsets]
+        workdir = Path(tmpdir)
+        capture = workdir / f"benchmark_fc-{int(center_freq)}Hz.wav"
+        extra_offsets, extra_targets = _spread_channels(
+            center_freq, sample_rate, channels
+        )
         generate_synthetic_iq(
-            input_path,
+            capture,
             sample_rate=sample_rate,
             seconds=seconds,
             freq_offset=offset,
             extra_offsets=extra_offsets,
         )
 
-        kwargs: dict[str, Any] = dict(base_kwargs) if base_kwargs is not None else {}
-        kwargs.pop("target_freqs", None)
-        kwargs.update(
-            {
-                "target_freq": target_freq,
-                "extra_target_freqs": extra_targets,
-                "center_freq": center_freq,
-                "center_freq_source": "benchmark",
-                "demod_mode": demod_mode,
-                "output_path": tmpdir_path / f"benchmark_audio_{demod_mode}.wav",
-                "probe_only": False,
-                "mix_sign_override": 1 if channels > 1 else kwargs.get("mix_sign_override"),
-            }
-        )
+        overrides.pop("target_freqs", None)
+        overrides["target_freq"] = target_freq
+        overrides["extra_target_freqs"] = extra_targets
+        overrides["center_freq"] = center_freq
+        overrides["center_freq_source"] = "benchmark"
+        overrides["demod_mode"] = demod
+        overrides["output_path"] = workdir / f"benchmark_audio_{demod}.wav"
+        overrides["probe_only"] = False
+        if channels > 1:
+            overrides["mix_sign_override"] = 1
+
+        def _one_pass() -> tuple[float, Any]:
+            cfg = ProcessingConfig(in_path=capture, **overrides)
+            t0 = time.perf_counter()
+            res = ProcessingPipeline(cfg).run(progress_sink=None)
+            return time.perf_counter() - t0, res
 
         cold_elapsed = None
         if warmup:
-            start = time.perf_counter()
-            ProcessingPipeline(ProcessingConfig(in_path=input_path, **kwargs)).run(None)
-            cold_elapsed = time.perf_counter() - start
+            cold_elapsed, _ = _one_pass()
             LOG.info("Warm-up (compile-inclusive) pass: %.2f s.", cold_elapsed)
-
-        pipeline = ProcessingPipeline(ProcessingConfig(in_path=input_path, **kwargs))
-        start = time.perf_counter()
-        result = pipeline.run(progress_sink=None)
-        elapsed = time.perf_counter() - start
+        elapsed, result = _one_pass()
 
     iq_samples = sample_rate * seconds
     realtime = seconds / elapsed if elapsed > 0 else float("inf")
     peak_dbfs = 20.0 * math.log10(max(result.audio_peak, 1e-6))
-
     LOG.info(
         "Benchmark processed %.0f IQ samples in %.2f s (%.2f x realtime).",
         iq_samples,
@@ -167,24 +184,20 @@ def run_benchmark(
         result.fs_channel,
         peak_dbfs,
     )
+
     if results_out is not None:
         results_out.update(
-            {
-                "seconds": seconds,
-                "sample_rate": sample_rate,
-                "demod": demod_mode,
-                "iq_samples": iq_samples,
-                "elapsed": elapsed,
-                "cold_elapsed": cold_elapsed,
-                "realtime_factor": realtime,
-                "loop_seconds": result.loop_seconds,
-                "msps": iq_samples / max(elapsed, 1e-12) / 1e6,
-                "audio_peak_dbfs": peak_dbfs,
-                "decimation": result.decimation,
-                "fs_channel": result.fs_channel,
-            }
+            seconds=seconds,
+            sample_rate=sample_rate,
+            demod=demod,
+            iq_samples=iq_samples,
+            elapsed=elapsed,
+            cold_elapsed=cold_elapsed,
+            realtime_factor=realtime,
+            loop_seconds=result.loop_seconds,
+            msps=iq_samples / max(elapsed, 1e-12) / 1e6,
+            audio_peak_dbfs=peak_dbfs,
+            decimation=result.decimation,
+            fs_channel=result.fs_channel,
         )
     return 0
-
-
-__all__ = ["run_benchmark", "generate_synthetic_iq"]

@@ -1,6 +1,12 @@
-"""Preview runner (reference ``preview.py``): clone the config with a
-``max_input_seconds`` limit and a ``_preview`` output suffix, then run the
-normal pipeline."""
+"""Short preview renders.
+
+A preview is just a normal pipeline run over the first ``seconds`` of
+the capture, written next to the real output with a ``_preview`` stem
+suffix so the full-length file is never clobbered. Matches the behavior
+of the reference preview runner (reference ``preview.py``), including
+eager center-frequency resolution so a missing ``--fc`` fails before
+any DSP starts.
+"""
 
 from __future__ import annotations
 
@@ -17,15 +23,6 @@ from .progress import ProgressSink
 LOG = logging.getLogger(__name__)
 
 
-def _preview_output_path(config: ProcessingConfig) -> Path:
-    if config.output_path:
-        base = config.output_path
-    else:
-        ft = int(config.target_freq) if config.target_freq > 0 else 0
-        base = config.in_path.with_name(f"audio_{ft}_48k.wav")
-    return base.with_name(f"{base.stem}_preview{base.suffix}")
-
-
 def run_preview(
     config: ProcessingConfig,
     seconds: float,
@@ -33,35 +30,53 @@ def run_preview(
     progress_sink: ProgressSink | None = None,
     on_pipeline: Callable[[ProcessingPipeline], None] | None = None,
 ) -> tuple[ProcessingResult, Path]:
+    """Render the first ``seconds`` of ``config`` to a ``*_preview`` file.
+
+    ``on_pipeline`` (optional) receives the constructed pipeline before it
+    runs — front ends use it to grab a cancellation handle.
+
+    Returns ``(result, preview_path)``.
+    """
     if seconds <= 0:
         raise ValueError("Preview seconds must be positive.")
-    preview_output = _preview_output_path(config)
-    preview_output.parent.mkdir(parents=True, exist_ok=True)
-    center_freq = config.center_freq
-    center_source = config.center_freq_source
-    if center_freq is None:
-        detection = detect_center_frequency(config.in_path)
-        if detection.value is None:
+
+    # Destination: the configured output (or the default audio_<ft>_48k.wav
+    # name) with "_preview" spliced in before the extension.
+    base = config.output_path
+    if base is None:
+        ft = int(config.target_freq) if config.target_freq > 0 else 0
+        base = config.in_path.with_name(f"audio_{ft}_48k.wav")
+    dest = base.with_name(base.stem + "_preview" + base.suffix)
+    dest.parent.mkdir(parents=True, exist_ok=True)
+
+    # Resolve the center frequency up front rather than inside the run, so
+    # preview callers get the actionable error immediately.
+    fc, fc_source = config.center_freq, config.center_freq_source
+    if fc is None:
+        found = detect_center_frequency(config.in_path)
+        if found.value is None:
             raise ValueError(
                 "Center frequency not supplied and could not be determined from "
                 "metadata or filename. Use --fc to provide it explicitly."
             )
-        center_freq = detection.value
-        center_source = detection.source
-        LOG.info("Center frequency detected via %s for preview run.", center_source)
-    preview_config = replace(
-        config,
-        output_path=preview_output,
-        center_freq=center_freq,
-        center_freq_source=center_source,
-        max_input_seconds=seconds,
+        fc, fc_source = found.value, found.source
+        LOG.info("Center frequency detected via %s for preview run.", fc_source)
+
+    pipeline = ProcessingPipeline(
+        replace(
+            config,
+            output_path=dest,
+            center_freq=fc,
+            center_freq_source=fc_source,
+            max_input_seconds=seconds,
+        )
     )
-    pipeline = ProcessingPipeline(preview_config)
     if on_pipeline is not None:
         try:
             on_pipeline(pipeline)
         except Exception as exc:  # pragma: no cover - defensive
             raise RuntimeError(f"Failed to initialize preview pipeline: {exc}") from exc
+
     result = pipeline.run(progress_sink=progress_sink)
-    LOG.info("Preview DSP complete (%s)", preview_output)
-    return result, preview_output
+    LOG.info("Preview DSP complete (%s)", dest)
+    return result, dest

@@ -1,5 +1,9 @@
-"""Digital decoder registry (reference ``digital.py``): presets routed to
-the backend container."""
+"""Registry of digital-decoder presets runnable in the backend container.
+
+Covers the same three routing targets as the reference (reference
+``digital.py:19-46``): DSD-FME for digital voice, multimon-ng for
+paging/data bursts, and FT8/FT4 weak-signal staging.
+"""
 
 from __future__ import annotations
 
@@ -11,7 +15,7 @@ from .docker_backend import default_decoder_command
 
 @dataclass(slots=True, frozen=True)
 class DigitalDecoder:
-    """Metadata for one decoder routing target."""
+    """One decoder routing target."""
 
     key: str
     label: str
@@ -19,29 +23,36 @@ class DigitalDecoder:
     default_command: tuple[str, ...]
 
 
-DIGITAL_DECODERS: tuple[DigitalDecoder, ...] = (
-    DigitalDecoder(
-        key="dsd-fme",
-        label="DSD-FME — Digital voice decoding",
-        description="Configure piping voice channels to the DSD-FME toolkit.",
-        default_command=default_decoder_command(("dsd-fme", "--help")),
+_PRESETS: dict[str, tuple[str, str, tuple[str, ...]]] = {
+    "dsd-fme": (
+        "DSD-FME — Digital voice decoding",
+        "Configure piping voice channels to the DSD-FME toolkit.",
+        ("dsd-fme", "--help"),
     ),
-    DigitalDecoder(
-        key="multimon-ng",
-        label="Multimon-NG — Packet data decoding",
-        description="Batch process paging/data bursts via multimon-ng.",
-        default_command=default_decoder_command(("multimon-ng", "--help")),
+    "multimon-ng": (
+        "Multimon-NG — Packet data decoding",
+        "Batch process paging/data bursts via multimon-ng.",
+        ("multimon-ng", "--help"),
     ),
-    DigitalDecoder(
-        key="ft8",
-        label="FT8/FT4 — Weak signal workflows",
-        description="Stage audio bursts for FT8 or FT4 decoders.",
-        default_command=default_decoder_command(("ft8", "--help")),
+    "ft8": (
+        "FT8/FT4 — Weak signal workflows",
+        "Stage audio bursts for FT8 or FT4 decoders.",
+        ("ft8", "--help"),
     ),
+}
+
+DIGITAL_DECODERS: tuple[DigitalDecoder, ...] = tuple(
+    DigitalDecoder(
+        key=key,
+        label=label,
+        description=desc,
+        default_command=default_decoder_command(cmd),
+    )
+    for key, (label, desc, cmd) in _PRESETS.items()
 )
 
 DIGITAL_DECODER_MAP: dict[str, DigitalDecoder] = {d.key: d for d in DIGITAL_DECODERS}
-DEFAULT_DECODER_KEY = DIGITAL_DECODERS[0].key if DIGITAL_DECODERS else "dsd-fme"
+DEFAULT_DECODER_KEY = next(iter(_PRESETS))
 
 
 def iter_decoders() -> Iterable[DigitalDecoder]:

@@ -1,13 +1,14 @@
-"""Backend container orchestration for third-party digital decoders.
+"""Container orchestration for third-party digital decoders.
 
-Same capability surface as the reference ``docker_backend.py``: connectivity
-probing, image info, registry pull with offline-first bundled-tar fallback,
-and detached run with log streaming + exit-code mapping.  The host audio
-directory is bind-mounted at ``/workspace/audio``.
+Same capability surface as the reference backend module (reference
+``docker_backend.py``): engine connectivity probing, image inspection,
+offline-first image acquisition (local → bundled tar.xz → registry
+pull), and a detached run that streams container logs back to a
+callback and maps the exit status.
 
-The ``docker`` package is imported lazily so the framework (and its tests,
-which inject a mock client) work on machines without docker-py installed —
-the TPU pipeline is fully independent of this subsystem.
+``docker-py`` is imported lazily: the TPU pipeline never needs it, the
+test suite injects a mock client, and machines without Docker can still
+use everything else in the package.
 """
 
 from __future__ import annotations
@@ -28,32 +29,48 @@ LOG = logging.getLogger(__name__)
 DEFAULT_IMAGE = "ghcr.io/rknightion/iq-to-audio-backend:latest"
 DEFAULT_AUDIO_TARGET = Path("/workspace/audio")
 
+# Bundled image tars shipped per-arch by the desktop packaging job.
+_BUNDLE_TAR_BY_ARCH = {
+    "x86_64": "backend-amd64.tar.xz",
+    "amd64": "backend-amd64.tar.xz",
+    "arm64": "backend-arm64.tar.xz",
+    "aarch64": "backend-arm64.tar.xz",
+}
+
 
 class DockerBackendError(RuntimeError):
-    """Raised for failures while orchestrating the backend container."""
+    """Any failure while orchestrating the backend container."""
 
 
 class DockerConnectionError(DockerBackendError):
-    """Raised when the Docker engine is unavailable."""
+    """The Docker engine is unreachable or docker-py is missing."""
 
 
 class DockerLaunchError(DockerBackendError):
-    """Raised when the backend container could not be launched or completed."""
+    """The container failed to start, stream, or exited non-zero."""
 
 
-def _docker_exceptions() -> tuple[type[BaseException], ...]:
-    """Exception types to catch from the docker SDK, if importable."""
+def _sdk_errors() -> tuple[type[BaseException], ...]:
+    """The exception set worth catching around docker SDK calls."""
     try:
         from docker.errors import DockerException
-
-        return (DockerException, OSError)
     except ImportError:
         return (OSError,)
+    return (DockerException, OSError)
+
+
+def _errtext(exc: BaseException, fallback: str) -> str:
+    return str(exc).strip() or fallback
+
+
+def default_decoder_command(command: Sequence[str] | None = None) -> tuple[str, ...]:
+    """Normalize a decoder command to a tuple, defaulting to dsd-fme."""
+    return tuple(command) if command else ("dsd-fme", "--help")
 
 
 @dataclass(slots=True)
 class DockerBackendConfig:
-    """Configuration for the shared backend container image."""
+    """Shared settings for the backend container image."""
 
     image: str = DEFAULT_IMAGE
     audio_mount: Path = DEFAULT_AUDIO_TARGET
@@ -65,7 +82,8 @@ class DockerBackendConfig:
 
 @dataclass(slots=True)
 class DockerLaunchRequest:
-    """Launch parameters for a backend decoder invocation."""
+    """One decoder invocation: the command plus the host audio directory
+    that gets bind-mounted read-write at the configured mount point."""
 
     command: tuple[str, ...]
     audio_dir: Path
@@ -100,137 +118,137 @@ class DockerImageInfo:
         if not self.present:
             return "Image not yet loaded"
         tag = self.tags[0] if self.tags else "unknown"
-        size_str = f"{self.size_mb:.0f} MB" if self.size_mb else "unknown size"
-        created_str = self.created.split("T")[0] if self.created else "unknown date"
-        return f"Image: {tag} ({size_str}, built {created_str})"
+        size = f"{self.size_mb:.0f} MB" if self.size_mb else "unknown size"
+        built = self.created.split("T")[0] if self.created else "unknown date"
+        return f"Image: {tag} ({size}, built {built})"
 
 
 class DockerBackend:
-    """Thin wrapper around docker-py used by the CLI and UI."""
+    """docker-py wrapper shared by the CLI ``digital`` subcommand and the
+    GUI post-processing tab. Pass ``client=`` to inject a fake in tests."""
 
     def __init__(self, *, config: DockerBackendConfig | None = None, client=None) -> None:
         self.config = config or DockerBackendConfig()
-        if client is None:
-            try:
-                import docker
-            except ImportError as exc:
-                raise DockerConnectionError(
-                    "The 'docker' Python package is not installed; digital decoder "
-                    "hand-off requires docker-py and a running Docker engine."
-                ) from exc
-            try:
-                client = docker.from_env()
-            except Exception as exc:
-                raise DockerConnectionError(
-                    str(exc).strip() or "Unable to create a Docker client."
-                ) from exc
-        self._client = client
+        self._client = client if client is not None else self._connect()
+
+    @staticmethod
+    def _connect():
+        try:
+            import docker
+        except ImportError as exc:
+            raise DockerConnectionError(
+                "The 'docker' Python package is not installed; digital decoder "
+                "hand-off requires docker-py and a running Docker engine."
+            ) from exc
+        try:
+            return docker.from_env()
+        except Exception as exc:
+            raise DockerConnectionError(
+                _errtext(exc, "Unable to create a Docker client.")
+            ) from exc
 
     @property
     def client(self):
         return self._client
 
-    # -- connectivity / image state ------------------------------------------
+    # ---- engine / image state ----
 
     def probe(self) -> DockerConnectivity:
         try:
             self._client.ping()
-            self._client.containers.list(limit=1)  # permissions beyond ping
-        except _docker_exceptions() as exc:
-            message = str(exc).strip() or "Unable to communicate with the Docker engine."
-            LOG.debug("Docker probe failed: %s", message)
-            return DockerConnectivity(False, message)
+            # ping alone can succeed without list permissions
+            self._client.containers.list(limit=1)
+        except _sdk_errors() as exc:
+            msg = _errtext(exc, "Unable to communicate with the Docker engine.")
+            LOG.debug("Docker probe failed: %s", msg)
+            return DockerConnectivity(False, msg)
         return DockerConnectivity(True, "Docker engine reachable.")
 
     def ensure_connection(self) -> None:
-        connectivity = self.probe()
-        if not connectivity.available:
-            raise DockerConnectionError(connectivity.message)
+        state = self.probe()
+        if not state.available:
+            raise DockerConnectionError(state.message)
 
     def get_image_info(self) -> DockerImageInfo:
         try:
-            image = self._client.images.get(self.config.image)
-        except _docker_exceptions():
+            img = self._client.images.get(self.config.image)
+        except _sdk_errors():
             return DockerImageInfo(present=False, tags=[], created=None, size_mb=None)
-        tags = getattr(image, "tags", []) or []
-        attrs = getattr(image, "attrs", {}) or {}
-        size_bytes = attrs.get("Size", 0)
+        attrs = getattr(img, "attrs", {}) or {}
+        nbytes = attrs.get("Size", 0)
         return DockerImageInfo(
             present=True,
-            tags=list(tags),
+            tags=list(getattr(img, "tags", []) or []),
             created=attrs.get("Created"),
-            size_mb=size_bytes / (1024 * 1024) if size_bytes else None,
+            size_mb=nbytes / 2**20 if nbytes else None,
         )
 
     def pull_image(self) -> None:
+        LOG.debug("Pulling backend image %s", self.config.image)
         try:
-            LOG.debug("Pulling backend image %s", self.config.image)
             self._client.images.pull(self.config.image)
-        except _docker_exceptions() as exc:  # pragma: no cover - varies widely
+        except _sdk_errors() as exc:  # pragma: no cover - registry-specific
             raise DockerBackendError(
-                str(exc).strip() or f"Failed to pull {self.config.image}."
+                _errtext(exc, f"Failed to pull {self.config.image}.")
             ) from exc
 
-    # -- bundled image (offline-first) ----------------------------------------
+    # ---- offline-first bundled image ----
 
     @staticmethod
     def _locate_bundled_tar() -> Path | None:
         if getattr(sys, "frozen", False) and hasattr(sys, "_MEIPASS"):
-            bundle_dir = Path(sys._MEIPASS) / "docker"
+            root = Path(sys._MEIPASS) / "docker"
         else:
-            bundle_dir = Path(__file__).resolve().parents[2] / "packaging" / "docker"
-        machine = platform.machine().lower()
-        if machine in ("x86_64", "amd64"):
-            tar_name = "backend-amd64.tar.xz"
-        elif machine in ("arm64", "aarch64"):
-            tar_name = "backend-arm64.tar.xz"
-        else:
-            LOG.warning("Unsupported architecture for bundled image: %s", machine)
+            root = Path(__file__).resolve().parents[2] / "packaging" / "docker"
+        name = _BUNDLE_TAR_BY_ARCH.get(platform.machine().lower())
+        if name is None:
+            LOG.warning(
+                "Unsupported architecture for bundled image: %s", platform.machine()
+            )
             return None
-        tar_path = bundle_dir / tar_name
-        return tar_path if tar_path.exists() else None
+        candidate = root / name
+        return candidate if candidate.exists() else None
 
     def load_bundled_image(
         self, *, progress_callback: Callable[[str], None] | None = None
     ) -> bool:
-        """Load the bundled image tar.xz; False when no bundle is present."""
-        tar_path = self._locate_bundled_tar()
-        if tar_path is None:
+        """Decompress + load the bundled tar.xz; False if none is shipped."""
+        notify = progress_callback or (lambda _msg: None)
+        src = self._locate_bundled_tar()
+        if src is None:
             LOG.debug("No bundled Docker image found")
             return False
-        LOG.info("Loading bundled Docker image from %s", tar_path)
-        if progress_callback:
-            progress_callback("Extracting bundled container image...")
-        tmp_tar: Path | None = None
+        LOG.info("Loading bundled Docker image from %s", src)
+        notify("Extracting bundled container image...")
+        scratch: Path | None = None
         try:
             with tempfile.NamedTemporaryFile(suffix=".tar", delete=False) as tmp:
-                tmp_tar = Path(tmp.name)
-            with lzma.open(tar_path, "rb") as compressed, open(tmp_tar, "wb") as out:
-                shutil.copyfileobj(compressed, out)
-            if progress_callback:
-                progress_callback("Loading container into Docker...")
-            with open(tmp_tar, "rb") as f:
+                scratch = Path(tmp.name)
+            with lzma.open(src, "rb") as packed, open(scratch, "wb") as raw:
+                shutil.copyfileobj(packed, raw)
+            notify("Loading container into Docker...")
+            with open(scratch, "rb") as f:
                 self._client.images.load(f.read())
-            LOG.info("Successfully loaded bundled Docker image")
-            return True
         except (lzma.LZMAError, OSError) as exc:
-            raise DockerBackendError(f"Failed to decompress bundled image: {exc}") from exc
-        except _docker_exceptions() as exc:
+            raise DockerBackendError(
+                f"Failed to decompress bundled image: {exc}"
+            ) from exc
+        except _sdk_errors() as exc:
             raise DockerBackendError(
                 f"Failed to load bundled image into Docker: {exc}"
             ) from exc
         finally:
-            if tmp_tar is not None:
+            if scratch is not None:
                 with contextlib.suppress(OSError):
-                    tmp_tar.unlink()
+                    scratch.unlink()
+        LOG.info("Successfully loaded bundled Docker image")
+        return True
 
     def _ensure_image_available(self) -> None:
-        """local image -> bundled tar -> registry pull (degrading gracefully)."""
-        try:
+        """Acquisition order: local image, then bundled tar, then registry."""
+        with contextlib.suppress(*_sdk_errors()):
             self._client.images.get(self.config.image)
             return
-        except _docker_exceptions():
-            pass
         LOG.info("Image not found locally, attempting to load from bundled tar...")
         try:
             if self.load_bundled_image():
@@ -240,13 +258,7 @@ class DockerBackend:
         LOG.info("Bundled image unavailable, pulling from registry...")
         self.pull_image()
 
-    # -- launch ---------------------------------------------------------------
-
-    def _volume_spec(self, source: Path) -> dict[str, dict[str, str]]:
-        resolved = source.resolve()
-        return {
-            resolved.as_posix(): {"bind": self.config.audio_mount.as_posix(), "mode": "rw"}
-        }
+    # ---- run ----
 
     def run_and_stream(
         self,
@@ -254,20 +266,18 @@ class DockerBackend:
         *,
         log_callback: Callable[[str], None] | None = None,
     ) -> int:
-        """Run the backend container, streaming stdout/stderr to a callback."""
+        """Launch detached, stream logs, wait, and map the exit status.
+
+        Raises :class:`DockerLaunchError` on any non-zero exit.
+        """
         request.validate()
         if request.pull_if_missing:
             self._ensure_image_available()
-        options = {
-            "image": self.config.image,
-            "command": list(request.command),
-            "detach": True,
-            "remove": self.config.auto_remove,
-            "volumes": self._volume_spec(request.audio_dir),
-            "working_dir": self.config.audio_mount.as_posix(),
-            "environment": self.config.environment or None,
-            "tty": self.config.tty,
-            "stdin_open": self.config.stdin_open,
+        mount = {
+            request.audio_dir.resolve().as_posix(): {
+                "bind": self.config.audio_mount.as_posix(),
+                "mode": "rw",
+            }
         }
         LOG.debug(
             "Launching backend container image=%s command=%s audio_dir=%s",
@@ -276,72 +286,75 @@ class DockerBackend:
             request.audio_dir,
         )
         try:
-            container = self._client.containers.run(**options)
-        except _docker_exceptions() as exc:
+            container = self._client.containers.run(
+                image=self.config.image,
+                command=list(request.command),
+                detach=True,
+                remove=self.config.auto_remove,
+                volumes=mount,
+                working_dir=self.config.audio_mount.as_posix(),
+                environment=self.config.environment or None,
+                tty=self.config.tty,
+                stdin_open=self.config.stdin_open,
+            )
+        except _sdk_errors() as exc:
             raise DockerLaunchError(
-                str(exc).strip() or "Failed to start backend container."
+                _errtext(exc, "Failed to start backend container.")
             ) from exc
 
         try:
-            for chunk in self._stream_container_logs(container):
+            for line in self._log_lines(container):
                 if log_callback is not None:
-                    log_callback(chunk)
+                    log_callback(line)
                 else:
-                    LOG.info("%s", chunk.rstrip("\n"))
+                    LOG.info("%s", line.rstrip("\n"))
         finally:
-            exit_info = self._wait_for_exit(container)
-        status_code = self._coerce_status_code(exit_info.get("StatusCode", 1))
-        if status_code != 0:
-            error = exit_info.get("Error")
-            message = (
-                str(error).strip()
-                if error
-                else f"Backend container exited with status {status_code}."
-            )
-            raise DockerLaunchError(message)
-        return status_code
+            outcome = self._await_exit(container)
 
-    def _stream_container_logs(self, container) -> Iterable[str]:
+        code = self._exit_code(outcome.get("StatusCode", 1))
+        if code != 0:
+            err = outcome.get("Error")
+            raise DockerLaunchError(
+                str(err).strip()
+                if err
+                else f"Backend container exited with status {code}."
+            )
+        return code
+
+    def _log_lines(self, container) -> Iterable[str]:
         try:
             stream = container.attach(stream=True, stdout=True, stderr=True, logs=True)
-        except _docker_exceptions() as exc:
+        except _sdk_errors() as exc:
             raise DockerLaunchError(
-                str(exc).strip() or "Unable to attach to backend container."
+                _errtext(exc, "Unable to attach to backend container.")
             ) from exc
-        for chunk in stream:
-            yield chunk.decode("utf-8", errors="replace") if isinstance(chunk, bytes) else str(
-                chunk
-            )
+        for raw in stream:
+            if isinstance(raw, bytes):
+                yield raw.decode("utf-8", errors="replace")
+            else:
+                yield str(raw)
 
-    def _wait_for_exit(self, container) -> dict[str, object]:
+    def _await_exit(self, container) -> dict[str, object]:
         try:
-            result = container.wait()
-        except _docker_exceptions() as exc:
+            return dict(container.wait())
+        except _sdk_errors() as exc:
             raise DockerLaunchError(
-                str(exc).strip() or "Failed while waiting for container exit."
+                _errtext(exc, "Failed while waiting for container exit.")
             ) from exc
         finally:
             if not self.config.auto_remove:
                 with contextlib.suppress(Exception):
                     container.remove(force=True)
-        return dict(result)
 
     @staticmethod
-    def _coerce_status_code(value: object) -> int:
-        if isinstance(value, int):
-            return value
+    def _exit_code(value: object) -> int:
+        if isinstance(value, bool):
+            return int(value)
+        if isinstance(value, (int, float)):
+            return int(value)
         if isinstance(value, str):
             try:
                 return int(value)
             except ValueError:
                 return 1
-        if isinstance(value, float):
-            return int(value)
         return 1
-
-
-def default_decoder_command(command: Sequence[str] | None = None) -> tuple[str, ...]:
-    """Normalize decoder commands to a tuple for downstream use."""
-    if command:
-        return tuple(command)
-    return ("dsd-fme", "--help")

@@ -1,13 +1,15 @@
-"""Audio squelch / silence trimming batch processor.
+"""Batch audio squelch and silence trimming.
 
-Capability match with the reference (reference ``squelch.py``): the same
-three mask algorithms (static threshold, adaptive running-min baseline,
-short/long transient ratio), hold-time dilation, fade-ramp smoothing,
-lead/trail trimming and per-file/batch summaries — fully vectorised NumPy
-(audio-rate work is host-trivial next to the IQ pipeline).  File IO uses
-the first-party WAV reader/writer instead of libsndfile; supported audio
-containers are therefore WAV-only in this build (flac/ogg/mp3 inputs are
-skipped with a log message rather than crashing).
+Feature parity with the reference post-processor (reference
+``squelch.py``): static, adaptive and transient gating, hold-time
+opening of the mask, fade ramps at gate edges, lead/trail trimming,
+and per-file plus batch summaries. Everything is plain vectorised
+NumPy — audio-rate gating is host-trivial compared to the IQ pipeline,
+so nothing here touches the accelerator.
+
+IO goes through the first-party WAV reader/writer rather than
+libsndfile, so this build accepts WAV containers only; other formats
+are filtered out of the batch rather than crashing it.
 """
 
 from __future__ import annotations
@@ -23,100 +25,24 @@ import numpy as np
 from ..io.riff import WavStreamWriter, parse_wav_header
 from ..io.writer import read_wav
 
-SquelchMethod = Literal["adaptive", "static", "transient"]
-
 LOG = logging.getLogger(__name__)
 
-_MIN_DBFS = -160.0
-_EPS = 1e-10
+SquelchMethod = Literal["adaptive", "static", "transient"]
+
+_DB_FLOOR = -160.0
+_TINY = 1e-10
+_GATE_OPEN_EPS = 1e-3  # gain above this counts as "gate open" for trimming
 
 
-def _ensure_2d(samples: np.ndarray) -> np.ndarray:
-    if samples.ndim == 1:
-        return samples[:, np.newaxis]
-    if samples.ndim != 2:
-        raise ValueError(f"Expected mono/stereo audio, received shape {samples.shape!r}.")
-    return samples
-
-
-def _moving_average(values: np.ndarray, window: int) -> np.ndarray:
-    values_arr = np.asarray(values, dtype=np.float32)
-    window = max(int(window), 1)
-    if window == 1:
-        return values_arr
-    kernel = np.ones(window, dtype=np.float32) / float(window)
-    return np.convolve(values_arr, kernel, mode="same").astype(np.float32)
-
-
-def _envelope(samples: np.ndarray, window: int) -> np.ndarray:
-    magnitude = np.mean(np.abs(samples), axis=1, dtype=np.float64)
-    return _moving_average(magnitude.astype(np.float32), window)
-
-
-def _dbfs(values: np.ndarray) -> np.ndarray:
-    safe = np.maximum(np.asarray(values, dtype=np.float64), _EPS)
-    return np.maximum(_MIN_DBFS, 20.0 * np.log10(safe)).astype(np.float32)
-
-
-def _estimate_noise_floor(envelope_db: np.ndarray, percentile: float) -> float:
-    pct = float(np.clip(percentile, 0.0, 1.0)) * 100.0
-    return float(np.percentile(envelope_db, pct))
-
-
-def _percentile_difference(values: np.ndarray, low_pct: float, high_pct: float) -> np.ndarray:
-    values_arr = np.asarray(values, dtype=np.float32)
-    low = np.percentile(values_arr, low_pct * 100.0)
-    high = np.percentile(values_arr, high_pct * 100.0)
-    span = max(high - low, 1e-6)
-    return ((values_arr - low) / span).astype(np.float32)
-
-
-def _dilate_mask(mask: np.ndarray, head: int, tail: int) -> np.ndarray:
-    expanded = mask.copy()
-    if tail > 0:
-        kernel = np.ones(tail + 1, dtype=np.int8)
-        tail_conv = np.convolve(mask.astype(np.int8, copy=False), kernel, mode="full")
-        expanded |= tail_conv[: mask.size] > 0
-    if head > 0:
-        kernel = np.ones(head + 1, dtype=np.int8)
-        head_conv = np.convolve(mask[::-1].astype(np.int8, copy=False), kernel, mode="full")
-        expanded |= head_conv[: mask.size][::-1] > 0
-    return expanded
-
-
-def _smooth_gain(mask: np.ndarray, fade: int) -> np.ndarray:
-    if fade <= 0:
-        return mask.astype(np.float32, copy=False)
-    ramp = np.linspace(0.0, 1.0, fade + 1, dtype=np.float32)
-    fade_kernel = np.concatenate((ramp[:-1], np.ones(1, dtype=np.float32), ramp[1:][::-1]))
-    fade_kernel /= float(fade_kernel.max(initial=1.0))
-    mask_float = mask.astype(np.float32, copy=False)
-    pad = fade_kernel.size // 2
-    padded = np.pad(mask_float, pad, mode="edge")
-    smoothed_full = np.convolve(padded, fade_kernel, mode="same")
-    smoothed = smoothed_full[pad:-pad] if pad > 0 else smoothed_full
-    return np.clip(smoothed, 0.0, 1.0).astype(np.float32, copy=False)
-
-
-def _apply_trim(
-    samples: np.ndarray,
-    gain: np.ndarray,
-    sample_rate: float,
-    lead_seconds: float,
-    trail_seconds: float,
-) -> np.ndarray:
-    active_indices = np.flatnonzero(gain > 1e-3)
-    if active_indices.size == 0:
-        return samples[:0].copy()
-    lead_samples = int(max(0, round(sample_rate * lead_seconds)))
-    trail_samples = int(max(0, round(sample_rate * trail_seconds)))
-    start = max(0, active_indices[0] - lead_samples)
-    stop = min(samples.shape[0], active_indices[-1] + trail_samples + 1)
-    return samples[start:stop].copy()
+# --------------------------------------------------------------------------
+# configuration / results
+# --------------------------------------------------------------------------
 
 
 @dataclass(slots=True)
 class SquelchConfig:
+    """Gate tuning knobs; defaults mirror the reference CLI defaults."""
+
     method: SquelchMethod = "adaptive"
     auto_noise_floor: bool = True
     manual_noise_floor_db: float | None = None
@@ -132,8 +58,10 @@ class SquelchConfig:
     trim_trail_seconds: float = 0.35
 
     def resolve_noise_floor(self, envelope_db: np.ndarray) -> float:
+        """Noise floor in dBFS: auto (envelope percentile) or manual."""
         if self.auto_noise_floor:
-            return _estimate_noise_floor(envelope_db, self.noise_floor_percentile)
+            q = 100.0 * float(np.clip(self.noise_floor_percentile, 0.0, 1.0))
+            return float(np.percentile(envelope_db, q))
         if self.manual_noise_floor_db is None:
             raise ValueError(
                 "manual_noise_floor_db must be provided when auto_noise_floor=False."
@@ -183,38 +111,125 @@ class SquelchSummary:
         return self.processed + self.failed
 
     def aggregate_duration_delta(self) -> float:
-        return float(sum(item.duration_out - item.duration_in for item in self.results))
+        return float(sum(r.duration_out - r.duration_in for r in self.results))
 
     def aggregate_size_delta(self) -> int:
-        return int(sum(item.bytes_out - item.bytes_in for item in self.results))
+        return int(sum(r.bytes_out - r.bytes_in for r in self.results))
 
 
-def _transient_mask(
-    samples: np.ndarray, sample_rate: float, config: SquelchConfig
-) -> np.ndarray:
-    short_win = max(1, int(round(config.transient_window_seconds * sample_rate)))
-    long_win = max(short_win * 4, int(round(config.window_seconds * sample_rate)))
-    short_env = _envelope(samples, short_win)
-    long_env = _envelope(samples, long_win)
-    diff_db = _dbfs(short_env) - _dbfs(long_env + _EPS)
-    return np.asarray(diff_db >= config.transient_margin_db, dtype=bool)
+# --------------------------------------------------------------------------
+# envelope + mask construction
+# --------------------------------------------------------------------------
 
 
-def _adaptive_mask(envelope_db: np.ndarray, threshold_db: float) -> np.ndarray:
-    above = envelope_db >= threshold_db
-    if not np.any(above):
-        return above
-    baseline = np.minimum.accumulate(envelope_db)
-    relative = envelope_db - baseline
-    score = _percentile_difference(relative, 0.05, 0.95)
-    adaptive_threshold = np.clip(
+def _as_frames(audio: np.ndarray) -> np.ndarray:
+    """Coerce to (frames, channels) float32."""
+    x = np.asarray(audio, dtype=np.float32)
+    if x.ndim == 1:
+        return x[:, None]
+    if x.ndim == 2:
+        return x
+    raise ValueError(f"Expected mono/stereo audio, received shape {x.shape!r}.")
+
+
+def _box_mean(x: np.ndarray, width: int) -> np.ndarray:
+    width = max(int(width), 1)
+    if width == 1:
+        return np.asarray(x, dtype=np.float32)
+    taps = np.full(width, 1.0 / width, dtype=np.float32)
+    return np.convolve(np.asarray(x, dtype=np.float32), taps, mode="same").astype(
+        np.float32
+    )
+
+
+def _envelope(frames: np.ndarray, width: int) -> np.ndarray:
+    """Smoothed channel-mean magnitude envelope."""
+    mag = np.mean(np.abs(frames), axis=1, dtype=np.float64)
+    return _box_mean(mag.astype(np.float32), width)
+
+
+def _to_db(x: np.ndarray) -> np.ndarray:
+    lvl = 20.0 * np.log10(np.maximum(np.asarray(x, dtype=np.float64), _TINY))
+    return np.maximum(lvl, _DB_FLOOR).astype(np.float32)
+
+
+def _mask_static(env_db, threshold_db, frames, fs, cfg):
+    return env_db >= threshold_db
+
+
+def _mask_adaptive(env_db, threshold_db, frames, fs, cfg):
+    coarse = env_db >= threshold_db
+    if not coarse.any():
+        return coarse
+    # score each sample by how far the envelope sits above its running
+    # minimum, normalised to the 5th..95th percentile span, then let the
+    # threshold breathe ±6 dB against that score
+    rel = env_db - np.minimum.accumulate(env_db)
+    lo, hi = (np.percentile(rel, q) for q in (5.0, 95.0))
+    score = (rel - lo) / max(hi - lo, 1e-6)
+    local_thr = np.clip(
         threshold_db + 6.0 * (1.0 - score), threshold_db - 6.0, threshold_db + 6.0
     )
-    return envelope_db >= adaptive_threshold
+    return env_db >= local_thr.astype(np.float32)
 
 
-def _static_mask(envelope_db: np.ndarray, threshold_db: float) -> np.ndarray:
-    return envelope_db >= threshold_db
+def _mask_transient(env_db, threshold_db, frames, fs, cfg):
+    fast_w = max(1, round(cfg.transient_window_seconds * fs))
+    slow_w = max(fast_w * 4, round(cfg.window_seconds * fs))
+    fast_db = _to_db(_envelope(frames, fast_w))
+    slow_db = _to_db(_envelope(frames, slow_w) + _TINY)
+    return np.asarray(fast_db - slow_db >= cfg.transient_margin_db, dtype=bool)
+
+
+_MASK_BUILDERS = {
+    "static": _mask_static,
+    "adaptive": _mask_adaptive,
+    "transient": _mask_transient,
+}
+
+
+# --------------------------------------------------------------------------
+# gating
+# --------------------------------------------------------------------------
+
+
+def _hold_open(mask: np.ndarray, before: int, after: int) -> np.ndarray:
+    """Keep the gate open ``before``/``after`` samples around every active
+    sample (morphological dilation via an interval difference array)."""
+    if (before <= 0 and after <= 0) or not mask.any():
+        return mask
+    active = np.flatnonzero(mask)
+    bumps = np.zeros(mask.size + 1, dtype=np.int64)
+    np.add.at(bumps, np.maximum(active - before, 0), 1)
+    np.add.at(bumps, np.minimum(active + after + 1, mask.size), -1)
+    return np.cumsum(bumps[:-1]) > 0
+
+
+def _fade_gain(mask: np.ndarray, fade: int) -> np.ndarray:
+    """Boolean mask -> float gain with triangular ramps at gate edges."""
+    gate = mask.astype(np.float32, copy=False)
+    if fade <= 0:
+        return gate
+    up = np.linspace(0.0, 1.0, fade + 1, dtype=np.float32)
+    tri = np.concatenate((up[:-1], [np.float32(1.0)], up[1:][::-1]))
+    tri /= float(tri.max(initial=1.0))
+    half = tri.size // 2
+    padded = np.pad(gate, half, mode="edge")
+    ramped = np.convolve(padded, tri, mode="same")
+    if half > 0:
+        ramped = ramped[half:-half]
+    return np.clip(ramped, 0.0, 1.0).astype(np.float32, copy=False)
+
+
+def _trim_to_activity(
+    frames: np.ndarray, gain: np.ndarray, fs: float, lead_s: float, trail_s: float
+) -> np.ndarray:
+    open_idx = np.flatnonzero(gain > _GATE_OPEN_EPS)
+    if open_idx.size == 0:
+        return frames[:0].copy()
+    first = max(0, int(open_idx[0]) - max(0, round(fs * lead_s)))
+    last = min(frames.shape[0], int(open_idx[-1]) + max(0, round(fs * trail_s)) + 1)
+    return frames[first:last].copy()
 
 
 def apply_squelch(
@@ -222,94 +237,91 @@ def apply_squelch(
     sample_rate: float,
     config: SquelchConfig,
 ) -> tuple[np.ndarray, float, float]:
-    """Apply the configured squelch; returns (audio, noise_floor_db, threshold_db)."""
-    samples = _ensure_2d(np.asarray(audio, dtype=np.float32))
-    window = max(1, int(round(config.window_seconds * sample_rate)))
-    envelope = _envelope(samples, window)
-    envelope_db = _dbfs(envelope)
-    noise_floor_db = config.resolve_noise_floor(envelope_db)
-    threshold_db = noise_floor_db + config.threshold_margin_db
+    """Gate + (optionally) trim ``audio``.
 
-    if config.method == "transient":
-        mask = _transient_mask(samples, sample_rate, config)
-    elif config.method == "adaptive":
-        mask = _adaptive_mask(envelope_db, threshold_db)
-    elif config.method == "static":
-        mask = _static_mask(envelope_db, threshold_db)
-    else:
-        raise ValueError(f"Unsupported squelch method: {config.method}")
+    Returns ``(cleaned_frames, noise_floor_db, threshold_db)``.
+    """
+    frames = _as_frames(audio)
+    env_db = _to_db(_envelope(frames, max(1, round(config.window_seconds * sample_rate))))
+    floor_db = config.resolve_noise_floor(env_db)
+    threshold_db = floor_db + config.threshold_margin_db
 
-    head = int(round(sample_rate * config.hold_seconds))
-    expanded_mask = _dilate_mask(mask, head=head, tail=head)
-    fade = int(round(sample_rate * config.fade_seconds))
-    gain = _smooth_gain(expanded_mask, fade)
-    cleaned = samples * gain[:, np.newaxis]
+    try:
+        build = _MASK_BUILDERS[config.method]
+    except KeyError:
+        raise ValueError(f"Unsupported squelch method: {config.method}") from None
+    mask = build(env_db, threshold_db, frames, sample_rate, config)
+
+    hold = round(sample_rate * config.hold_seconds)
+    gain = _fade_gain(
+        _hold_open(mask, hold, hold), round(sample_rate * config.fade_seconds)
+    )
+    gated = frames * gain[:, None]
 
     if config.trim_silence:
-        trimmed = _apply_trim(
-            cleaned, gain, sample_rate, config.trim_lead_seconds, config.trim_trail_seconds
+        gated = _trim_to_activity(
+            gated, gain, sample_rate, config.trim_lead_seconds, config.trim_trail_seconds
         )
     else:
-        trimmed = cleaned.copy()
-
-    if trimmed.size == 0:
-        trimmed = np.zeros((0, cleaned.shape[1]), dtype=np.float32)
-
-    return trimmed.astype(np.float32, copy=False), noise_floor_db, threshold_db
+        gated = gated.copy()
+    if gated.size == 0:
+        gated = np.zeros((0, frames.shape[1]), dtype=np.float32)
+    return gated.astype(np.float32, copy=False), floor_db, threshold_db
 
 
-def _derive_output_path(path: Path, options: AudioPostOptions) -> Path:
-    if options.overwrite:
-        return path
-    suffix = options.cleaned_suffix or "-cleaned"
-    return path.with_name(f"{path.stem}{suffix}{path.suffix}")
-
-
-def _eligible_inputs(paths: Iterable[Path], allowed: Sequence[str]) -> list[Path]:
-    choices: list[Path] = []
-    suffixes = tuple(s.lower() for s in allowed)
-    for path in paths:
-        if not path.is_file():
-            continue
-        if suffixes and path.suffix.lower() not in suffixes:
-            continue
-        choices.append(path)
-    return choices
+# --------------------------------------------------------------------------
+# batch driver
+# --------------------------------------------------------------------------
 
 
 def gather_audio_targets(path: Path, options: AudioPostOptions) -> list[Path]:
+    """Expand a file or directory into the list of processable inputs."""
     if path.is_file():
-        return _eligible_inputs([path], options.allowed_suffixes)
-    if path.is_dir():
-        return _eligible_inputs(sorted(path.iterdir()), options.allowed_suffixes)
-    raise FileNotFoundError(f"No such file or directory: {path}")
+        candidates: Iterable[Path] = [path]
+    elif path.is_dir():
+        candidates = sorted(path.iterdir())
+    else:
+        raise FileNotFoundError(f"No such file or directory: {path}")
+    allowed = tuple(s.lower() for s in options.allowed_suffixes)
+    return [
+        p
+        for p in candidates
+        if p.is_file() and (not allowed or p.suffix.lower() in allowed)
+    ]
 
 
 def process_audio_file(path: Path, options: AudioPostOptions) -> SquelchFileResult:
     data, sample_rate = read_wav(path)
-    subtype = parse_wav_header(path).codec or "pcm_s16le"
-    cleaned, noise_floor_db, threshold_db = apply_squelch(
+    cleaned, floor_db, threshold_db = apply_squelch(
         data, float(sample_rate), options.config
     )
-    output_path = _derive_output_path(path, options)
-    writer_codec = subtype if subtype in {"pcm_u8", "pcm_s16le", "pcm_f32le"} else "pcm_s16le"
-    with WavStreamWriter(output_path, sample_rate, cleaned.shape[1], writer_codec) as w:
-        w.write_float(cleaned)
-    samples_in = int(data.shape[0])
-    samples_out = int(cleaned.shape[0])
+
+    if options.overwrite:
+        out_path = path
+    else:
+        out_path = path.with_name(
+            path.stem + (options.cleaned_suffix or "-cleaned") + path.suffix
+        )
+    codec = parse_wav_header(path).codec or "pcm_s16le"
+    if codec not in {"pcm_u8", "pcm_s16le", "pcm_f32le"}:
+        codec = "pcm_s16le"
+    with WavStreamWriter(out_path, sample_rate, cleaned.shape[1], codec) as writer:
+        writer.write_float(cleaned)
+
+    n_in, n_out = int(data.shape[0]), int(cleaned.shape[0])
     return SquelchFileResult(
         input_path=path,
-        output_path=output_path,
-        samples_in=samples_in,
-        samples_out=samples_out,
-        duration_in=samples_in / float(sample_rate),
-        duration_out=samples_out / float(sample_rate),
+        output_path=out_path,
+        samples_in=n_in,
+        samples_out=n_out,
+        duration_in=n_in / float(sample_rate),
+        duration_out=n_out / float(sample_rate),
         bytes_in=path.stat().st_size,
-        bytes_out=output_path.stat().st_size,
-        noise_floor_db=noise_floor_db,
+        bytes_out=out_path.stat().st_size,
+        noise_floor_db=floor_db,
         threshold_db=threshold_db,
         method=options.config.method,
-        retained_ratio=samples_out / samples_in if samples_in else 0.0,
+        retained_ratio=n_out / n_in if n_in else 0.0,
     )
 
 
@@ -319,19 +331,19 @@ def process_audio_batch(
     *,
     progress_cb: Callable[[int, int, Path], None] | None = None,
 ) -> SquelchSummary:
-    results: list[SquelchFileResult] = []
-    errors: list[tuple[Path, Exception]] = []
-    total = len(targets)
-    for index, path in enumerate(targets, start=1):
+    """Run every target through :func:`process_audio_file`, collecting
+    failures instead of aborting the batch."""
+    done: list[SquelchFileResult] = []
+    failed: list[tuple[Path, Exception]] = []
+    for i, path in enumerate(targets):
         if progress_cb:
-            progress_cb(index - 1, total, path)
+            progress_cb(i, len(targets), path)
         try:
-            result = process_audio_file(path, options)
+            done.append(process_audio_file(path, options))
         except Exception as exc:  # pragma: no cover - surfaced to UI/CLI
             LOG.error("Audio post-processing failed for %s: %s", path, exc)
-            errors.append((path, exc))
+            failed.append((path, exc))
             continue
-        results.append(result)
         if progress_cb:
-            progress_cb(index, total, path)
-    return SquelchSummary(results=results, errors=errors)
+            progress_cb(i + 1, len(targets), path)
+    return SquelchSummary(results=done, errors=failed)
