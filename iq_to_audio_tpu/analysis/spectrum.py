@@ -10,8 +10,11 @@ FFTs go through a pluggable backend. The default is SciPy/NumPy —
 snapshot sizes are small and host FFTs avoid a device round-trip — while
 ``backend="jax"`` batches every window of a block into one device FFT
 for accelerated sweeps over large captures (on accelerators whose
-runtime supports complex FFT HLOs; the axon TPU relay does not, so jax
-here means jax-on-CPU unless the platform allows otherwise).
+runtime supports complex FFT HLOs). ``backend="matmul"`` is the
+TPU-native route for runtimes without an FFT HLO or complex dtype (the
+axon relay): each block's window batch becomes four real f32 matmuls
+against a cached cos/sin DFT basis, which XLA tiles straight onto the
+MXU (capped at nfft=4096; larger transforms fall back to the host FFT).
 """
 
 from __future__ import annotations
@@ -34,14 +37,68 @@ class WaterfallResult:
     matrix: np.ndarray
 
 
+# matmul-DFT basis cache and the largest transform it is allowed to build
+# (an nfft x nfft f32 cos/sin pair; 4096 -> 2 x 64 MB is the sane ceiling,
+# larger transforms silently fall back to the host FFT)
+_DFT_BASIS_MAX = 4096
+_dft_cache: dict[int, tuple] = {}
+
+
+def _dft_basis(nfft: int):
+    """(cos, sin) of the symmetric DFT matrix W[n,k] = exp(-2πi·nk/N)."""
+    hit = _dft_cache.get(nfft)
+    if hit is None:
+        k = np.arange(nfft, dtype=np.float64)
+        # reduce n·k mod N before scaling so the trig arguments stay small
+        ang = (-2.0 * np.pi / nfft) * (np.outer(k, k) % nfft)
+        hit = (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+        _dft_cache[nfft] = hit
+    return hit
+
+
+def _dft_matmul(x: np.ndarray, nfft: int) -> np.ndarray:
+    """DFT along the last axis as four real matmuls on the default jax
+    device. The TPU path the axon runtime can actually compile: it has no
+    FFT HLO and no complex dtype, but (num_windows, nfft) @ (nfft, nfft)
+    f32 matmuls land straight on the MXU.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    cos_b, sin_b = _dft_basis(nfft)
+
+    @jax.jit
+    def _apply(xr, xi, c, s):
+        hi = lax.Precision.HIGHEST
+        # (xr + j·xi) @ (c + j·s), expanded into real arithmetic
+        re = jnp.dot(xr, c, precision=hi) - jnp.dot(xi, s, precision=hi)
+        im = jnp.dot(xr, s, precision=hi) + jnp.dot(xi, c, precision=hi)
+        return re, im
+
+    re, im = _apply(
+        jnp.asarray(np.real(x), dtype=jnp.float32),
+        jnp.asarray(np.imag(x), dtype=jnp.float32),
+        cos_b,
+        sin_b,
+    )
+    return np.asarray(re).astype(np.float64) + 1j * np.asarray(im).astype(np.float64)
+
+
 def _run_fft(x: np.ndarray, nfft: int, backend: str) -> np.ndarray:
     """FFT along the last axis, zero-padding to nfft when needed."""
-    if backend == "jax":
-        import jax.numpy as jnp
-
+    if backend in ("jax", "matmul"):
         short = nfft - x.shape[-1]
         if short > 0:
             x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, short)])
+        if backend == "matmul":
+            if nfft > _DFT_BASIS_MAX:
+                from scipy.fft import fft as sfft
+
+                return np.asarray(sfft(x, n=nfft))
+            return _dft_matmul(x, nfft)
+        import jax.numpy as jnp
+
         return np.asarray(jnp.fft.fft(jnp.asarray(x, dtype=jnp.complex64), axis=-1))
     from scipy.fft import fft as sfft
 

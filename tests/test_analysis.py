@@ -36,6 +36,27 @@ class TestComputePsd:
         np.testing.assert_allclose(f1, f2)
         np.testing.assert_allclose(p1, p2, atol=0.2)  # f32 vs f64 FFT
 
+    def test_matmul_backend_matches_numpy(self):
+        """The FFT-free device path (for runtimes without an FFT HLO)."""
+        iq = make_tone_iq(48_000.0, 0.2, 5_000.0)
+        f1, p1 = compute_psd(iq, 48_000.0, nfft=4096, backend="numpy")
+        f2, p2 = compute_psd(iq, 48_000.0, nfft=4096, backend="matmul")
+        np.testing.assert_allclose(f1, f2)
+        # compare where the spectrum carries energy; deep-floor bins are
+        # dominated by f32 rounding of near-zero power
+        hot = p1 > p1.max() - 80.0
+        assert hot.sum() > 100
+        np.testing.assert_allclose(p1[hot], p2[hot], atol=0.3)
+        assert f2[np.argmax(p2)] == f1[np.argmax(p1)]
+
+    def test_matmul_backend_large_nfft_falls_back(self):
+        """Above the basis cap the matmul backend must defer to the host
+        FFT rather than materialise a multi-GB DFT matrix."""
+        iq = make_tone_iq(48_000.0, 0.4, 5_000.0)
+        f1, p1 = compute_psd(iq, 48_000.0, nfft=1 << 14, backend="numpy")
+        f2, p2 = compute_psd(iq, 48_000.0, nfft=1 << 14, backend="matmul")
+        np.testing.assert_allclose(p1, p2, atol=1e-9)
+
 
 class TestWaterfall:
     def test_shapes_and_cap(self):
@@ -55,6 +76,18 @@ class TestWaterfall:
     def test_too_short_raises(self):
         with pytest.raises(ValueError):
             streaming_waterfall(iter([np.ones(10, np.complex64)]), 96e3, nfft=2048)
+
+    def test_matmul_backend_waterfall(self):
+        fs = 96_000.0
+        iq = make_tone_iq(fs, 0.5, 10_000.0)
+        chunks = [iq[i : i + 8192] for i in range(0, iq.size, 8192)]
+        ref = streaming_waterfall(iter(chunks), fs, nfft=2048, max_slices=40)
+        dev = streaming_waterfall(
+            iter(chunks), fs, nfft=2048, max_slices=40, backend="matmul"
+        )
+        assert ref[3] == dev[3]
+        hot = ref[1] > ref[1].max() - 80.0
+        np.testing.assert_allclose(ref[1][hot], dev[1][hot], atol=0.3)
 
     def test_tail_carry_across_chunks(self):
         """Windows spanning chunk boundaries must be produced."""
