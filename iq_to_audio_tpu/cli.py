@@ -18,8 +18,19 @@ from __future__ import annotations
 import argparse
 import logging
 import math
+import os
 import sys
 from pathlib import Path
+
+# Honor an explicit JAX_PLATFORMS from the user's environment.  Some hosts
+# register an accelerator plugin from sitecustomize and programmatically pin
+# the platform, which silently outranks the env var; re-asserting it through
+# jax.config (before any backend initialisation) restores the documented env
+# semantics — e.g. `JAX_PLATFORMS=cpu iq-to-audio ...` really runs on CPU.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from . import __version__
 from .io.formats import parse_user_format

@@ -21,6 +21,7 @@ Output counts per chunk are computed exactly on the host
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from fractions import Fraction
 
@@ -29,8 +30,13 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+LOG = logging.getLogger(__name__)
+
 TAPS_PER_PHASE = 32
-_MAX_DEN = 1024
+# Exact ratios are used whenever the (up, down+K-1) conv kernel fits this
+# budget; beyond it the ratio is approximated (with a loud ppm warning).
+_MAX_KERNEL_BYTES = 16 << 20
+_FALLBACK_DENS = (8192, 4096, 2048, 1024, 512)
 
 
 @dataclass(frozen=True)
@@ -57,7 +63,12 @@ class ResamplePlan:
 
     @property
     def blocks_cap(self) -> int:
-        return self.in_size // self.down + 1
+        """Blocks computed per chunk.  ``+2`` (not ``+1``) guarantees the
+        trailing *incomplete* block is always materialised — its outputs read
+        zero-padded input, which is exactly what the float64 twin computes at
+        EOF, so the pipeline's final flush can always take them from the last
+        chunk's buffer (any alignment offset, any in_size % down)."""
+        return self.in_size // self.down + 2
 
     @property
     def out_capacity(self) -> int:
@@ -71,14 +82,63 @@ class ResamplePlan:
         alignment offset in [0, down]."""
         return (self.blocks_cap - 1) * self.down + self.kernel_width
 
+    @property
+    def rate_error_ppm(self) -> float:
+        """Output-rate error (ppm) of the realised ratio vs the requested one
+        (0.0 when the exact ratio was used)."""
+        return getattr(self, "_rate_error_ppm", 0.0)
+
     @staticmethod
     def create(input_rate: float, output_rate: float, in_size: int) -> "ResamplePlan":
-        in_int = max(1, int(round(float(input_rate))))
-        out_int = max(1, int(round(float(output_rate))))
-        frac = Fraction(out_int, in_int).limit_denominator(_MAX_DEN)
-        return ResamplePlan(
+        """Plan a rational resample.
+
+        Uses the **exact** reduced ``out/in`` fraction whenever the resulting
+        polyphase conv kernel fits :data:`_MAX_KERNEL_BYTES`; otherwise falls
+        back to the best continued-fraction approximation that fits, and logs
+        a WARNING with the resulting output-rate error in ppm (the reference's
+        ffmpeg ``aresample`` handles arbitrary ratios exactly,
+        reference ``processing.py:399-418`` — here exactness is traded only
+        when the ratio is irreducible past the kernel budget).
+        """
+        # Recover the underlying rational rates: rates like 2.5e6/26 arrive
+        # as floats (96153.846...) whose true ratio to 48 kHz is exactly
+        # 312/625 — rounding to integers first would lose that.
+        in_frac = Fraction(float(input_rate)).limit_denominator(1 << 20)
+        out_frac = Fraction(float(output_rate)).limit_denominator(1 << 20)
+        exact = out_frac / in_frac
+
+        def kernel_bytes(f: Fraction) -> int:
+            return f.numerator * (f.denominator + TAPS_PER_PHASE - 1) * 4
+
+        frac = exact
+        if kernel_bytes(exact) > _MAX_KERNEL_BYTES:
+            for cap in _FALLBACK_DENS:
+                frac = exact.limit_denominator(cap)
+                if kernel_bytes(frac) <= _MAX_KERNEL_BYTES:
+                    break
+        error_ppm = 0.0
+        if frac != exact:
+            realised = float(input_rate) * frac.numerator / frac.denominator
+            error_ppm = (realised - float(output_rate)) / float(output_rate) * 1e6
+            LOG.warning(
+                "Resample ratio %s approximated as %d/%d: output clock will "
+                "run %.2f ppm %s (audio plays at %.3f Hz instead of %.1f "
+                "Hz).  Exact ratio exceeds the %d MiB polyphase kernel "
+                "budget.",
+                exact,
+                frac.numerator,
+                frac.denominator,
+                abs(error_ppm),
+                "fast" if error_ppm > 0 else "slow",
+                realised,
+                float(output_rate),
+                _MAX_KERNEL_BYTES >> 20,
+            )
+        plan = ResamplePlan(
             up=frac.numerator, down=frac.denominator, in_size=int(in_size)
         )
+        object.__setattr__(plan, "_rate_error_ppm", error_ppm)
+        return plan
 
     # -- exact host-side bookkeeping ----------------------------------------
 

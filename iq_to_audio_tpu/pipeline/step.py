@@ -25,6 +25,7 @@ orchestration (reference ``processing.py:1070-1154``).  Key properties:
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -166,7 +167,23 @@ def superstep_impl(
     On runtimes with high per-call host<->device latency this divides the
     fixed per-dispatch and per-upload costs by S.  Output metadata (rms) is
     not returned — the host computes all counts exactly anyway.
+
+    A single ``rs_offset`` serves every scanned chunk, which is only valid
+    when the resampler alignment repeats chunk-to-chunk — enforced here so
+    any caller (not just the pipeline's ``rs_aligned`` gate) trips loudly.
     """
+    rs_plan = static.get("rs_plan")
+    ddc_plan = static["ddc_plan"]
+    if (
+        rs_plan is not None
+        and not rs_plan.identity
+        and ddc_plan.out_size % rs_plan.down != 0
+    ):
+        raise ValueError(
+            "superstep requires decimated chunk size to be a multiple of the "
+            f"resampler 'down' ({ddc_plan.out_size} % {rs_plan.down} != 0); "
+            "dispatch chunks individually instead (super_chunks=1)"
+        )
 
     def body(carry, raw):
         st, ac, k = carry
@@ -362,21 +379,23 @@ def build_chunk_step(
     acc_chunks = max(1, min(64, acc_bytes_budget // max(per_chunk, 1)))
     if acc_chunks_cap is not None:
         acc_chunks = max(1, min(acc_chunks, acc_chunks_cap))
-    import os as _os
-
-    acc_env = _os.environ.get("IQ2A_ACC")
+    acc_env = os.environ.get("IQ2A_ACC")
     if acc_env:
         acc_chunks = max(1, min(acc_chunks, int(acc_env)))
     # superstep size: scan S chunks per dispatch; accumulation windows must
     # be a whole number of supersteps
     if super_chunks is None:
-        import os
-
         env = os.environ.get("IQ2A_SUPER")
         if env:
             super_chunks = int(env)
         else:
             super_chunks = 8 if jax.default_backend() != "cpu" else 1
+    if (
+        rs_plan is not None
+        and not rs_plan.identity
+        and ddc_plan.out_size % rs_plan.down != 0
+    ):
+        super_chunks = 1  # per-chunk rs_offset required (see superstep_impl)
     super_chunks = max(1, min(super_chunks, acc_chunks))
     acc_chunks = (acc_chunks // super_chunks) * super_chunks
 

@@ -160,6 +160,41 @@ def test_superstep_equals_single_step(tmp_path, monkeypatch):
     assert float(np.mean(diff > 0)) < 1e-3
 
 
+def test_build_chunk_step_explicit_super_on_accelerator(monkeypatch):
+    """Regression (round-1 VERDICT weak #4): ``build_chunk_step`` with an
+    explicit ``super_chunks`` on a non-CPU backend raised NameError ('os'
+    was only imported inside the ``super_chunks is None`` branch), crashing
+    every ``--plot-stages`` / unaligned-geometry run on the accelerator."""
+    import iq_to_audio_tpu.pipeline.step as step_mod
+    from iq_to_audio_tpu.demod import create_decoder
+    from iq_to_audio_tpu.ops.ddc import DDCPlan, bandpass_kernel
+    from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+    from iq_to_audio_tpu.ops.resample import design_resampler_kernel
+
+    monkeypatch.setattr(step_mod.jax, "default_backend", lambda: "tpu")
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    taps = design_channel_filter(FS, 12_500.0, decim)
+    ddc_plan = DDCPlan.create(len(taps), decim, target_chunk=32_768)
+    rs_plan = ResamplePlan.create(fs_ch, 48_000.0, ddc_plan.out_size)
+    decoder = create_decoder("nfm", deemph_us=300.0, agc_enabled=True)
+    decoder.setup(fs_ch)
+    inc = nco_increment_fixed(OFFSET, FS)
+    step = step_mod.build_chunk_step(
+        ddc_plan=ddc_plan,
+        rs_plan=rs_plan,
+        ddc_kernel_np=bandpass_kernel(taps, [inc]),
+        rs_kernel_np=design_resampler_kernel(rs_plan.up, rs_plan.down),
+        incs_fixed=[inc],
+        codec="pcm_s16le",
+        iq_order="iq",
+        decoder=decoder,
+        pass_through=False,
+        dump_iq=False,
+        super_chunks=1,  # the branch that skipped the os import
+    )
+    assert step.super_chunks == 1
+
+
 def test_chunk_size_invariance(tmp_path):
     """Chunked streaming must be invariant to the chunk size choice."""
     iq = make_nfm_iq(FS, 0.8, OFFSET)

@@ -67,6 +67,34 @@ def test_ddc_chunked_equals_whole(decim, taps_len, nchunks, freq_frac):
     assert error_db(got, whole) < -100.0
 
 
+def _stream_resample(plan, x):
+    """Streamed resample with the pipeline's exact bookkeeping, including the
+    EOF flush of the trailing incomplete block (pipeline.py EOF-flush path)."""
+    kernel = jnp.asarray(design_resampler_kernel(plan.up, plan.down))
+    tail = jnp.zeros(plan.tail_len, jnp.float32)
+    total_in = 0
+    emitted = 0
+    parts = []
+    y = None
+    for s in range(0, x.size, plan.in_size):
+        off = plan.chunk_offset(total_in)
+        count = plan.out_count(total_in, plan.in_size)
+        y, tail = polyphase_resample(
+            plan, kernel, jnp.asarray(x[s : s + plan.in_size]), tail, off
+        )
+        parts.append(np.asarray(y)[:count])
+        total_in += plan.in_size
+        emitted += count
+    extra = plan.final_flush_count(total_in, emitted)
+    if extra:
+        # the trailing incomplete block reads zero-padded input on device —
+        # exactly the float64 twin's EOF semantics — and is always present
+        # past the valid count (blocks_cap reserves its slot)
+        count = plan.out_count(total_in - plan.in_size, plan.in_size)
+        parts.append(np.asarray(y)[count : count + extra])
+    return np.concatenate(parts)
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     fs_in=st.integers(min_value=48_001, max_value=200_000),
@@ -79,19 +107,40 @@ def test_resampler_streamed_matches_whole(fs_in, nblocks):
     rng = np.random.default_rng(fs_in)
     x = rng.normal(size=plan.in_size * nblocks).astype(np.float32) * 0.3
     ref = RefResampler(plan.up, plan.down, plan.taps_per_phase).resample_all(x)
-    kernel = jnp.asarray(design_resampler_kernel(plan.up, plan.down))
-    tail = jnp.zeros(plan.tail_len, jnp.float32)
-    total_in = 0
-    parts = []
-    for s in range(0, x.size, plan.in_size):
-        off = plan.chunk_offset(total_in)
-        count = plan.out_count(total_in, plan.in_size)
-        y, tail = polyphase_resample(plan, kernel, jnp.asarray(x[s : s + plan.in_size]), tail, off)
-        parts.append(np.asarray(y)[:count])
-        total_in += plan.in_size
-    got = np.concatenate(parts)
-    assert ref.size - got.size < plan.up
-    assert error_db(got, ref[: got.size]) < -60.0
+    got = _stream_resample(plan, x)
+    assert got.size == ref.size
+    assert error_db(got, ref) < -60.0
+
+
+def test_resampler_streamed_eof_regression():
+    """Pin the hypothesis-falsified example (round-1 red test): up=2/down=3
+    dropped the final incomplete block's outputs (5460 of 5462)."""
+    plan = ResamplePlan.create(71_983, 48_000.0, in_size=4096)
+    assert not plan.identity
+    rng = np.random.default_rng(71_983)
+    x = rng.normal(size=plan.in_size * 2).astype(np.float32) * 0.3
+    ref = RefResampler(plan.up, plan.down, plan.taps_per_phase).resample_all(x)
+    got = _stream_resample(plan, x)
+    assert got.size == ref.size
+    assert error_db(got, ref) < -60.0
+
+
+def test_resampler_ratio_exact_when_feasible_warns_when_not(caplog):
+    import logging
+
+    # float rate that hides an exact small rational: 2.5 MHz / 26
+    with caplog.at_level(logging.WARNING, logger="iq_to_audio_tpu.ops.resample"):
+        plan = ResamplePlan.create(2_500_000.0 / 26.0, 48_000.0, in_size=4096)
+    assert (plan.up, plan.down) == (312, 625)
+    assert plan.rate_error_ppm == 0.0
+    assert not caplog.records
+
+    # irreducible ratio past the kernel budget: approximate + loud warning
+    with caplog.at_level(logging.WARNING, logger="iq_to_audio_tpu.ops.resample"):
+        plan = ResamplePlan.create(71_983.0, 48_000.0, in_size=4096)
+    assert plan.rate_error_ppm != 0.0
+    assert abs(plan.rate_error_ppm) < 500.0  # still a tight approximation
+    assert any("ppm" in r.getMessage() for r in caplog.records)
 
 
 @settings(max_examples=20, deadline=None)
