@@ -42,7 +42,10 @@ def main() -> int:
     import os
     sample_rate = 2_500_000.0
     seconds = float(os.environ.get("IQ2A_BENCH_SECONDS", "10"))
-    warm_seconds = 2.0
+    # warm with the SAME duration: the accumulator-window size is quantised
+    # from the capture length, so a shorter warm-up would compile a different
+    # executable and the first measured pass would pay the real compile
+    warm_seconds = seconds
     offset = 25_000.0
     center = 400_000_000.0
     passes = 3  # the shared-tunnel TPU runtime has run-to-run latency

@@ -162,7 +162,10 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     parser.add_argument("--in", dest="input_path", required=False, type=Path,
-                        help="Input SDR++ baseband WAV file.")
+                        action="append", default=None,
+                        help="Input SDR++ baseband WAV file. Supply multiple "
+                             "times to process several captures; same-geometry "
+                             "captures batch data-parallel over the device mesh.")
     parser.add_argument("--ft", dest="target_freqs", type=positive_float, action="append",
                         default=None,
                         help="Target RF frequency in Hz. Supply up to five times to batch additional channels.")
@@ -363,6 +366,11 @@ def main(argv: list[str] | None = None) -> int:
 
     frequencies: list[float] = list(args.target_freqs or [])
 
+    # normalise the (repeatable) --in flag: keep the list for the
+    # multi-capture path, expose the primary path everywhere else
+    args.input_paths = list(args.input_path or [])
+    args.input_path = args.input_paths[0] if args.input_paths else None
+
     input_format_value: str | None = None
     input_container: str | None = None
     input_format_source: str | None = None
@@ -499,6 +507,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
     if not launch_gui:
+        if len(args.input_paths) > 1:
+            return _run_multi_capture(args, frequencies, shared_kwargs, _make_sink)
         configs = [_build_batched_config(args, frequencies, shared_kwargs)]
 
     if not configs:
@@ -566,6 +576,106 @@ def _make_sink():
     except RuntimeError as exc:
         LOG.warning("Progress reporting disabled: %s", exc)
         return None
+
+
+def _run_multi_capture(
+    args: argparse.Namespace,
+    frequencies: list[float],
+    shared_kwargs: dict,
+    make_sink,
+) -> int:
+    """Process several ``--in`` captures.
+
+    When the device mesh can host one capture per dp row and the run is a
+    plain demod (no probe/preview/dump/stage/checkpoint modes), the captures
+    batch through ONE sharded step (:mod:`..parallel.dp_runner`).  Anything
+    else falls back to sequential pipeline runs — the reference's behaviour
+    for all multi-input work (reference ``cli.py:683-710``).
+    """
+    import jax
+
+    paths = args.input_paths
+    n_dev = len(jax.devices())
+    dp_ok = (
+        frequencies
+        and n_dev >= len(paths)
+        and n_dev % len(paths) == 0
+        and not args.probe_only
+        and args.preview_seconds is None
+        and args.dump_iq is None
+        and args.plot_stages is None
+        and not args.resume
+        and not args.checkpoint_secs
+        and args.demod in {"nfm", "fm", "am", "usb", "lsb"}
+    )
+    if dp_ok:
+        from .parallel.dp_runner import CaptureJob, run_captures_dp
+
+        def _outs(p: Path) -> list[Path]:
+            if args.output_path is None:
+                return []
+            base = args.output_path
+            return [base.with_name(f"{base.stem}_{p.stem}{base.suffix}")]
+
+        jobs = [
+            CaptureJob(
+                in_path=p,
+                target_freqs=list(frequencies),
+                output_paths=_outs(p),
+                center_freq=args.center_freq,
+                input_format=args.input_format,
+                input_sample_rate=args.input_sample_rate,
+            )
+            for p in paths
+        ]
+        try:
+            res = run_captures_dp(
+                jobs,
+                bandwidth=args.bandwidth,
+                demod_mode=args.demod,
+                fs_ch_target=args.fs_ch,
+                deemph_us=args.deemph_us,
+                agc_enabled=args.agc_enabled,
+                iq_order=args.iq_order,
+                mix_sign_override=args.mix_sign,
+            )
+        except ValueError as exc:
+            LOG.info(
+                "Data-parallel multi-capture unavailable (%s); "
+                "processing captures sequentially.", exc
+            )
+        else:
+            for g, peaks in enumerate(res.audio_peaks):
+                for k, peak in enumerate(peaks):
+                    LOG.info(
+                        "[%s @ %.0f] audio peak %.2f dBFS",
+                        paths[g].name,
+                        frequencies[k],
+                        20.0 * math.log10(max(peak, 1e-9)),
+                    )
+            return 0
+
+    rc = 0
+    out_base = args.output_path
+    for p in paths:
+        args.input_path = p
+        if out_base is not None:
+            args.output_path = out_base.with_name(
+                f"{out_base.stem}_{p.stem}{out_base.suffix}"
+            )
+        config = _build_batched_config(args, frequencies, shared_kwargs)
+        LOG.info("=== Processing capture %s ===", p)
+        try:
+            ProcessingPipeline(config).run(progress_sink=make_sink())
+        except ProcessingCancelled:
+            LOG.info("Processing cancelled by user.")
+            return 0
+        except Exception as exc:
+            LOG.error("Processing failed for %s: %s", p, exc)
+            if args.verbose:
+                LOG.exception("Debug traceback")
+            rc = 1
+    return rc
 
 
 def _build_batched_config(

@@ -143,6 +143,7 @@ def build_sharded_step(
     dc_radius: float = 0.995,
     agc_target: float = 0.2511886431509580,
     agc_decay: float = 0.001,
+    captures: int = 1,
 ):
     """Build a pjit-compiled full pipeline step sharded over ``mesh``.
 
@@ -150,9 +151,19 @@ def build_sharded_step(
     ``fn(state, raw, rs_offset, incs, ddc_kernel, rs_kernel)
     -> (state, audio)``.  ``raw`` is the interleaved chunk, sharded along
     ``seq``; channel-indexed state/outputs shard along ``dp``.
+
+    ``captures > 1`` runs **data-parallel multi-capture** mode: each ``dp``
+    row processes its own independent recording (SURVEY §2d DP row —
+    multi-capture batches over chips).  ``raw`` then has shape
+    ``(captures, 2N)`` sharded ``P("dp", "seq")``, the carried FIR tail
+    becomes per-capture, and the ``num_channels`` total must pack
+    capture-major so channel block ``g`` rides dp row ``g``.  Requires
+    ``captures == dp``.
     """
     dp, seq = mesh.devices.shape
     C, N, D = num_channels, ddc_plan.chunk_size, ddc_plan.decimation
+    if captures > 1 and captures != dp:
+        raise ValueError(f"multi-capture DP needs captures ({captures}) == dp ({dp})")
     if C % dp != 0:
         raise ValueError(f"channels {C} must divide over dp={dp}")
     if N % seq != 0 or (N // seq) % D != 0:
@@ -166,17 +177,22 @@ def build_sharded_step(
     mode = mode.lower()
 
     def local_step(state, raw, rs_offset, incs, ddc_kernel, rs_kernel):
-        # raw: local (2*n_local,) slice of the interleaved chunk
-        xr, xi = _device_convert(raw, codec, iq_order, n_local)
+        # raw: local slice of the interleaved chunk — (2*n_local,) in
+        # single-capture mode, (1, 2*n_local) per-dp-row in multi-capture DP
+        raw_local = raw[0] if captures > 1 else raw
+        tail_state = state["fir_tail"][0] if captures > 1 else state["fir_tail"]
+        xr, xi = _device_convert(raw_local, codec, iq_order, n_local)
         sidx = lax.axis_index("seq").astype(jnp.uint32)
         inc_lo = incs * jnp.uint32(D)
         phase0 = state["phase"] + inc_lo * (sidx * jnp.uint32(m_local))
         x_pair = jnp.stack([xr, xi])
-        halo = _left_halo(x_pair, L - 1, state["fir_tail"], "seq")
+        halo = _left_halo(x_pair, L - 1, tail_state, "seq")
         yr, yi, _, _ = ddc_apply(local_plan, ddc_kernel, xr, xi, halo, phase0, inc_lo)
         nseq = lax.axis_size("seq")
         phase_next = state["phase"] + inc_lo * jnp.uint32(N // D)
         fir_tail_next = lax.all_gather(x_pair[..., -(L - 1) :], "seq", axis=0)[nseq - 1]
+        if captures > 1:
+            fir_tail_next = fir_tail_next[None]
         new_state = {"phase": phase_next, "fir_tail": fir_tail_next}
 
         if mode in {"nfm", "fm"}:
@@ -232,7 +248,9 @@ def build_sharded_step(
 
     state_specs = {
         "phase": P("dp"),
-        "fir_tail": P(None, None),
+        # single capture: one shared tail (replicated); multi-capture DP:
+        # one carried tail per capture, sharded with its dp row
+        "fir_tail": P("dp", None, None) if captures > 1 else P(None, None),
     }
     if mode in {"nfm", "fm"}:
         state_specs["demod_prev_r"] = P("dp")
@@ -248,7 +266,9 @@ def build_sharded_step(
 
     in_specs = (
         state_specs,
-        P("seq"),  # raw interleaved chunk
+        # raw interleaved chunk(s): (2N,) over seq, or (captures, 2N) over
+        # (dp, seq) when each dp row streams its own recording
+        P("dp", "seq") if captures > 1 else P("seq"),
         P(),  # rs_offset
         P("dp"),  # incs
         P("dp", None, None),  # bandpass kernel: (2C, 2, L) rows 2c/2c+1
@@ -259,9 +279,10 @@ def build_sharded_step(
     fn = jax.jit(_shard_map(local_step, mesh, in_specs, out_specs))
 
     def init_state():
+        tail_shape = (captures, 2, L - 1) if captures > 1 else (2, L - 1)
         state = {
             "phase": jnp.zeros((C,), jnp.uint32),
-            "fir_tail": jnp.zeros((2, L - 1), jnp.float32),
+            "fir_tail": jnp.zeros(tail_shape, jnp.float32),
         }
         if mode in {"nfm", "fm"}:
             state["demod_prev_r"] = jnp.ones((C,), jnp.float32)

@@ -549,6 +549,7 @@ class ProcessingPipeline:
                     dump_iq=cfg.dump_iq_path is not None,
                     acc_chunks_cap=acc_cap,
                     super_chunks=super_req,
+                    est_total_chunks=estimated_chunks or None,
                 )
                 state = step.init_state()
                 accs = step.init_accs()
@@ -679,8 +680,31 @@ class ProcessingPipeline:
                     if group:
                         yield group
 
+                def _windows():
+                    """Window-sized batches of groups (acc_chunks chunks)."""
+                    batch: list[list[tuple[int, np.ndarray]]] = []
+                    count = 0
+                    for group in _groups():
+                        batch.append(group)
+                        count += len(group)
+                        if count == acc_chunks:
+                            yield batch
+                            batch, count = [], 0
+                    if batch:
+                        yield batch
+
                 timing = {"fetch": 0.0, "write": 0.0, "dispatch": 0.0, "feed": 0.0}
                 want_timing = bool(os.environ.get("IQ2A_TIMING"))
+
+                def _start_fetch(handle):
+                    """Begin the accumulator D2H without blocking: the copy
+                    drains behind the window's queued compute while the host
+                    stages the next window (measured: async submit ~0.2 ms;
+                    the later np.asarray then returns from the landed copy)."""
+                    for arr in handle.values():
+                        fn = getattr(arr, "copy_to_host_async", None)
+                        if fn is not None:
+                            fn()
 
                 def _write_flush(handle, counts):
                     """Fetch one completed accumulation window (a single D2H
@@ -718,92 +742,127 @@ class ProcessingPipeline:
                         last_audio["peak_handle"] = handle["peak"]
                     timing["write"] += time.perf_counter() - t0
 
+                # ------------------------------------------------------------
+                # Hot loop: phase-separated windows.
+                #
+                # The relay runtime heavily penalises a host->device upload
+                # that arrives while a dispatch is in flight (measured: a
+                # 32 MiB put that takes ~22 ms on an idle device takes ~1 s
+                # behind an outstanding dispatch — docs/perf_probe3.py).  So
+                # each accumulation window runs as strict phases:
+                #   1. drain the previous window (its D2H was started async
+                #      and rode the queue behind its own compute),
+                #   2. upload every raw block of this window back-to-back at
+                #      full H2D bandwidth (nothing in flight),
+                #   3. submit all dispatches on the resident buffers (async
+                #      submits pipeline at ~3 ms/step),
+                #   4. start the accumulator fetch without blocking.
+                # ------------------------------------------------------------
                 idx = 0  # global chunk counter (device-consumed chunks)
-                for group in _groups():
+                for wgroups in _windows():
                     _check_cancel(f"chunk {idx + 1}")
 
-                    slot_base = idx % acc_chunks
-                    if slot_base == 0 and window:
-                        # window complete: hand its accumulator to the
-                        # deferred-fetch slot; write out the PREVIOUS window
-                        # (its D2H overlapped with this window's compute).
-                        # This runs BEFORE this group's bookkeeping so the
-                        # counters in a checkpoint describe exactly what has
-                        # been dispatched and flushed.
-                        if pending_flush is not None:
-                            _write_flush(*pending_flush)
-                        pending_flush = (accs, window)
+                    # -- phase 1: drain the previous window -------------------
+                    if pending_flush is not None:
+                        _write_flush(*pending_flush)
+                        pending_flush = None
                         window = []
                         if next_ckpt_at is not None and processed_samples >= next_ckpt_at:
-                            # drain so the files match the state snapshot
-                            _write_flush(*pending_flush)
-                            pending_flush = None
                             _save_checkpoint(state)
                             next_ckpt_at = processed_samples + int(
                                 cfg.checkpoint_secs * sample_rate
                             )
 
-                    n_real = len(group)
-                    rs_offset = 0
-                    if rs_plan is not None and not rs_plan.identity:
-                        rs_offset = rs_plan.chunk_offset(rs_in_device)
-                    group_valid = 0
-                    for valid_frames, _blk in group:
-                        # exact host bookkeeping (Python ints, no device syncs)
-                        processed_samples += valid_frames
-                        group_valid += valid_frames
-                        dec_total = -(-processed_samples // decimation)  # ceil
-                        dec_valid = dec_total - dec_emitted
-                        dec_emitted = dec_total
-                        if rs_plan is not None and not rs_plan.identity:
-                            audio_count = rs_plan.out_count(rs_in_device, dec_valid)
-                            rs_in_device += n_dec
-                            rs_in_valid += dec_valid
-                            rs_emitted += audio_count
-                        elif rs_plan is not None:
-                            audio_count = dec_valid
-                        else:
-                            audio_count = 0
-                        window.append((dec_valid, audio_count))
-
-                    report(f"C{idx + 1} channel")
+                    # -- phase 2: upload the whole window ----------------------
                     t0 = time.perf_counter()
-                    if n_real == super_chunks and super_chunks > 1:
-                        stack = np.empty(
-                            (super_chunks, 2 * chunk_size), dtype=group[0][1].dtype
-                        )
-                        for s, (_v, blk) in enumerate(group):
-                            stack[s] = blk
-                        raw_dev = jax.device_put(stack)
-                        state, accs = step.fn_super(
-                            state, accs, raw_dev, rs_offset, slot_base
-                        )
-                    else:
-                        # final partial group (or S==1): one chunk per dispatch
-                        for s, (_v, blk) in enumerate(group):
-                            raw_dev = jax.device_put(blk)
-                            if want_stages and idx + s == 0:
-                                state, accs, out = step.fn_stages(
-                                    state, accs, raw_dev, rs_offset, slot_base + s
-                                )
-                                stages = out.pop("stages")
-                                for name, buf in stages.items():
-                                    rate = (
-                                        sample_rate
-                                        if name in {"input", "mixed", "filtered"}
-                                        else fs_channel
-                                    )
-                                    if isinstance(buf, tuple):  # (re, im) pair
-                                        arr = np.asarray(buf[0]) + 1j * np.asarray(
-                                            buf[1]
-                                        )
-                                    else:
-                                        arr = np.asarray(buf)
-                                    stage_snapshots[name] = (arr, rate)
+                    dev_groups = []
+                    for group in wgroups:
+                        if len(group) == super_chunks and super_chunks > 1:
+                            stack = np.empty(
+                                (super_chunks, 2 * chunk_size), dtype=group[0][1].dtype
+                            )
+                            for s, (_v, blk) in enumerate(group):
+                                stack[s] = blk
+                            dev_groups.append(jax.device_put(stack))
+                        else:
+                            dev_groups.append(
+                                [jax.device_put(blk) for _v, blk in group]
+                            )
+                    timing["feed"] += time.perf_counter() - t0
+
+                    # -- phase 3: bookkeeping + dispatch ----------------------
+                    t0 = time.perf_counter()
+                    for group, raw_dev in zip(wgroups, dev_groups):
+                        slot_base = idx % acc_chunks
+                        n_real = len(group)
+                        rs_offset = 0
+                        if rs_plan is not None and not rs_plan.identity:
+                            rs_offset = rs_plan.chunk_offset(rs_in_device)
+                        group_valid = 0
+                        for valid_frames, _blk in group:
+                            # exact host bookkeeping (Python ints, no syncs)
+                            processed_samples += valid_frames
+                            group_valid += valid_frames
+                            dec_total = -(-processed_samples // decimation)  # ceil
+                            dec_valid = dec_total - dec_emitted
+                            dec_emitted = dec_total
+                            if rs_plan is not None and not rs_plan.identity:
+                                audio_count = rs_plan.out_count(rs_in_device, dec_valid)
+                                rs_in_device += n_dec
+                                rs_in_valid += dec_valid
+                                rs_emitted += audio_count
+                            elif rs_plan is not None:
+                                audio_count = dec_valid
                             else:
-                                state, accs, _out = step.fn(
-                                    state, accs, raw_dev, rs_offset, slot_base + s
-                                )
+                                audio_count = 0
+                            window.append((dec_valid, audio_count))
+
+                        report(f"C{idx + 1} channel")
+                        if n_real == super_chunks and super_chunks > 1:
+                            state, accs = step.fn_super(
+                                state, accs, raw_dev, rs_offset, slot_base
+                            )
+                        else:
+                            # final partial group (or S==1): per-chunk steps
+                            for s, blk_dev in enumerate(raw_dev):
+                                if want_stages and idx + s == 0:
+                                    state, accs, out = step.fn_stages(
+                                        state, accs, blk_dev, rs_offset, slot_base + s
+                                    )
+                                    stages = out.pop("stages")
+                                    for name, buf in stages.items():
+                                        rate = (
+                                            sample_rate
+                                            if name in {"input", "mixed", "filtered"}
+                                            else fs_channel
+                                        )
+                                        if isinstance(buf, tuple):  # (re, im)
+                                            arr = np.asarray(buf[0]) + 1j * np.asarray(
+                                                buf[1]
+                                            )
+                                        else:
+                                            arr = np.asarray(buf)
+                                        stage_snapshots[name] = (arr, rate)
+                                else:
+                                    state, accs, _out = step.fn(
+                                        state, accs, blk_dev, rs_offset, slot_base + s
+                                    )
+                        idx += n_real
+
+                        tracker.advance("ingest", float(group_valid))
+                        group_dec = sum(d for d, _ in window[-n_real:])
+                        # downstream progress is host-known without syncs
+                        tracker.advance("channel", float(group_dec))
+                        if not pass_through:
+                            if cfg.dump_iq_path:
+                                tracker.advance("dump_iq", float(group_dec))
+                            tracker.advance("demod", float(group_dec))
+                            tracker.advance(
+                                "encode",
+                                float(group_dec) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
+                            )
+                        else:
+                            tracker.advance("demod", float(group_dec))
                     timing["dispatch"] += time.perf_counter() - t0
                     if os.environ.get("IQ2A_TIMING") == "2":
                         t0 = time.perf_counter()
@@ -811,30 +870,18 @@ class ProcessingPipeline:
                             accs["audio" if not pass_through else "iq_r"]
                         )
                         LOG.info(
-                            "group @%d exec %.1f ms", idx, 1e3 * (time.perf_counter() - t0)
+                            "window @%d exec %.1f ms", idx, 1e3 * (time.perf_counter() - t0)
                         )
-                    idx += n_real
 
-                    tracker.advance("ingest", float(group_valid))
-                    group_dec = sum(d for d, _ in window[-n_real:])
-                    # downstream progress is host-known without device syncs
-                    tracker.advance("channel", float(group_dec))
-                    if not pass_through:
-                        if cfg.dump_iq_path:
-                            tracker.advance("dump_iq", float(group_dec))
-                        tracker.advance("demod", float(group_dec))
-                        tracker.advance(
-                            "encode",
-                            float(group_dec) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
-                        )
-                    else:
-                        tracker.advance("demod", float(group_dec))
+                    # -- phase 4: start this window's fetch, defer the write --
+                    _start_fetch(accs)
+                    pending_flush = (accs, window)
                     _check_cancel(f"chunk {idx} encode")
                 limit_exhausted = limit_exhausted or feed_state["limit_exhausted"]
 
                 if pending_flush is not None:
                     _write_flush(*pending_flush)
-                _write_flush(accs, window)
+                    pending_flush = None
                 if (
                     rs_plan is not None
                     and not rs_plan.identity

@@ -363,6 +363,7 @@ def build_chunk_step(
     acc_bytes_budget: int = 96 << 20,
     acc_chunks_cap: int | None = None,
     super_chunks: int | None = None,
+    est_total_chunks: int | None = None,
 ) -> ChunkStep:
     c = len(incs_fixed)
     # accumulation window: batch as many chunks as fit the budget (>=1)
@@ -377,6 +378,13 @@ def build_chunk_step(
     if pass_through or dump_iq:
         per_chunk += c * ddc_plan.out_size * 8
     acc_chunks = max(1, min(64, acc_bytes_budget // max(per_chunk, 1)))
+    if est_total_chunks is not None and est_total_chunks > 0:
+        # never allocate (and later FETCH) more window slots than the whole
+        # capture can fill — the final D2H reads every slot.  Quantised to a
+        # power of two so the set of compiled executables stays tiny on
+        # runtimes where each new shape costs a fresh (expensive) compile.
+        pow2 = 1 << max(0, (est_total_chunks - 1).bit_length())
+        acc_chunks = max(1, min(acc_chunks, pow2))
     if acc_chunks_cap is not None:
         acc_chunks = max(1, min(acc_chunks, acc_chunks_cap))
     acc_env = os.environ.get("IQ2A_ACC")

@@ -210,3 +210,79 @@ def test_input_format_override_parsing():
     parser = build_parser()
     args = parser.parse_args(["--input-format", "raw-cs16"])
     assert args.input_format == "raw-cs16"
+
+
+def test_cli_multi_capture_sequential_fallback(tmp_path, monkeypatch):
+    """Repeated --in on a single-device host falls back to one pipeline run
+    per capture with per-capture output names."""
+    import jax
+    import numpy as np
+    from conftest import make_nfm_iq
+    from iq_to_audio_tpu.io.writer import read_wav, write_stereo_wav
+    from iq_to_audio_tpu import cli
+
+    single = jax.devices()[:1]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: single)
+
+    fs = 250_000.0
+    paths = []
+    for name in ("one", "two"):
+        iq = make_nfm_iq(fs, 0.4, 25_000.0)
+        p = tmp_path / f"baseband_145000000Hz_{name}.wav"
+        write_stereo_wav(p, np.column_stack([iq.real, iq.imag]), int(fs))
+        paths.append(p)
+    out = tmp_path / "audio.wav"
+    rc = cli.main(
+        [
+            "--cli",
+            "--in", str(paths[0]),
+            "--in", str(paths[1]),
+            "--ft", "145025000",
+            "--out", str(out),
+            "--chunk", "32768",
+            "--mix-sign", "1",
+        ]
+    )
+    assert rc == 0
+    a1, sr1 = read_wav(tmp_path / "audio_baseband_145000000Hz_one.wav")
+    a2, sr2 = read_wav(tmp_path / "audio_baseband_145000000Hz_two.wav")
+    assert sr1 == sr2 == 48_000
+    assert a1.shape == a2.shape
+    np.testing.assert_array_equal(a1, a2)  # identical captures -> identical audio
+
+
+def test_cli_multi_capture_dp_path(tmp_path):
+    """With enough devices the repeated --in path runs data-parallel."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs multiple devices")
+    import numpy as np
+    from conftest import make_nfm_iq
+    from iq_to_audio_tpu.io.writer import read_wav, write_stereo_wav
+    from iq_to_audio_tpu import cli
+
+    fs = 250_000.0
+    paths = []
+    for name in ("dpa", "dpb"):
+        iq = make_nfm_iq(fs, 0.4, 25_000.0)
+        p = tmp_path / f"baseband_145000000Hz_{name}.wav"
+        write_stereo_wav(p, np.column_stack([iq.real, iq.imag]), int(fs))
+        paths.append(p)
+    rc = cli.main(
+        [
+            "--cli",
+            "--in", str(paths[0]),
+            "--in", str(paths[1]),
+            "--ft", "145025000",
+            "--mix-sign", "1",
+        ]
+    )
+    assert rc == 0
+    outs = sorted(tmp_path.glob("baseband_145000000Hz_dp*_145025000.wav"))
+    assert len(outs) == 2
+    a1, _ = read_wav(outs[0])
+    a2, _ = read_wav(outs[1])
+    np.testing.assert_array_equal(a1, a2)
