@@ -107,6 +107,87 @@ def bandpass_kernel(taps: np.ndarray, incs_fixed: list[int]) -> np.ndarray:
     return kernel.astype(np.float32)
 
 
+def bandpass_response(
+    taps: np.ndarray, incs_fixed: list[int], fft_size: int
+) -> np.ndarray:
+    """Per-channel bandpass frequency responses for the FFT channelizer.
+
+    ``H_c = FFT(zero-pad(g_c))`` with the same ``g_c[j] = h[j]*e^{-i theta j}``
+    as :func:`bandpass_kernel` (NOT tap-reversed: overlap-save performs true
+    convolution, ``lax.conv`` performs correlation).  complex64 ``(C, F)``.
+    """
+    taps64 = np.asarray(taps, dtype=np.float64)
+    L = taps64.size
+    C = len(incs_fixed)
+    j = np.arange(L, dtype=np.uint64)
+    bank = np.empty((C, fft_size), dtype=np.complex64)
+    for c, inc in enumerate(incs_fixed):
+        phase_counts = (np.uint64(inc) * j) % np.uint64(_TWO32)
+        theta_j = phase_counts.astype(np.float64) * _RAD_PER_COUNT
+        g = taps64 * (np.cos(theta_j) - 1j * np.sin(theta_j))
+        padded = np.zeros(fft_size, dtype=np.complex128)
+        padded[:L] = g
+        bank[c] = np.fft.fft(padded).astype(np.complex64)
+    return bank
+
+
+def bank_from_kernel(kernel_np: np.ndarray, fft_size: int) -> np.ndarray:
+    """Recover the complex bandpass bank from a conv kernel built by
+    :func:`bandpass_kernel` (undo the correlation tap-reversal), FFT'd to
+    ``(C, fft_size)`` complex64 for the overlap-save channelizer."""
+    C = kernel_np.shape[0] // 2
+    L = kernel_np.shape[2]
+    bank = np.empty((C, fft_size), dtype=np.complex64)
+    for c in range(C):
+        g = (
+            kernel_np[2 * c, 0][::-1].astype(np.float64)
+            + 1j * kernel_np[2 * c + 1, 0][::-1].astype(np.float64)
+        )
+        padded = np.zeros(fft_size, dtype=np.complex128)
+        padded[:L] = g
+        bank[c] = np.fft.fft(padded).astype(np.complex64)
+    return bank
+
+
+def ddc_apply_fft(
+    plan: DDCPlan,
+    os_plan,
+    h_bank: jnp.ndarray,
+    xr: jnp.ndarray,
+    xi: jnp.ndarray,
+    tail: jnp.ndarray,
+    phase0_fixed: jnp.ndarray,
+    inc_lo_fixed: jnp.ndarray,
+):
+    """FFT-channelizer variant of :func:`ddc_apply` (same inputs, same state
+    pytree, same outputs at FFT numerics): batched overlap-save filtering with
+    the per-channel bandpass bank, then the identical low-rate mix.
+
+    For backends with native complex/FFT support (the reference's own kernel
+    shape, ``processing.py:300-346``); selected via ``IQ2A_CHANNELIZER=fft``.
+    """
+    from .osfir import os_fir_bank
+
+    L, D, N = plan.num_taps, plan.decimation, plan.chunk_size
+    assert xr.shape[-1] == N
+    m = plan.out_size
+    x = (xr + 1j * xi).astype(jnp.complex64)
+    tail_c = (tail[0] + 1j * tail[1]).astype(jnp.complex64)
+    dec, _ = os_fir_bank(os_plan, h_bank, x, tail_c)  # (C, m) complex
+    br, bi = jnp.real(dec), jnp.imag(dec)
+    cos, sin = lowrate_osc(phase0_fixed, inc_lo_fixed, m)
+    yr = br * cos - bi * sin
+    yi = br * sin + bi * cos
+    if L > 1:
+        new_tail = jnp.stack([xr[N - (L - 1) :], xi[N - (L - 1) :]])
+    else:
+        new_tail = tail
+    phase_next = jnp.asarray(phase0_fixed, jnp.uint32) + jnp.asarray(
+        inc_lo_fixed, jnp.uint32
+    ) * jnp.uint32(m)
+    return yr, yi, new_tail, phase_next
+
+
 def lowrate_osc(phase0_fixed: jnp.ndarray, inc_lo_fixed: jnp.ndarray, m: int):
     """(cos, sin) of the decimated-rate oscillator, shapes ``(..., m)``.
 

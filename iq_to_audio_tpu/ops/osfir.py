@@ -104,6 +104,37 @@ class OverlapSavePlan:
             chunk_size=K * B,
         )
 
+    @staticmethod
+    def for_chunk(
+        num_taps: int,
+        decimation: int,
+        chunk_size: int,
+        *,
+        fft_size: int | None = None,
+    ) -> "OverlapSavePlan":
+        """Frame geometry for an EXTERNALLY fixed chunk size (e.g. one shared
+        with the conv-DDC planner).  ``chunk_size`` must be a multiple of the
+        decimation; the final frame zero-pads past the chunk and the excess
+        outputs are sliced away (``K*B >= chunk_size``)."""
+        L = int(num_taps)
+        D = max(1, int(decimation))
+        N = int(chunk_size)
+        if N % D:
+            raise ValueError(f"chunk {N} must be a multiple of decimation {D}")
+        base = OverlapSavePlan.create(
+            L, D, target_chunk=N, fft_size=fft_size, max_chunk=max(N, 1 << 22)
+        )
+        B = base.block
+        K = -(-N // B)
+        return OverlapSavePlan(
+            num_taps=L,
+            fft_size=base.fft_size,
+            block=B,
+            decimation=D,
+            num_frames=K,
+            chunk_size=N,
+        )
+
 
 def taps_fft(taps: np.ndarray, fft_size: int) -> np.ndarray:
     """Host-side (float64) frequency response of the padded taps."""
@@ -150,9 +181,56 @@ def os_fir_decimate(
     frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, F)
     spec = jnp.fft.fft(frames, axis=-1)
     y = jnp.fft.ifft(spec * h_fft, axis=-1)[..., L - 1 : L - 1 + B]
-    y = y.reshape(*x.shape[:-1], N).astype(jnp.complex64)
+    y = y.reshape(*x.shape[:-1], K * B)[..., :N].astype(jnp.complex64)
     dec = y[..., ::D]
     new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
     if return_filtered:
         return dec, new_tail, y
+    return dec, new_tail
+
+
+def os_fir_bank(
+    plan: OverlapSavePlan,
+    h_bank: jnp.ndarray,
+    x: jnp.ndarray,
+    tail: jnp.ndarray,
+):
+    """Filter ONE stream through a bank of C frequency responses.
+
+    The input spectrum is computed once (``K`` frames) and multiplied by all
+    ``C`` responses — the FFT-channelizer analogue of the conv-DDC's shared
+    input pass (``ddc.py``: "up to five channels ride the conv's
+    output-feature axis").
+
+    Parameters
+    ----------
+    h_bank: complex64 ``(C, F)`` — FFTs of the per-channel (bandpass) taps.
+    x: complex64 ``(N,)``; tail: complex64 ``(L-1,)``.
+
+    Returns ``(dec, new_tail)`` with ``dec`` of shape ``(C, N // D)``.
+    """
+    L, F, B, D, K, N = (
+        plan.num_taps,
+        plan.fft_size,
+        plan.block,
+        plan.decimation,
+        plan.num_frames,
+        plan.chunk_size,
+    )
+    assert x.shape == (N,), (x.shape, N)
+    x_ext = jnp.concatenate([tail, x])
+    pad = (K - 1) * B + F - x_ext.shape[-1]
+    if pad > 0:
+        x_ext = jnp.pad(x_ext, (0, pad))
+    idx = (
+        jnp.arange(K, dtype=jnp.int32)[:, None] * B
+        + jnp.arange(F, dtype=jnp.int32)[None, :]
+    )
+    frames = jnp.take(x_ext, idx, axis=-1)  # (K, F)
+    spec = jnp.fft.fft(frames, axis=-1)
+    prod = spec[None, :, :] * h_bank[:, None, :]  # (C, K, F)
+    y = jnp.fft.ifft(prod, axis=-1)[..., L - 1 : L - 1 + B]  # (C, K, B)
+    y = y.reshape(h_bank.shape[0], K * B)[:, :N]
+    dec = y[:, ::D].astype(jnp.complex64)
+    new_tail = x[N - (L - 1) :] if L > 1 else x[:0]
     return dec, new_tail

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..demod.base import Decoder
-from ..ops.ddc import DDCPlan, ddc_apply, ddc_fullrate_stages
+from ..ops.ddc import DDCPlan, ddc_apply, ddc_apply_fft, ddc_fullrate_stages
 from ..ops.resample import ResamplePlan, polyphase_resample
 
 LOG = logging.getLogger(__name__)
@@ -51,6 +51,8 @@ _STATIC_ARGNAMES = (
     "with_stages",
     "num_channels",
     "acc_chunks",
+    "channelizer",
+    "os_plan",
 )
 
 
@@ -75,6 +77,8 @@ def chunk_step_impl(
     with_stages: bool,
     num_channels: int,
     acc_chunks: int,
+    channelizer: str = "conv",
+    os_plan=None,
 ):
     """One chunk.
 
@@ -91,10 +95,24 @@ def chunk_step_impl(
     m = ddc_plan.out_size
     xr, xi = _device_convert(raw, codec, iq_order, n)
     inc_lo = incs * jnp.uint32(ddc_plan.decimation)  # exact mod 2**32
-    yr, yi, fir_tail, phase_next = ddc_apply(
-        ddc_plan, ddc_kernel, xr, xi, state["fir_tail"], state["phase"], inc_lo,
-        poly_w=poly_w,
-    )
+    if channelizer == "fft":
+        # overlap-save FFT channelizer (the reference's own kernel shape,
+        # processing.py:300-346) for complex/FFT-capable backends; the
+        # ddc_kernel slot carries the complex (C, F) bandpass bank
+        if with_stages:
+            raise ValueError(
+                "stage snapshots need the conv channelizer "
+                "(unset IQ2A_CHANNELIZER or use 'conv' with --plot-stages)"
+            )
+        yr, yi, fir_tail, phase_next = ddc_apply_fft(
+            ddc_plan, os_plan, ddc_kernel, xr, xi,
+            state["fir_tail"], state["phase"], inc_lo,
+        )
+    else:
+        yr, yi, fir_tail, phase_next = ddc_apply(
+            ddc_plan, ddc_kernel, xr, xi, state["fir_tail"], state["phase"], inc_lo,
+            poly_w=poly_w,
+        )
     new_state = {"phase": phase_next, "fir_tail": fir_tail}
     new_accs = {}
     slot = jnp.asarray(slot, jnp.int32)
@@ -242,6 +260,8 @@ class ChunkStep:
     _rs_kernel: jnp.ndarray | None
     _incs: jnp.ndarray
     _poly_w: jnp.ndarray | None = None
+    channelizer: str = "conv"
+    os_plan: object = None
 
     @property
     def chunk_size(self) -> int:
@@ -315,6 +335,8 @@ class ChunkStep:
             with_stages=with_stages,
             num_channels=self.num_channels,
             acc_chunks=self.acc_chunks,
+            channelizer=self.channelizer,
+            os_plan=self.os_plan,
         )
 
     def fn(self, state, accs, raw, rs_offset, slot):
@@ -345,6 +367,8 @@ class ChunkStep:
             with_stages=False,
             num_channels=self.num_channels,
             acc_chunks=self.acc_chunks,
+            channelizer=self.channelizer,
+            os_plan=self.os_plan,
         )
 
 
@@ -407,11 +431,32 @@ def build_chunk_step(
     super_chunks = max(1, min(super_chunks, acc_chunks))
     acc_chunks = (acc_chunks // super_chunks) * super_chunks
 
+    # channelizer backend selection: the decimating conv (default — runs on
+    # minimal TPU backends, MXU-friendly) or the overlap-save FFT bank
+    # (IQ2A_CHANNELIZER=fft — opt-in for complex/FFT-capable backends; the
+    # reference's own kernel shape, processing.py:300-346)
+    channelizer = "conv"
+    os_plan = None
+    kernel_dev = jnp.asarray(ddc_kernel_np, dtype=jnp.float32)
+    if os.environ.get("IQ2A_CHANNELIZER", "conv").lower() == "fft":
+        from ..ops.ddc import bank_from_kernel
+        from ..ops.osfir import OverlapSavePlan
+
+        channelizer = "fft"
+        os_plan = OverlapSavePlan.for_chunk(
+            ddc_plan.num_taps, ddc_plan.decimation, ddc_plan.chunk_size
+        )
+        kernel_dev = jnp.asarray(bank_from_kernel(ddc_kernel_np, os_plan.fft_size))
+
     # hand-written Pallas FIR: ~4x the XLA conv on v5e at -130 dB agreement.
     # Used when the tap tensor fits VMEM (big-L filters fall back to conv);
     # IQ2A_PALLAS=0 disables.
     poly_w_arr = None
-    if jax.default_backend() != "cpu" and os.environ.get("IQ2A_PALLAS", "1") != "0":
+    if (
+        channelizer == "conv"
+        and jax.default_backend() != "cpu"
+        and os.environ.get("IQ2A_PALLAS", "1") != "0"
+    ):
         from ..ops.pallas_ddc import build_poly_kernel, pallas_available
 
         if pallas_available():
@@ -433,7 +478,7 @@ def build_chunk_step(
         decoder=decoder,
         acc_chunks=acc_chunks,
         super_chunks=super_chunks,
-        _ddc_kernel=jnp.asarray(ddc_kernel_np, dtype=jnp.float32),
+        _ddc_kernel=kernel_dev,
         _rs_kernel=(
             jnp.asarray(rs_kernel_np, dtype=jnp.float32)
             if rs_kernel_np is not None
@@ -441,4 +486,6 @@ def build_chunk_step(
         ),
         _incs=jnp.asarray(np.asarray(incs_fixed, dtype=np.uint32)),
         _poly_w=poly_w_arr,
+        channelizer=channelizer,
+        os_plan=os_plan,
     )

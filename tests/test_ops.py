@@ -336,3 +336,54 @@ class TestResampler:
         assert plan.up * (plan.down + plan.taps_per_phase - 1) * 4 <= 16 << 20
         assert abs(plan.up / plan.down - 48_000 / 96_153) < 1e-6
         assert plan.rate_error_ppm != 0.0
+
+
+class TestFFTChannelizer:
+    """IQ2A_CHANNELIZER=fft: the overlap-save bank must match the conv DDC."""
+
+    def test_ddc_apply_fft_matches_conv_chunked(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from conftest import error_db
+        from iq_to_audio_tpu.ops.ddc import (
+            DDCPlan, bandpass_kernel, bank_from_kernel, ddc_apply, ddc_apply_fft,
+        )
+        from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+        from iq_to_audio_tpu.ops.osfir import OverlapSavePlan
+
+        fs, decim, taps_len = 250_000.0, 3, 257
+        taps = np.kaiser(taps_len, 8.0) * np.sinc(
+            (1.0 / decim) * (np.arange(taps_len) - taps_len // 2)
+        )
+        incs = [nco_increment_fixed(f, fs) for f in (25_000.0, -40_000.0)]
+        plan = DDCPlan.create(taps_len, decim, target_chunk=3 * 4096)
+        os_plan = OverlapSavePlan.for_chunk(taps_len, decim, plan.chunk_size)
+        kernel_np = bandpass_kernel(taps, incs)
+        kernel = jnp.asarray(kernel_np)
+        bank = jnp.asarray(bank_from_kernel(kernel_np, os_plan.fft_size))
+        inc_lo = jnp.asarray(np.asarray([(i * decim) % (1 << 32) for i in incs], np.uint32))
+
+        rng = np.random.default_rng(5)
+        n = plan.chunk_size
+        x = (rng.normal(size=3 * n) + 1j * rng.normal(size=3 * n)).astype(np.complex64) * 0.3
+        tail_a = tail_b = jnp.zeros((2, taps_len - 1), jnp.float32)
+        ph_a = ph_b = jnp.zeros((2,), jnp.uint32)
+        for s in range(0, x.size, n):
+            seg = x[s : s + n]
+            xr, xi = jnp.asarray(seg.real), jnp.asarray(seg.imag)
+            ar, ai, tail_a, ph_a = ddc_apply(plan, kernel, xr, xi, tail_a, ph_a, inc_lo)
+            br, bi, tail_b, ph_b = ddc_apply_fft(
+                plan, os_plan, bank, xr, xi, tail_b, ph_b, inc_lo
+            )
+            got = np.asarray(br) + 1j * np.asarray(bi)
+            ref = np.asarray(ar) + 1j * np.asarray(ai)
+            assert error_db(got, ref) < -90.0
+            assert (np.asarray(ph_a) == np.asarray(ph_b)).all()
+
+    def test_os_plan_for_chunk_geometry(self):
+        from iq_to_audio_tpu.ops.osfir import OverlapSavePlan
+
+        plan = OverlapSavePlan.for_chunk(1601, 26, 1_048_580 // 26 * 26)
+        assert plan.chunk_size % plan.decimation == 0
+        assert plan.block % plan.decimation == 0
+        assert plan.num_frames * plan.block >= plan.chunk_size

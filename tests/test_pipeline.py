@@ -355,3 +355,26 @@ def test_agc_off_changes_ssb_output(tmp_path):
     rms_on = np.sqrt(np.mean(outs[0][10_000:] ** 2))
     rms_off = np.sqrt(np.mean(outs[1][10_000:] ** 2))
     assert rms_on > 2.0 * rms_off  # AGC pulls the quiet tone toward -12 dBFS
+
+
+def test_fft_channelizer_matches_conv(tmp_path, monkeypatch):
+    """IQ2A_CHANNELIZER=fft end-to-end audio must match the conv default
+    (VERDICT round-1 item 9: osfir wired as a selectable backend)."""
+    iq = make_nfm_iq(FS, 0.6, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    outs = {}
+    for label in ("conv", "fft"):
+        monkeypatch.setenv("IQ2A_CHANNELIZER", label)
+        out = tmp_path / f"ch_{label}.wav"
+        cfg = ProcessingConfig(
+            in_path=path,
+            target_freq=CENTER + OFFSET,
+            output_path=out,
+            chunk_size=32_768,
+            mix_sign_override=1,
+        )
+        ProcessingPipeline(cfg).run()
+        outs[label] = read_wav(out)[0][:, 0].astype(np.float64)
+    monkeypatch.delenv("IQ2A_CHANNELIZER")
+    assert outs["conv"].shape == outs["fft"].shape
+    assert error_db(outs["fft"], outs["conv"]) < -60.0
