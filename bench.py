@@ -9,15 +9,28 @@ Baseline: the reference's documented typical throughput on modern CPU is
 BASELINE.md); the north star is >=50x per chip.
 
 Runs on whatever JAX's default platform is (the real TPU chip under the
-driver).  A short warm-up run triggers XLA compilation so the measured pass
-is steady-state; a persistent compilation cache under .jax_cache makes
-repeat invocations fast.
+driver).  Structure is shaped by the tunneled-TPU runtime's measured
+behavior (docs/performance.md):
+
+  * executable loading on the device server is ASYNCHRONOUS and slow
+    (seconds..minutes, high variance); the process's first device->host
+    fetch blocks on it,
+  * the first D2H fetch permanently degrades every later upload ~40x
+    (1.1 GiB/s -> ~38 MiB/s), uploads/dispatches alone never do.
+
+So: one fetch-free warm pass compiles + dispatches every device program
+(client compile cache under .jax_cache makes reruns fast), a bounded sleep
+gives the async server load time to land, then measured passes run.  Pass 1
+runs with a clean connection (fast uploads, one EOF fetch); later passes
+run upload-degraded and act as the fallback if the load outlasted the
+sleep.  Best pass is reported, as in round 1.
 """
 
 from __future__ import annotations
 
 import json
 import logging
+import os
 import sys
 import time
 from pathlib import Path
@@ -30,6 +43,10 @@ logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+# cache every program: client-side compile timing is near-zero for the small
+# helper jits on the async runtime, which would otherwise miss the default
+# 1 s threshold and recompile in every process
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def main() -> int:
@@ -39,52 +56,64 @@ def main() -> int:
     from iq_to_audio_tpu.pipeline.config import ProcessingConfig
     from iq_to_audio_tpu.pipeline.pipeline import ProcessingPipeline
 
-    import os
     sample_rate = 2_500_000.0
-    seconds = float(os.environ.get("IQ2A_BENCH_SECONDS", "10"))
-    # warm with the SAME duration: the accumulator-window size is quantised
-    # from the capture length, so a shorter warm-up would compile a different
-    # executable and the first measured pass would pay the real compile
-    warm_seconds = seconds
+    seconds = float(os.environ.get("IQ2A_BENCH_SECONDS", "30"))
     offset = 25_000.0
     center = 400_000_000.0
-    passes = 3  # the shared-tunnel TPU runtime has run-to-run latency
-    # variance; report the best pass
+    passes = 3
+    # seconds the async server-side executable load gets after the warm
+    # pass's first dispatch before the measured passes start
+    warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "300"))
 
     with tempfile.TemporaryDirectory() as tmp:
         tmpdir = Path(tmp)
 
-        def run(path: Path, secs: float) -> tuple[float, float]:
-            cfg = ProcessingConfig(
+        def make_config(path: Path, tag: str) -> ProcessingConfig:
+            return ProcessingConfig(
                 in_path=path,
                 target_freq=center + offset,
                 center_freq=center,
                 center_freq_source="benchmark",
                 demod_mode="nfm",
-                output_path=tmpdir / f"audio_{secs}.wav",
+                output_path=tmpdir / f"audio_{tag}.wav",
             )
-            start = time.perf_counter()
-            result = ProcessingPipeline(cfg).run(None)
-            elapsed = time.perf_counter() - start
-            return elapsed, result.loop_seconds
 
+        # -- warm pass: compile + dispatch everything, never fetch ---------
+        # same duration as the measured passes: the accumulator-window size
+        # is quantised from the capture length, so a different duration
+        # would compile (and load) a different executable
         warm_path = tmpdir / f"benchmark_fc-{int(center)}Hz_warm.wav"
-        generate_synthetic_iq(warm_path, sample_rate=sample_rate, seconds=warm_seconds,
+        generate_synthetic_iq(warm_path, sample_rate=sample_rate, seconds=seconds,
                               freq_offset=offset)
-        cold_elapsed, _ = run(warm_path, warm_seconds)
-        logging.info("warm-up (compile-inclusive): %.2f s", cold_elapsed)
+        warm_start = time.perf_counter()
+        warm_pipe = ProcessingPipeline(make_config(warm_path, "warm"))
+        warm_pipe.warm_no_fetch = True
+        warm_pipe.run(None)
+        warm_elapsed = time.perf_counter() - warm_start
+        logging.info("fetch-free warm pass (compile-inclusive): %.2f s", warm_elapsed)
 
+        # -- bounded sleep: let the async executable load land --------------
+        remaining = warm_budget - warm_elapsed
+        if remaining > 0:
+            logging.info("sleeping %.0f s for the async server-side executable "
+                         "load (IQ2A_BENCH_WARM_SECS=%.0f)", remaining, warm_budget)
+            time.sleep(remaining)
+
+        # -- measured passes -------------------------------------------------
         main_path = tmpdir / f"benchmark_fc-{int(center)}Hz.wav"
         generate_synthetic_iq(main_path, sample_rate=sample_rate, seconds=seconds,
                               freq_offset=offset)
         elapsed = float("inf")
         loop_seconds = float("inf")
         for i in range(passes):
-            e, ls = run(main_path, seconds)
+            cfg = make_config(main_path, f"p{i}")
+            start = time.perf_counter()
+            result = ProcessingPipeline(cfg).run(None)
+            e = time.perf_counter() - start
             logging.info("pass %d/%d: %.3f s wall (%.1fx realtime)",
                          i + 1, passes, e, seconds / e)
             if e < elapsed:
-                elapsed, loop_seconds = e, ls
+                elapsed, loop_seconds = e, result.loop_seconds
 
     realtime = seconds / elapsed
     msps = sample_rate * seconds / elapsed / 1e6

@@ -16,21 +16,27 @@ import socket
 from pathlib import Path
 
 import numpy as np
-from PySide6.QtCore import Qt, QObject, QSocketNotifier, QThreadPool, QTimer, Signal
-from PySide6.QtGui import QAction, QKeySequence
-from PySide6.QtWidgets import (
+from ._qt import (
+    HEADLESS,
+    FigureCanvas,
+    Figure,
+    QAction,
     QApplication,
+    QKeySequence,
     QMainWindow,
+    QObject,
     QScrollArea,
+    QSocketNotifier,
     QStackedWidget,
     QStatusBar,
+    QThreadPool,
+    QTimer,
     QToolBar,
     QVBoxLayout,
     QWidget,
+    Qt,
+    Signal,
 )
-
-from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg as FigureCanvas
-from matplotlib.figure import Figure
 
 from ..io.formats import detect_input_format, resolve_input_format
 from ..io.probe import probe_sample_rate
@@ -76,6 +82,7 @@ class _SigintRelay(QObject):
         super().__init__()
         self._rsock, self._wsock = socket.socketpair()
         self._rsock.setblocking(False)
+        self._wsock.setblocking(False)  # set_wakeup_fd requires non-blocking
         self._notifier = QSocketNotifier(self._rsock.fileno(), QSocketNotifier.Read)
         self._notifier.activated.connect(self._handle)
         self._old_handler = signal.signal(signal.SIGINT, self._signal_handler)
@@ -352,7 +359,7 @@ class InteractiveWindow(QMainWindow):
         if not rate:
             self._status("Enter a sample rate first.")
             return
-        from PySide6.QtCore import QRunnable, QObject, Signal, Slot
+        from ._qt import QRunnable, QObject, Signal, Slot
 
         window = self
 
@@ -531,6 +538,13 @@ def launch_interactive_session(
 ) -> InteractiveSessionResult:
     """Run the GUI event loop and return the configured session (reference
     ``app.py:2435-2486``)."""
+    import os
+
+    if HEADLESS and os.environ.get("IQ2A_QT", "").lower() != "headless":
+        raise RuntimeError(
+            "Interactive mode needs PySide6 (pip install 'iq-to-audio-tpu[gui]') "
+            "— or set IQ2A_QT=headless to drive the UI programmatically."
+        )
     app = QApplication.instance() or QApplication([])
     app.setStyleSheet(DARK_STYLESHEET)
     window = InteractiveWindow(

@@ -3,13 +3,13 @@
 
 from __future__ import annotations
 
-from PySide6.QtCore import Signal
-from PySide6.QtWidgets import (
+from ._qt import (
     QDialog,
     QHBoxLayout,
     QPlainTextEdit,
     QPushButton,
     QVBoxLayout,
+    Signal,
 )
 
 

@@ -4,8 +4,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from PySide6.QtCore import Qt, Signal
-from PySide6.QtWidgets import (
+from ._qt import (
     QCheckBox,
     QComboBox,
     QDoubleSpinBox,
@@ -18,6 +17,8 @@ from PySide6.QtWidgets import (
     QPushButton,
     QSpinBox,
     QWidget,
+    Qt,
+    Signal,
 )
 
 from .state import SPECTRUM_THEMES, WATERFALL_COLORMAPS, InteractiveState, MAX_TARGETS

@@ -6,10 +6,9 @@ import logging
 import shlex
 from pathlib import Path
 
-from PySide6.QtCore import Qt, QThreadPool, Signal
-from PySide6.QtWidgets import (
-    QComboBox,
+from ._qt import (
     QCheckBox,
+    QComboBox,
     QDoubleSpinBox,
     QFileDialog,
     QGridLayout,
@@ -20,8 +19,11 @@ from PySide6.QtWidgets import (
     QPushButton,
     QTableWidget,
     QTableWidgetItem,
+    QThreadPool,
     QVBoxLayout,
     QWidget,
+    Qt,
+    Signal,
 )
 
 from ..post.squelch import AudioPostOptions, SquelchConfig, gather_audio_targets

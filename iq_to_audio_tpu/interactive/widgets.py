@@ -3,18 +3,19 @@
 from __future__ import annotations
 
 import numpy as np
-from PySide6.QtCore import Qt, Signal
-from PySide6.QtWidgets import (
+from matplotlib.widgets import SpanSelector
+
+from ._qt import (
+    FigureCanvas,
+    Figure,
     QGroupBox,
     QMainWindow,
     QSplitter,
     QVBoxLayout,
     QWidget,
+    Qt,
+    Signal,
 )
-
-from matplotlib.backends.backend_qtagg import FigureCanvasQTAgg as FigureCanvas
-from matplotlib.figure import Figure
-from matplotlib.widgets import SpanSelector
 
 
 class PanelGroup(QGroupBox):

@@ -128,196 +128,187 @@ def compute_full_psd(
 # Qt runnables (import guarded: everything above is usable headless)
 # ---------------------------------------------------------------------------
 
-try:  # pragma: no cover - exercised only with PySide6 installed
-    from PySide6.QtCore import QObject, QRunnable, Signal, Slot
+from ._qt import QObject, QRunnable, Signal, Slot
 
-    class _SnapshotSignals(QObject):
-        finished = Signal(object)  # SnapshotData
-        failed = Signal(str)
-        progress = Signal(float)
+class _SnapshotSignals(QObject):
+    finished = Signal(object)  # SnapshotData
+    failed = Signal(str)
+    progress = Signal(float)
 
-    class SnapshotWorker(QRunnable):
-        """Gather a spectrum snapshot off the UI thread."""
+class SnapshotWorker(QRunnable):
+    """Gather a spectrum snapshot off the UI thread."""
 
-        def __init__(self, path, spec, sample_rate, seconds, *, iq_order="iq", nfft=262_144,
-                     max_slices=400):
-            super().__init__()
-            self.signals = _SnapshotSignals()
-            self._args = (path, spec, sample_rate, seconds)
-            self._kw = dict(iq_order=iq_order, nfft=nfft, max_slices=max_slices)
-            self._cancelled = False
+    def __init__(self, path, spec, sample_rate, seconds, *, iq_order="iq", nfft=262_144,
+                 max_slices=400):
+        super().__init__()
+        self.signals = _SnapshotSignals()
+        self._args = (path, spec, sample_rate, seconds)
+        self._kw = dict(iq_order=iq_order, nfft=nfft, max_slices=max_slices)
+        self._cancelled = False
 
-        def cancel(self):
-            self._cancelled = True
+    def cancel(self):
+        self._cancelled = True
 
-        @Slot()
-        def run(self):
-            try:
-                snap = gather_snapshot(
-                    *self._args,
-                    **self._kw,
-                    progress_cb=self.signals.progress.emit,
-                    cancelled=lambda: self._cancelled,
+    @Slot()
+    def run(self):
+        try:
+            snap = gather_snapshot(
+                *self._args,
+                **self._kw,
+                progress_cb=self.signals.progress.emit,
+                cancelled=lambda: self._cancelled,
+            )
+            if not self._cancelled:
+                self.signals.finished.emit(snap)
+        except Exception as exc:  # surfaced in the status bar
+            LOG.exception("Snapshot failed")
+            self.signals.failed.emit(str(exc))
+
+class _PreviewSignals(QObject):
+    finished = Signal(list)  # [(config, result, path)]
+    failed = Signal(str)
+    status = Signal(str)
+    progress = Signal(float)
+
+class PreviewWorker(QRunnable):
+    """Run preview DSP for the session configs (reference
+    ``workers.py:348-410``)."""
+
+    def __init__(self, configs: list[ProcessingConfig], seconds: float):
+        super().__init__()
+        self.signals = _PreviewSignals()
+        self.configs = configs
+        self.seconds = seconds
+        self._pipelines: list[ProcessingPipeline] = []
+        self._cancelled = False
+
+    def cancel(self):
+        self._cancelled = True
+        for p in self._pipelines:
+            p.cancel()
+
+    @Slot()
+    def run(self):
+        from .models import StatusProgressSink
+
+        results = []
+        try:
+            for config in self.configs:
+                if self._cancelled:
+                    return
+                sink = StatusProgressSink(
+                    self.signals.status.emit, self.signals.progress.emit
                 )
-                if not self._cancelled:
-                    self.signals.finished.emit(snap)
-            except Exception as exc:  # surfaced in the status bar
-                LOG.exception("Snapshot failed")
+                result, out_path = run_preview(
+                    config,
+                    self.seconds,
+                    progress_sink=sink,
+                    on_pipeline=self._pipelines.append,
+                )
+                results.append((config, result, out_path))
+            self.signals.finished.emit(results)
+        except ProcessingCancelled:
+            self.signals.status.emit("Preview cancelled.")
+        except Exception as exc:
+            LOG.exception("Preview failed")
+            self.signals.failed.emit(str(exc))
+
+class _AudioPostSignals(QObject):
+    finished = Signal(object)  # SquelchSummary
+    failed = Signal(str)
+    progress = Signal(int, int, str)
+
+class AudioPostWorker(QRunnable):
+    def __init__(self, targets, options):
+        super().__init__()
+        self.signals = _AudioPostSignals()
+        self.targets = targets
+        self.options = options
+
+    @Slot()
+    def run(self):
+        from ..post.squelch import process_audio_batch
+
+        try:
+            summary = process_audio_batch(
+                self.targets,
+                self.options,
+                progress_cb=lambda done, total, p: self.signals.progress.emit(
+                    done, total, str(p)
+                ),
+            )
+            self.signals.finished.emit(summary)
+        except Exception as exc:
+            LOG.exception("Audio post failed")
+            self.signals.failed.emit(str(exc))
+
+class _DockerSignals(QObject):
+    log = Signal(str)
+    finished = Signal(int)
+    failed = Signal(str)
+
+class DockerLaunchWorker(QRunnable):
+    """Launch a backend decoder container and stream its logs
+    (reference ``workers.py:452-525``)."""
+
+    def __init__(self, backend, request):
+        super().__init__()
+        self.signals = _DockerSignals()
+        self.backend = backend
+        self.request = request
+        self._cancelled = False
+        self._container_id = None
+
+    def cancel(self):
+        self._cancelled = True
+        try:
+            if self._container_id is not None:
+                self.backend.client.containers.get(self._container_id).kill()
+        except Exception:  # pragma: no cover
+            LOG.debug("Container kill failed", exc_info=True)
+
+    @Slot()
+    def run(self):
+        try:
+            code = self.backend.run_and_stream(
+                self.request, log_callback=self.signals.log.emit
+            )
+            self.signals.finished.emit(code)
+        except Exception as exc:
+            if not self._cancelled:
                 self.signals.failed.emit(str(exc))
 
-    class _PreviewSignals(QObject):
-        finished = Signal(list)  # [(config, result, path)]
-        failed = Signal(str)
-        status = Signal(str)
-        progress = Signal(float)
+class _DockerProbeSignals(QObject):
+    result = Signal(bool, str)
 
-    class PreviewWorker(QRunnable):
-        """Run preview DSP for the session configs (reference
-        ``workers.py:348-410``)."""
+class DockerProbeWorker(QRunnable):
+    def __init__(self, backend_factory):
+        super().__init__()
+        self.signals = _DockerProbeSignals()
+        self.backend_factory = backend_factory
 
-        def __init__(self, configs: list[ProcessingConfig], seconds: float):
-            super().__init__()
-            self.signals = _PreviewSignals()
-            self.configs = configs
-            self.seconds = seconds
-            self._pipelines: list[ProcessingPipeline] = []
-            self._cancelled = False
+    @Slot()
+    def run(self):
+        try:
+            backend = self.backend_factory()
+            conn = backend.probe()
+            info = backend.get_image_info()
+            msg = conn.message if not conn.available else info.format_status()
+            self.signals.result.emit(conn.available, msg)
+        except Exception as exc:
+            self.signals.result.emit(False, str(exc))
 
-        def cancel(self):
-            self._cancelled = True
-            for p in self._pipelines:
-                p.cancel()
+class DockerImageUpdateWorker(QRunnable):
+    def __init__(self, backend):
+        super().__init__()
+        self.signals = _DockerProbeSignals()
+        self.backend = backend
 
-        @Slot()
-        def run(self):
-            from .models import StatusProgressSink
-
-            results = []
-            try:
-                for config in self.configs:
-                    if self._cancelled:
-                        return
-                    sink = StatusProgressSink(
-                        self.signals.status.emit, self.signals.progress.emit
-                    )
-                    result, out_path = run_preview(
-                        config,
-                        self.seconds,
-                        progress_sink=sink,
-                        on_pipeline=self._pipelines.append,
-                    )
-                    results.append((config, result, out_path))
-                self.signals.finished.emit(results)
-            except ProcessingCancelled:
-                self.signals.status.emit("Preview cancelled.")
-            except Exception as exc:
-                LOG.exception("Preview failed")
-                self.signals.failed.emit(str(exc))
-
-    class _AudioPostSignals(QObject):
-        finished = Signal(object)  # SquelchSummary
-        failed = Signal(str)
-        progress = Signal(int, int, str)
-
-    class AudioPostWorker(QRunnable):
-        def __init__(self, targets, options):
-            super().__init__()
-            self.signals = _AudioPostSignals()
-            self.targets = targets
-            self.options = options
-
-        @Slot()
-        def run(self):
-            from ..post.squelch import process_audio_batch
-
-            try:
-                summary = process_audio_batch(
-                    self.targets,
-                    self.options,
-                    progress_cb=lambda done, total, p: self.signals.progress.emit(
-                        done, total, str(p)
-                    ),
-                )
-                self.signals.finished.emit(summary)
-            except Exception as exc:
-                LOG.exception("Audio post failed")
-                self.signals.failed.emit(str(exc))
-
-    class _DockerSignals(QObject):
-        log = Signal(str)
-        finished = Signal(int)
-        failed = Signal(str)
-
-    class DockerLaunchWorker(QRunnable):
-        """Launch a backend decoder container and stream its logs
-        (reference ``workers.py:452-525``)."""
-
-        def __init__(self, backend, request):
-            super().__init__()
-            self.signals = _DockerSignals()
-            self.backend = backend
-            self.request = request
-            self._cancelled = False
-            self._container_id = None
-
-        def cancel(self):
-            self._cancelled = True
-            try:
-                if self._container_id is not None:
-                    self.backend.client.containers.get(self._container_id).kill()
-            except Exception:  # pragma: no cover
-                LOG.debug("Container kill failed", exc_info=True)
-
-        @Slot()
-        def run(self):
-            try:
-                code = self.backend.run_and_stream(
-                    self.request, log_callback=self.signals.log.emit
-                )
-                self.signals.finished.emit(code)
-            except Exception as exc:
-                if not self._cancelled:
-                    self.signals.failed.emit(str(exc))
-
-    class _DockerProbeSignals(QObject):
-        result = Signal(bool, str)
-
-    class DockerProbeWorker(QRunnable):
-        def __init__(self, backend_factory):
-            super().__init__()
-            self.signals = _DockerProbeSignals()
-            self.backend_factory = backend_factory
-
-        @Slot()
-        def run(self):
-            try:
-                backend = self.backend_factory()
-                conn = backend.probe()
-                info = backend.get_image_info()
-                msg = conn.message if not conn.available else info.format_status()
-                self.signals.result.emit(conn.available, msg)
-            except Exception as exc:
-                self.signals.result.emit(False, str(exc))
-
-    class DockerImageUpdateWorker(QRunnable):
-        def __init__(self, backend):
-            super().__init__()
-            self.signals = _DockerProbeSignals()
-            self.backend = backend
-
-        @Slot()
-        def run(self):
-            try:
-                self.backend.pull_image()
-                info = self.backend.get_image_info()
-                self.signals.result.emit(True, info.format_status())
-            except Exception as exc:
-                self.signals.result.emit(False, str(exc))
-
-except ImportError:  # pragma: no cover - headless environments
-    SnapshotWorker = None  # type: ignore[assignment]
-    PreviewWorker = None  # type: ignore[assignment]
-    AudioPostWorker = None  # type: ignore[assignment]
-    DockerLaunchWorker = None  # type: ignore[assignment]
-    DockerProbeWorker = None  # type: ignore[assignment]
-    DockerImageUpdateWorker = None  # type: ignore[assignment]
+    @Slot()
+    def run(self):
+        try:
+            self.backend.pull_image()
+            info = self.backend.get_image_info()
+            self.signals.result.emit(True, info.format_status())
+        except Exception as exc:
+            self.signals.result.emit(False, str(exc))

@@ -97,6 +97,15 @@ class ProcessingPipeline:
         self._cancelled = False
         self._input_spec: InputFormatSpec | None = None
         self._profiling = False
+        # Benchmark warm-up mode: run the full pipeline (compiling and
+        # dispatching every device program) but never fetch device->host.
+        # On the tunneled runtime the process's FIRST fetch waits on the
+        # asynchronous server-side executable load (seconds..minutes) and any
+        # fetch permanently degrades later uploads ~40x (docs/performance.md),
+        # so a fetch-free warm pass lets a subsequent measured pass run with
+        # clean uploads and a fast EOF fetch.  Outputs are silent/empty in
+        # this mode — benchmark tooling only.
+        self.warm_no_fetch = False
 
     def cancel(self) -> None:
         self._cancelled = True
@@ -701,6 +710,8 @@ class ProcessingPipeline:
                     drains behind the window's queued compute while the host
                     stages the next window (measured: async submit ~0.2 ms;
                     the later np.asarray then returns from the landed copy)."""
+                    if self.warm_no_fetch:
+                        return
                     for arr in handle.values():
                         fn = getattr(arr, "copy_to_host_async", None)
                         if fn is not None:
@@ -710,7 +721,7 @@ class ProcessingPipeline:
                     """Fetch one completed accumulation window (a single D2H
                     round-trip, overlapped with the following window's
                     compute) and write every chunk's valid region."""
-                    if not counts:
+                    if not counts or self.warm_no_fetch:
                         return
                     t0 = time.perf_counter()
                     if pass_through or cfg.dump_iq_path:

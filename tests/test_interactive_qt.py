@@ -1,23 +1,38 @@
 """Qt GUI tests (reference tests/test_interactive_qt.py analogue).
 
-Skipped automatically when PySide6 is unavailable (headless CI without the
-gui extra); run under offscreen/xvfb where it is installed.
+Runs against real PySide6 (offscreen) when installed, and against the
+first-party headless Qt toolkit (``interactive/headless_qt.py``) otherwise —
+either way the GUI code constructs, wires, signal-routes and executes, the
+equivalent of the reference's offscreen/xvfb Qt CI job (reference
+``ci.yml:66-80``).  Matplotlib interactions (click-to-tune, scroll zoom,
+span selection) are driven through synthetic matplotlib events, which route
+identically on the QtAgg and Agg canvases.
 """
 
 from __future__ import annotations
 
+import os
+import signal
+import sys
+
 import numpy as np
 import pytest
 
-PySide6 = pytest.importorskip("PySide6")
+try:  # pragma: no cover - exercised only with PySide6 installed
+    import PySide6  # noqa: F401
 
-import os
+    os.environ.setdefault("QT_QPA_PLATFORM", "offscreen")
+    HEADLESS = False
+except ImportError:
+    os.environ["IQ2A_QT"] = "headless"
+    HEADLESS = True
 
-os.environ.setdefault("QT_QPA_PLATFORM", "offscreen")
-
-from PySide6.QtWidgets import QApplication  # noqa: E402
+from matplotlib.backend_bases import MouseEvent  # noqa: E402
 
 from conftest import make_tone_iq, write_wav_iq  # noqa: E402
+
+from iq_to_audio_tpu.interactive._qt import QApplication  # noqa: E402
+from iq_to_audio_tpu.interactive.app import InteractiveWindow  # noqa: E402
 
 
 @pytest.fixture(scope="session")
@@ -28,11 +43,29 @@ def qapp():
 
 @pytest.fixture
 def window(qapp):
-    from iq_to_audio_tpu.interactive.app import InteractiveWindow
-
     win = InteractiveWindow(base_kwargs={"bandwidth": 12_500.0, "demod_mode": "nfm"})
     yield win
     win.close()
+
+
+def _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_t.wav", seconds=0.25):
+    """Window with a synthetic SDR++-named capture loaded (snapshot runs
+    synchronously on the headless pool / offscreen Qt pool drained below)."""
+    fs = 96_000.0
+    iq = make_tone_iq(fs, seconds, 10_000.0)
+    path = write_wav_iq(tmp_path / name, iq, int(fs))
+    win = InteractiveWindow()
+    win.state.snapshot_seconds = seconds
+    win._load_file(path)
+    if not HEADLESS:  # real Qt: wait for the threaded snapshot
+        deadline = 100
+        while win._snapshot is None and deadline:
+            QApplication.processEvents()
+            deadline -= 1
+            import time
+
+            time.sleep(0.05)
+    return win, path
 
 
 class TestWindowConstruction:
@@ -44,6 +77,7 @@ class TestWindowConstruction:
     def test_status_routing(self, window):
         window._status("hello status")
         assert window.status_panel.status_label.text() == "hello status"
+        assert window.statusBar().currentMessage() == "hello status"
 
     def test_demod_agc_constraint(self, window):
         panel = window.demod_panel
@@ -69,18 +103,36 @@ class TestWindowConstruction:
         window._confirm_run()
         assert window.result.configs == []
 
+    def test_format_override_flow(self, window):
+        combo = window.recording_panel.format_combo
+        combo.setCurrentIndex(4)  # RAW cu8
+        assert window.state.input_format_override == "raw-cu8"
+        combo.setCurrentIndex(0)
+        assert window.state.input_format_override is None
+
+    def test_spectrum_options_apply(self, window):
+        opts = window.spectrum_options
+        opts.smooth_spin.setValue(7)
+        opts._apply()
+        assert window.state.spectrum_smoothing == 7
+        opts.theme_combo.setCurrentText("Amber")
+        opts._apply()
+        assert window.state.spectrum_theme == "Amber"
+
+    def test_waterfall_options_apply(self, window):
+        opts = window.waterfall_options
+        opts.slices_spin.setValue(123)
+        opts.floor_spin.setValue(-95.0)
+        opts._apply()
+        assert window.state.waterfall_slices == 123
+        assert window.state.waterfall_floor_db == -95.0
+
 
 class TestFileFlow:
     def test_load_file_detects_everything(self, qapp, tmp_path):
-        from iq_to_audio_tpu.interactive.app import InteractiveWindow
-
-        fs = 96_000.0
-        iq = make_tone_iq(fs, 0.2, 10_000.0)
-        path = write_wav_iq(tmp_path / "baseband_145000000Hz_t.wav", iq, int(fs))
-        win = InteractiveWindow()
+        win, _ = _loaded_window(qapp, tmp_path)
         try:
-            win._load_file(path)
-            assert win.state.sample_rate == fs
+            assert win.state.sample_rate == 96_000.0
             assert win.state.center_freq == 145_000_000.0
             assert win.state.center_freq_source == "filename:sdrpp"
             assert win._input_spec is not None
@@ -88,19 +140,283 @@ class TestFileFlow:
             win.close()
 
     def test_confirm_run_builds_configs(self, qapp, tmp_path):
-        from iq_to_audio_tpu.interactive.app import InteractiveWindow
-
-        fs = 96_000.0
-        iq = make_tone_iq(fs, 0.2, 10_000.0)
-        path = write_wav_iq(tmp_path / "baseband_145000000Hz_c.wav", iq, int(fs))
-        win = InteractiveWindow()
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_c.wav")
         try:
-            win._load_file(path)
             win.state.add_target(145_010_000.0)
             win._confirm_run()
             assert len(win.result.configs) == 1
             cfg = win.result.configs[0]
             assert cfg.target_freq == 145_010_000.0
             assert cfg.center_freq == 145_000_000.0
+            assert win.result.progress_sink is not None
         finally:
             win.close()
+
+    def test_snapshot_renders_spectrum(self, qapp, tmp_path):
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_s.wav")
+        try:
+            assert win._snapshot is not None
+            assert win._snapshot.psd_db.size > 0
+            assert len(win.ax.lines) >= 1  # PSD curve drawn
+            lo, hi = win.ax.get_xlim()
+            assert lo < 145_000_000.0 < hi  # absolute-frequency axis
+        finally:
+            win.close()
+
+
+class TestSpectrumInteraction:
+    def _click(self, win, freq_hz):
+        x, _ = win.ax.transData.transform((freq_hz, -80.0))
+        press = MouseEvent("button_press_event", win.canvas, x, 300.0, button=1)
+        win.canvas.callbacks.process("button_press_event", press)
+        release = MouseEvent("button_release_event", win.canvas, x, 300.0, button=1)
+        win.canvas.callbacks.process("button_release_event", release)
+
+    def test_click_adds_target(self, qapp, tmp_path):
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_k.wav")
+        try:
+            win.canvas.draw()  # realise transforms
+            self._click(win, 145_010_000.0)
+            assert len(win.state.targets) == 1
+            assert abs(win.state.targets[0] - 145_010_000.0) < 5_000.0
+        finally:
+            win.close()
+
+    def test_drag_does_not_add_target(self, qapp, tmp_path):
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_d.wav")
+        try:
+            win.canvas.draw()
+            x0, _ = win.ax.transData.transform((145_005_000.0, -80.0))
+            x1, _ = win.ax.transData.transform((145_020_000.0, -80.0))
+            press = MouseEvent("button_press_event", win.canvas, x0, 300.0, button=1)
+            win.canvas.callbacks.process("button_press_event", press)
+            release = MouseEvent("button_release_event", win.canvas, x1, 300.0, button=1)
+            win.canvas.callbacks.process("button_release_event", release)
+            assert win.state.targets == []  # drag handled by the span selector
+        finally:
+            win.close()
+
+    def test_scroll_zoom_clamped(self, qapp, tmp_path):
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_z.wav")
+        try:
+            win.canvas.draw()
+            full_lo, full_hi = win.ax.get_xlim()
+            x, y = win.ax.transData.transform((145_000_000.0, -80.0))
+            zoom_in = MouseEvent("scroll_event", win.canvas, x, y, button="up")
+            win.canvas.callbacks.process("scroll_event", zoom_in)
+            lo, hi = win.ax.get_xlim()
+            assert hi - lo < full_hi - full_lo
+            for _ in range(8):  # zoom far out: clamped to the capture span
+                zoom_out = MouseEvent("scroll_event", win.canvas, x, y, button="down")
+                win.canvas.callbacks.process("scroll_event", zoom_out)
+            lo, hi = win.ax.get_xlim()
+            assert lo >= full_lo - 1.0 and hi <= full_hi + 1.0
+        finally:
+            win.close()
+
+    def test_motion_draws_cursor(self, qapp, tmp_path):
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_m.wav")
+        try:
+            win.canvas.draw()
+            x, y = win.ax.transData.transform((145_008_000.0, -80.0))
+            move = MouseEvent("motion_notify_event", win.canvas, x, y)
+            win.canvas.callbacks.process("motion_notify_event", move)
+            assert win._cursor_line is not None
+        finally:
+            win.close()
+
+    def test_span_selection_updates_bandwidth(self, qapp, tmp_path):
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_b.wav")
+        try:
+            win._span_selected(145_012_000.0, 25_000.0)
+            assert win.state.bandwidth == 25_000.0
+            assert win.state.targets == [145_012_000.0]
+            assert win.channel_panel.bw_spin.value() == 25_000.0
+        finally:
+            win.close()
+
+    def test_waterfall_window_retunes(self, qapp, tmp_path):
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_w.wav")
+        try:
+            win._show_waterfall()
+            assert win.waterfall_window.isVisible()
+            assert win.waterfall_window._image is not None
+            win.waterfall_window.frequency_clicked.emit(145_015_000.0)
+            assert 145_015_000.0 in win.state.targets
+        finally:
+            win.waterfall_window.close()
+            win.close()
+
+
+class TestWorkersThroughUI:
+    def test_preview_worker_runs_pipeline(self, qapp, tmp_path):
+        win, path = _loaded_window(
+            qapp, tmp_path, name="baseband_145000000Hz_p.wav", seconds=0.3
+        )
+        try:
+            win.state.add_target(145_010_000.0)
+            win.state.snapshot_seconds = 0.2
+            win._start_preview()
+            if not HEADLESS:
+                import time
+
+                deadline = 600
+                while win.status_panel.stop_btn.isEnabled() and deadline:
+                    QApplication.processEvents()
+                    time.sleep(0.1)
+                    deadline -= 1
+            previews = list(tmp_path.glob("*preview*"))
+            assert previews, "preview output not written"
+            assert not win.status_panel.stop_btn.isEnabled()  # back to idle
+        finally:
+            win.close()
+
+    def test_stop_workers_resets_busy(self, window):
+        window.status_panel.set_busy(True)
+        window._stop_workers()
+        assert window.status_panel.preview_btn.isEnabled()
+        assert not window.status_panel.stop_btn.isEnabled()
+
+
+class TestAudioPostPage:
+    def test_squelch_batch_via_page(self, qapp, tmp_path, monkeypatch):
+        from iq_to_audio_tpu.io.riff import WavStreamWriter
+
+        rng = np.random.default_rng(7)
+        fs = 48_000
+        quiet = (rng.standard_normal(fs) * 1e-4).astype(np.float32)
+        burst = np.concatenate(
+            [quiet, (0.5 * np.sin(2 * np.pi * 1000 * np.arange(fs) / fs)).astype(np.float32), quiet]
+        )
+        audio_dir = tmp_path / "audio"
+        audio_dir.mkdir()
+        for name in ("one.wav", "two.wav"):
+            with WavStreamWriter(audio_dir / name, fs, 1, "pcm_s16le") as w:
+                w.write_float(burst)
+
+        win = InteractiveWindow()
+        try:
+            page = win.audio_post_page
+            page._set_path(audio_dir)
+            statuses: list[str] = []
+            page.status.connect(statuses.append)
+            page._run()
+            if not HEADLESS:
+                import time
+
+                deadline = 300
+                while page.table.rowCount() == 0 and deadline:
+                    QApplication.processEvents()
+                    time.sleep(0.05)
+                    deadline -= 1
+            assert page.table.rowCount() == 2
+            assert page.table.item(0, 0).text() in {"one.wav", "two.wav"}
+            assert any("complete" in s for s in statuses)
+            assert list(audio_dir.glob("*-cleaned.wav"))
+        finally:
+            win.close()
+
+    def test_auto_floor_toggle_gates_spin(self, window):
+        page = window.audio_post_page
+        assert not page.floor_spin.isEnabled()
+        page.auto_floor.setChecked(False)
+        assert page.floor_spin.isEnabled()
+
+    def test_run_without_path_reports(self, window):
+        statuses: list[str] = []
+        window.audio_post_page.status.connect(statuses.append)
+        window.audio_post_page._run()
+        assert statuses and "Select" in statuses[0]
+
+
+class TestDigitalPostPage:
+    def test_describe_follows_combo(self, window):
+        page = window.digital_post_page
+        page.decoder_combo.setCurrentIndex(1)
+        assert page.description.text()
+
+    def test_launch_without_dir_reports(self, window):
+        statuses: list[str] = []
+        window.digital_post_page.status.connect(statuses.append)
+        window.digital_post_page._launch()
+        assert statuses and "directory" in statuses[0]
+
+    def test_launch_with_mock_backend(self, qapp, tmp_path, monkeypatch):
+        win = InteractiveWindow()
+        try:
+            page = win.digital_post_page
+            page._dir = tmp_path
+
+            class _FakeBackend:
+                def ensure_connection(self):
+                    return None
+
+                def run_and_stream(self, request, log_callback=None):
+                    if log_callback:
+                        log_callback("decoding…")
+                    return 0
+
+            monkeypatch.setattr(page, "_backend", lambda: _FakeBackend())
+            page._launch()
+            if not HEADLESS:
+                import time
+
+                deadline = 100
+                while "exited" not in page._console.log_view.toPlainText() and deadline:
+                    QApplication.processEvents()
+                    time.sleep(0.05)
+                    deadline -= 1
+            log = page._console.log_view.toPlainText()
+            assert "decoding…" in log
+            assert "exited with status 0" in log
+        finally:
+            win.close()
+
+
+class TestDockerConsole:
+    def test_stop_button_emits_cancel(self, qapp):
+        from iq_to_audio_tpu.interactive.docker_console import DockerConsole
+
+        console = DockerConsole("Decoder: test")
+        fired: list[bool] = []
+        console.cancel_requested.connect(lambda: fired.append(True))
+        console.append_log("line one\n")
+        console.stop_btn.click()
+        assert fired == [True]
+        assert not console.stop_btn.isEnabled()
+        console.mark_finished(137)
+        assert "exited with status 137" in console.log_view.toPlainText()
+
+
+@pytest.mark.skipif(
+    sys.platform == "win32", reason="socketpair wakeup fd is POSIX-only"
+)
+class TestSigintRelay:
+    def test_sigint_triggers_relay(self, qapp):
+        from iq_to_audio_tpu.interactive.app import _SigintRelay
+
+        relay = _SigintRelay(qapp)
+        hits: list[bool] = []
+        relay.triggered.connect(lambda: hits.append(True))
+        try:
+            os.kill(os.getpid(), signal.SIGINT)
+            import time
+
+            for _ in range(100):
+                QApplication.processEvents()
+                if hits:
+                    break
+                time.sleep(0.02)
+            assert hits == [True]
+        finally:
+            relay.restore()
+
+
+class TestToolbar:
+    def test_actions_switch_pages(self, window):
+        bar = window.toolBars()[0] if hasattr(window, "toolBars") else None
+        window.pages.setCurrentIndex(1)
+        assert window.pages.currentIndex() == 1
+        window.pages.setCurrentIndex(0)
+        assert window.pages.currentIndex() == 0
+        del bar
