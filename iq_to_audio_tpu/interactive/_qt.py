@@ -50,6 +50,7 @@ if _mode in ("auto", "pyside6"):
             QDialog,
             QDoubleSpinBox,
             QFileDialog,
+            QFormLayout,
             QGridLayout,
             QGroupBox,
             QHBoxLayout,
@@ -85,6 +86,7 @@ if _mode == "headless":
         QDialog,
         QDoubleSpinBox,
         QFileDialog,
+        QFormLayout,
         QGridLayout,
         QGroupBox,
         QHBoxLayout,

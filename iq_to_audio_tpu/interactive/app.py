@@ -53,7 +53,7 @@ from .panels import (
 )
 from .post import AudioPostPage, DigitalPostPage
 from .state import SPECTRUM_THEMES, InteractiveState
-from .styles import DARK_STYLESHEET
+from .styles import DARK_STYLESHEET, STYLESHEETS
 from .widgets import LockedSplitter, SpanController, WaterfallWindow
 from .workers import PreviewWorker, SnapshotWorker
 
@@ -546,7 +546,8 @@ def launch_interactive_session(
             "— or set IQ2A_QT=headless to drive the UI programmatically."
         )
     app = QApplication.instance() or QApplication([])
-    app.setStyleSheet(DARK_STYLESHEET)
+    theme = os.environ.get("IQ2A_THEME", "dark").lower()
+    app.setStyleSheet(STYLESHEETS.get(theme, DARK_STYLESHEET))
     window = InteractiveWindow(
         base_kwargs=base_kwargs, input_path=input_path, snapshot_seconds=snapshot_seconds
     )

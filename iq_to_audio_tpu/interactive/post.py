@@ -11,12 +11,15 @@ from ._qt import (
     QComboBox,
     QDoubleSpinBox,
     QFileDialog,
+    QFormLayout,
     QGridLayout,
     QHBoxLayout,
     QLabel,
     QLineEdit,
     QProgressBar,
     QPushButton,
+    QSpinBox,
+    QStackedWidget,
     QTableWidget,
     QTableWidgetItem,
     QThreadPool,
@@ -172,6 +175,53 @@ class AudioPostPage(QWidget):
         )
 
 
+#: per-tool option -> container-command composition (the reference's option
+#: stacks, ``post.py:950-1021``, are display-only placeholders; here they
+#: drive the actual launch command).  Flags are the upstream tools' own:
+#: dsd-fme ``-f?``/``-T``/``-w``, multimon-ng ``-a``/``-v``/``--timestamp``,
+#: WSJT-X jt9 ``-8``/``-5``/``-d``.
+DSD_PROTOCOLS = {
+    "Auto detect": ("-fa",),
+    "P25 Phase 1": ("-f1",),
+    "DMR": ("-fs",),
+    "NXDN48": ("-fi",),
+    "YSF": ("-fy",),
+}
+
+MULTIMON_MODES = ("POCSAG512", "POCSAG1200", "POCSAG2400", "FLEX", "AFSK1200", "DTMF")
+
+FT_MODES = {"FT8": ("-8",), "FT4": ("-5",)}
+
+
+def build_decoder_args(key: str, opts: dict) -> tuple[str, ...]:
+    """Compose per-tool command arguments from the option-stack values.
+
+    Pure and UI-free so the composition is unit-testable; unknown keys
+    compose to no extra arguments (preset default command applies).
+    """
+    if key == "dsd-fme":
+        args = list(DSD_PROTOCOLS.get(opts.get("protocol", "Auto detect"), ("-fa",)))
+        if opts.get("trunk_follow"):
+            args.append("-T")
+        if opts.get("record_wav"):
+            args += ["-w", "/workspace/audio/decoded.wav"]
+        return ("dsd-fme", *args)
+    if key == "multimon-ng":
+        args = ["-a", opts.get("mode", "POCSAG1200"), "-t", "wav"]
+        level = int(opts.get("verbosity", 0))
+        if level:
+            args += ["-v", str(level)]
+        if opts.get("timestamp"):
+            args.append("--timestamp")
+        return ("multimon-ng", *args)
+    if key == "ft8":
+        args = list(FT_MODES.get(opts.get("mode", "FT8"), ("-8",)))
+        depth = int(opts.get("depth", 2))
+        args += ["-d", str(depth)]
+        return ("jt9", *args)
+    return ()
+
+
 class DigitalPostPage(QWidget):
     """Digital decoder hand-off page (reference ``post.py:743-1021``)."""
 
@@ -198,11 +248,24 @@ class DigitalPostPage(QWidget):
         self.description.setWordWrap(True)
         self.description.setProperty("dim", True)
         grid.addWidget(self.description, 1, 0, 1, 2)
-        grid.addWidget(QLabel("Command"), 2, 0)
-        self.command_edit = QLineEdit()
-        self.command_edit.setPlaceholderText("(preset default; shell-style args)")
-        grid.addWidget(self.command_edit, 2, 1)
         decoder_panel.add_layout(grid)
+
+        # per-tool option stacks, switched with the preset combo
+        self.option_stack = QStackedWidget()
+        self.option_stack.addWidget(self._build_dsd_fme_options())
+        self.option_stack.addWidget(self._build_multimon_options())
+        self.option_stack.addWidget(self._build_ft_options())
+        self.decoder_combo.currentIndexChanged.connect(
+            self.option_stack.setCurrentIndex
+        )
+        decoder_panel.add(self.option_stack)
+
+        cmd_row = QGridLayout()
+        cmd_row.addWidget(QLabel("Command"), 0, 0)
+        self.command_edit = QLineEdit()
+        self.command_edit.setPlaceholderText(" ".join(self.composed_command()))
+        cmd_row.addWidget(self.command_edit, 0, 1)
+        decoder_panel.add_layout(cmd_row)
         layout.addWidget(decoder_panel)
 
         audio_panel = PanelGroup("Audio directory")
@@ -236,10 +299,107 @@ class DigitalPostPage(QWidget):
 
         self._dir: Path | None = None
 
+    # -- per-tool option stacks (reference ``post.py:950-1021``) -------------
+
+    def _build_dsd_fme_options(self) -> QWidget:
+        widget = QWidget()
+        form = QFormLayout(widget)
+        self.dsd_protocol_combo = QComboBox()
+        for name in DSD_PROTOCOLS:
+            self.dsd_protocol_combo.addItem(name)
+        form.addRow(QLabel("Input protocol"), self.dsd_protocol_combo)
+        self.dsd_trunk_check = QCheckBox("Follow trunking control channel")
+        form.addRow(QLabel(""), self.dsd_trunk_check)
+        self.dsd_record_check = QCheckBox("Capture decoded voice audio")
+        form.addRow(QLabel(""), self.dsd_record_check)
+        for w in (self.dsd_protocol_combo, self.dsd_trunk_check, self.dsd_record_check):
+            self._watch(w)
+        return widget
+
+    def _build_multimon_options(self) -> QWidget:
+        widget = QWidget()
+        form = QFormLayout(widget)
+        self.multimon_mode_combo = QComboBox()
+        for name in MULTIMON_MODES:
+            self.multimon_mode_combo.addItem(name)
+        self.multimon_mode_combo.setCurrentText("POCSAG1200")
+        form.addRow(QLabel("Decoder mode"), self.multimon_mode_combo)
+        self.multimon_verbose_spin = QSpinBox()
+        self.multimon_verbose_spin.setRange(0, 10)
+        form.addRow(QLabel("Verbosity"), self.multimon_verbose_spin)
+        self.multimon_timestamp_check = QCheckBox("Timestamp decoded packets")
+        form.addRow(QLabel(""), self.multimon_timestamp_check)
+        for w in (
+            self.multimon_mode_combo,
+            self.multimon_verbose_spin,
+            self.multimon_timestamp_check,
+        ):
+            self._watch(w)
+        return widget
+
+    def _build_ft_options(self) -> QWidget:
+        widget = QWidget()
+        form = QFormLayout(widget)
+        self.ft_mode_combo = QComboBox()
+        for name in FT_MODES:
+            self.ft_mode_combo.addItem(name)
+        form.addRow(QLabel("Mode"), self.ft_mode_combo)
+        self.ft_depth_spin = QSpinBox()
+        self.ft_depth_spin.setRange(1, 3)
+        self.ft_depth_spin.setValue(2)
+        form.addRow(QLabel("Decode depth"), self.ft_depth_spin)
+        for w in (self.ft_mode_combo, self.ft_depth_spin):
+            self._watch(w)
+        return widget
+
+    def _watch(self, widget) -> None:
+        """Refresh the command preview whenever an option changes."""
+        for sig in ("currentIndexChanged", "valueChanged", "toggled"):
+            signal = getattr(widget, sig, None)
+            if signal is not None:
+                signal.connect(self._refresh_command_preview)
+                return
+
+    def current_options(self) -> dict:
+        key = self.decoder_combo.currentData()
+        if key == "dsd-fme":
+            return {
+                "protocol": self.dsd_protocol_combo.currentText(),
+                "trunk_follow": self.dsd_trunk_check.isChecked(),
+                "record_wav": self.dsd_record_check.isChecked(),
+            }
+        if key == "multimon-ng":
+            return {
+                "mode": self.multimon_mode_combo.currentText(),
+                "verbosity": self.multimon_verbose_spin.value(),
+                "timestamp": self.multimon_timestamp_check.isChecked(),
+            }
+        if key == "ft8":
+            return {
+                "mode": self.ft_mode_combo.currentText(),
+                "depth": self.ft_depth_spin.value(),
+            }
+        return {}
+
+    def composed_command(self) -> tuple[str, ...]:
+        """The launch command implied by the option stacks (used unless the
+        user types an explicit command)."""
+        key = self.decoder_combo.currentData()
+        composed = build_decoder_args(key, self.current_options())
+        if composed:
+            return composed
+        from ..post.digital import get_decoder
+
+        return get_decoder(key).default_command
+
+    def _refresh_command_preview(self, *_):
+        self.command_edit.setPlaceholderText(" ".join(self.composed_command()))
+
     def _describe(self, index: int):
         from ..post.digital import DIGITAL_DECODERS
 
         self.description.setText(DIGITAL_DECODERS[index].description)
+        self._refresh_command_preview()
 
     def _pick_dir(self):
         path = QFileDialog.getExistingDirectory(self, "Audio directory")
@@ -284,9 +444,9 @@ class DigitalPostPage(QWidget):
         from .workers import DockerLaunchWorker
 
         key = self.decoder_combo.currentData()
-        decoder = get_decoder(key)
+        get_decoder(key)  # validate the preset key early
         custom = self.command_edit.text().strip()
-        command = tuple(shlex.split(custom)) if custom else decoder.default_command
+        command = tuple(shlex.split(custom)) if custom else self.composed_command()
         try:
             backend = self._backend()
             backend.ensure_connection()

@@ -420,3 +420,62 @@ class TestToolbar:
         window.pages.setCurrentIndex(0)
         assert window.pages.currentIndex() == 0
         del bar
+
+
+class TestDecoderOptionStacks:
+    """Per-tool option stacks drive the composed container command
+    (beyond the reference, whose stacks are display-only,
+    reference ``post.py:950-1021``)."""
+
+    def test_build_decoder_args_pure(self):
+        from iq_to_audio_tpu.interactive.post import build_decoder_args
+
+        assert build_decoder_args("dsd-fme", {"protocol": "DMR"}) == ("dsd-fme", "-fs")
+        cmd = build_decoder_args(
+            "dsd-fme", {"protocol": "P25 Phase 1", "trunk_follow": True, "record_wav": True}
+        )
+        assert cmd[:2] == ("dsd-fme", "-f1") and "-T" in cmd and "-w" in cmd
+        cmd = build_decoder_args(
+            "multimon-ng", {"mode": "FLEX", "verbosity": 3, "timestamp": True}
+        )
+        assert ("-a", "FLEX") == cmd[1:3] and "--timestamp" in cmd and "3" in cmd
+        assert build_decoder_args("ft8", {"mode": "FT4", "depth": 3}) == ("jt9", "-5", "-d", "3")
+        assert build_decoder_args("unknown", {}) == ()
+
+    def test_stack_switches_with_preset(self, window):
+        page = window.digital_post_page
+        assert page.option_stack.currentIndex() == 0
+        page.decoder_combo.setCurrentIndex(1)
+        assert page.option_stack.currentIndex() == 1
+        page.decoder_combo.setCurrentIndex(2)
+        assert page.option_stack.currentIndex() == 2
+
+    def test_options_feed_composed_command(self, window):
+        page = window.digital_post_page
+        page.dsd_protocol_combo.setCurrentText("NXDN48")
+        page.dsd_trunk_check.setChecked(True)
+        cmd = page.composed_command()
+        assert cmd[0] == "dsd-fme" and "-fi" in cmd and "-T" in cmd
+        assert "-fi" in page.command_edit.placeholderText()
+
+    def test_custom_command_overrides_options(self, qapp, tmp_path, monkeypatch):
+        win = InteractiveWindow()
+        try:
+            page = win.digital_post_page
+            page._dir = tmp_path
+            page.command_edit.setText("dsd-fme -fa -custom")
+            captured = {}
+
+            class _FakeBackend:
+                def ensure_connection(self):
+                    return None
+
+                def run_and_stream(self, request, log_callback=None):
+                    captured["command"] = request.command
+                    return 0
+
+            monkeypatch.setattr(page, "_backend", lambda: _FakeBackend())
+            page._launch()
+            assert captured["command"] == ("dsd-fme", "-fa", "-custom")
+        finally:
+            win.close()
