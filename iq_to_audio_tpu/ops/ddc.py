@@ -107,6 +107,93 @@ def bandpass_kernel(taps: np.ndarray, incs_fixed: list[int]) -> np.ndarray:
     return kernel.astype(np.float32)
 
 
+def interleave_kernel(kernel_np: np.ndarray, iq_order: str = "iq") -> np.ndarray:
+    """Repack the pair conv kernel ``(2C, 2, L)`` into the interleaved-domain
+    kernel ``(2C, 1, 2L)`` that convolves the scaled RAW sample stream
+    (I/Q interleaved, as stored in the capture) with window stride ``2D``.
+
+    Motivation (measured, docs/performance.md): materialising the
+    de-interleaved (re, im) pair on TPU — whether as strided slices or as a
+    real transpose — compiles into code whose size grows with the chunk
+    length (~17 MB / ~270 s for a 4Mi chunk on v5e vs 0.7 MB / 4 s for this
+    kernel), because the backend unrolls the (N, 2) -> (2, N) relayout
+    per tile.  Convolving the interleaved stream directly makes the layout
+    change part of the convolution's own im2col, which the backend handles
+    natively.
+
+    The IQ-order convention (reference ``input_formats.py`` semantics:
+    ``iq``/``qi`` slot order, ``*_inv`` negates Q) is folded into the taps:
+    output ``sum_q ki[o, 0, q] * raw[2tD + q]`` with ``q = 2j + s`` equals the
+    pair conv's ``sum_j k[o, 0, j]*xr[tD+j] + k[o, 1, j]*xi[tD+j]`` when the
+    channel-0 taps land on the raw slot holding I and the channel-1 taps
+    (sign-adjusted) on the slot holding Q.
+    """
+    out_ch, in_ch, L = kernel_np.shape
+    assert in_ch == 2, kernel_np.shape
+    first, second = (0, 1) if iq_order.startswith("iq") else (1, 0)
+    qsign = -1.0 if iq_order.endswith("_inv") else 1.0
+    ki = np.zeros((out_ch, 1, 2 * L), dtype=np.float32)
+    ki[:, 0, first::2] = kernel_np[:, 0, :]
+    ki[:, 0, second::2] = qsign * kernel_np[:, 1, :]
+    return ki
+
+
+def ddc_apply_il(
+    plan: DDCPlan,
+    kernel_il: jnp.ndarray,
+    f: jnp.ndarray,
+    itail: jnp.ndarray,
+    phase0_fixed: jnp.ndarray,
+    inc_lo_fixed: jnp.ndarray,
+    *,
+    poly_w: jnp.ndarray | None = None,
+):
+    """Interleaved-domain DDC: mix+filter+decimate straight off the scaled
+    raw stream — no de-interleave, no transpose (see
+    :func:`interleave_kernel` for why that matters on TPU).
+
+    Parameters
+    ----------
+    kernel_il: ``(2C, 1, 2L)`` from :func:`interleave_kernel`.
+    f: float32 ``(2N,)`` scaled raw interleaved samples.
+    itail: float32 ``(2(L-1),)`` carried raw-domain tail.
+    poly_w: optional ``(K, 2D, 2C)`` polyphase tensor built from the
+        interleaved kernel (``build_poly_kernel(kernel_il, 2*D)``) — selects
+        the Pallas MXU kernel.
+
+    Returns ``(yr, yi, new_itail, phase_next)``; ``yr/yi`` shaped ``(C, m)``
+    exactly as :func:`ddc_apply`.
+    """
+    L, D, N = plan.num_taps, plan.decimation, plan.chunk_size
+    assert f.shape[-1] == 2 * N
+    m = plan.out_size
+    x = jnp.concatenate([itail, f])  # (2(L-1) + 2N,)
+    if poly_w is not None:
+        from .pallas_ddc import pallas_poly_fir_il
+
+        bb = pallas_poly_fir_il(x, poly_w, D, m).reshape(-1, 2, m)
+    else:
+        out = lax.conv_general_dilated(
+            x[None, None],
+            kernel_il,
+            window_strides=(2 * D,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=lax.Precision.HIGHEST,  # full f32: bf16 is ~-48 dB
+            preferred_element_type=jnp.float32,
+        )  # (1, 2C, m)
+        bb = out[0].reshape(-1, 2, m)
+    br, bi = bb[:, 0], bb[:, 1]
+    cos, sin = lowrate_osc(phase0_fixed, inc_lo_fixed, m)
+    yr = br * cos - bi * sin
+    yi = br * sin + bi * cos
+    new_itail = f[2 * N - 2 * (L - 1) :] if L > 1 else itail
+    phase_next = jnp.asarray(phase0_fixed, jnp.uint32) + jnp.asarray(
+        inc_lo_fixed, jnp.uint32
+    ) * jnp.uint32(m)
+    return yr, yi, new_itail, phase_next
+
+
 def bandpass_response(
     taps: np.ndarray, incs_fixed: list[int], fft_size: int
 ) -> np.ndarray:

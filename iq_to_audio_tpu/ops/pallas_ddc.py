@@ -98,6 +98,74 @@ def _ddc_matmul_kernel(
     o_ref[:, :] = acc
 
 
+def pallas_poly_fir_il(
+    x_il: jnp.ndarray,
+    poly_w: jnp.ndarray,
+    decimation: int,
+    out_size: int,
+):
+    """Decimating FIR via the Pallas kernel, fed the raw interleaved stream.
+
+    The polyphase reshape becomes a single CONTIGUOUS ``(T, 2D)`` reshape of
+    the interleaved stream — no transpose, no strided slices (the pair-input
+    variant's ``(2, T, D) -> (T, 2D)`` swapaxes compiles into
+    chunk-length-proportional TPU code; see ``ddc.interleave_kernel``).
+
+    Parameters
+    ----------
+    x_il: float32 ``(2(L-1) + 2N,)`` — scaled raw samples incl. carried tail.
+    poly_w: float32 ``(K, 2D, 2C)`` = ``build_poly_kernel(kernel_il, 2*D)``
+        (the generic polyphase repack applied to the interleaved-domain
+        kernel: window stride ``2D`` makes feature ``q`` of row ``t`` equal
+        ``x_il[2Dt + q]``, which is exactly the contiguous reshape).
+    Returns float32 ``(2C, out_size)`` matching the conv output layout.
+    """
+    if not _HAVE_PALLAS:
+        raise RuntimeError("Pallas is unavailable in this JAX build.")
+    D2 = 2 * decimation
+    K, F, out_ch = poly_w.shape
+    m = out_size
+    tile_m = min(_TILE_M, m)
+    grid_m = -(-m // tile_m)
+    win_rows = tile_m + (-(-K // 8) * 8)
+    f_pad = -(-F // 128) * 128
+    o_pad = -(-out_ch // 128) * 128
+    w_p = jnp.zeros((K, f_pad, o_pad), jnp.float32)
+    w_p = w_p.at[:, :F, :out_ch].set(poly_w)
+    total = x_il.shape[-1]
+    t_need = (grid_m - 1) * tile_m + win_rows
+    pad = t_need * D2 - total
+    if pad > 0:
+        x_il = jnp.pad(x_il, (0, pad))
+    else:
+        x_il = x_il[: t_need * D2]
+    xf = x_il.reshape(t_need, D2)  # contiguous: X[t, q] = x_il[2Dt + q]
+    if f_pad > F:
+        xf = jnp.pad(xf, ((0, 0), (0, f_pad - F)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _ddc_matmul_kernel, k_taps=K, tile_m=tile_m, win_rows=win_rows
+        ),
+        out_shape=jax.ShapeDtypeStruct((grid_m * tile_m, o_pad), jnp.float32),
+        grid=(grid_m,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # xf stays in HBM; DMA'd
+            pl.BlockSpec(
+                (K, f_pad, o_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_m, o_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, f_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xf, w_p)
+    return out[:m, :out_ch].T  # (2C, m)
+
+
 def pallas_poly_fir(
     x_pair: jnp.ndarray,
     poly_w: jnp.ndarray,

@@ -30,7 +30,7 @@ from ..io.formats import resolve_input_format
 from ..io.probe import probe_sample_rate
 from ..io.reader import IQReader
 from ..io.writer import AudioWriter
-from ..ops.ddc import bandpass_kernel
+from ..ops.ddc import bandpass_kernel, interleave_kernel
 from ..ops.nco import nco_increment_fixed
 from ..ops.resample import ResamplePlan, design_resampler_kernel
 from ..ref.chain import choose_mix_sign
@@ -188,7 +188,7 @@ def run_captures_dp(
         for g in range(G)
         for off in offsets[g]
     ]
-    ddc_kernel = bandpass_kernel(taps, incs)
+    ddc_kernel = interleave_kernel(bandpass_kernel(taps, incs), iq_order)
     rs_kernel = (
         None if rs_plan.identity else design_resampler_kernel(rs_plan.up, rs_plan.down)
     )

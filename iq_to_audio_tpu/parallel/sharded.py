@@ -34,9 +34,9 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.ddc import DDCPlan, ddc_apply
+from ..ops.ddc import DDCPlan, ddc_apply_il
 from ..ops.resample import ResamplePlan, polyphase_resample
-from ..pipeline.step import _device_convert
+from ..pipeline.step import _device_scale
 
 try:  # jax >= 0.7 style
     from jax import shard_map
@@ -181,16 +181,20 @@ def build_sharded_step(
         # single-capture mode, (1, 2*n_local) per-dp-row in multi-capture DP
         raw_local = raw[0] if captures > 1 else raw
         tail_state = state["fir_tail"][0] if captures > 1 else state["fir_tail"]
-        xr, xi = _device_convert(raw_local, codec, iq_order, n_local)
+        # interleaved-domain channelizer (ops/ddc.py::ddc_apply_il): the halo
+        # and carried tail stay in the RAW interleaved domain — 2(L-1)
+        # samples over ICI instead of a de-interleaved pair, and no
+        # transpose in the per-shard program (the TPU backend compiles that
+        # relayout into shard-length-proportional code)
+        f = _device_scale(raw_local, codec)
         sidx = lax.axis_index("seq").astype(jnp.uint32)
         inc_lo = incs * jnp.uint32(D)
         phase0 = state["phase"] + inc_lo * (sidx * jnp.uint32(m_local))
-        x_pair = jnp.stack([xr, xi])
-        halo = _left_halo(x_pair, L - 1, tail_state, "seq")
-        yr, yi, _, _ = ddc_apply(local_plan, ddc_kernel, xr, xi, halo, phase0, inc_lo)
+        halo = _left_halo(f, 2 * (L - 1), tail_state, "seq")
+        yr, yi, _, _ = ddc_apply_il(local_plan, ddc_kernel, f, halo, phase0, inc_lo)
         nseq = lax.axis_size("seq")
         phase_next = state["phase"] + inc_lo * jnp.uint32(N // D)
-        fir_tail_next = lax.all_gather(x_pair[..., -(L - 1) :], "seq", axis=0)[nseq - 1]
+        fir_tail_next = lax.all_gather(f[..., -2 * (L - 1) :], "seq", axis=0)[nseq - 1]
         if captures > 1:
             fir_tail_next = fir_tail_next[None]
         new_state = {"phase": phase_next, "fir_tail": fir_tail_next}
@@ -249,8 +253,9 @@ def build_sharded_step(
     state_specs = {
         "phase": P("dp"),
         # single capture: one shared tail (replicated); multi-capture DP:
-        # one carried tail per capture, sharded with its dp row
-        "fir_tail": P("dp", None, None) if captures > 1 else P(None, None),
+        # one carried tail per capture, sharded with its dp row.  Raw-domain
+        # interleaved, (2(L-1),) per capture.
+        "fir_tail": P("dp", None) if captures > 1 else P(None),
     }
     if mode in {"nfm", "fm"}:
         state_specs["demod_prev_r"] = P("dp")
@@ -271,7 +276,10 @@ def build_sharded_step(
         P("dp", "seq") if captures > 1 else P("seq"),
         P(),  # rs_offset
         P("dp"),  # incs
-        P("dp", None, None),  # bandpass kernel: (2C, 2, L) rows 2c/2c+1
+        # interleaved-domain bandpass kernel (2C, 1, 2L), rows 2c/2c+1 —
+        # callers build it with ddc.interleave_kernel(bandpass_kernel(...),
+        # iq_order); the IQ-order convention lives in the taps
+        P("dp", None, None),
         P(),  # resampler kernel
     )
     out_specs = (state_specs, P("dp", None))
@@ -279,7 +287,7 @@ def build_sharded_step(
     fn = jax.jit(_shard_map(local_step, mesh, in_specs, out_specs))
 
     def init_state():
-        tail_shape = (captures, 2, L - 1) if captures > 1 else (2, L - 1)
+        tail_shape = (captures, 2 * (L - 1)) if captures > 1 else (2 * (L - 1),)
         state = {
             "phase": jnp.zeros((C,), jnp.uint32),
             "fir_tail": jnp.zeros(tail_shape, jnp.float32),

@@ -35,7 +35,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..demod.base import Decoder
-from ..ops.ddc import DDCPlan, ddc_apply, ddc_apply_fft, ddc_fullrate_stages
+from ..ops.ddc import (
+    DDCPlan,
+    ddc_apply_fft,
+    ddc_apply_il,
+    ddc_fullrate_stages,
+    interleave_kernel,
+)
 from ..ops.resample import ResamplePlan, polyphase_resample
 
 LOG = logging.getLogger(__name__)
@@ -66,6 +72,7 @@ def chunk_step_impl(
     ddc_kernel,
     rs_kernel,
     poly_w,
+    ddc_kernel_pair=None,
     *,
     ddc_plan: DDCPlan,
     rs_plan: ResamplePlan | None,
@@ -93,7 +100,6 @@ def chunk_step_impl(
     """
     n = ddc_plan.chunk_size
     m = ddc_plan.out_size
-    xr, xi = _device_convert(raw, codec, iq_order, n)
     inc_lo = incs * jnp.uint32(ddc_plan.decimation)  # exact mod 2**32
     if channelizer == "fft":
         # overlap-save FFT channelizer (the reference's own kernel shape,
@@ -104,13 +110,21 @@ def chunk_step_impl(
                 "stage snapshots need the conv channelizer "
                 "(unset IQ2A_CHANNELIZER or use 'conv' with --plot-stages)"
             )
+        xr, xi = _device_convert(raw, codec, iq_order, n)
         yr, yi, fir_tail, phase_next = ddc_apply_fft(
             ddc_plan, os_plan, ddc_kernel, xr, xi,
             state["fir_tail"], state["phase"], inc_lo,
         )
     else:
-        yr, yi, fir_tail, phase_next = ddc_apply(
-            ddc_plan, ddc_kernel, xr, xi, state["fir_tail"], state["phase"], inc_lo,
+        # interleaved-domain conv: the scaled raw stream goes straight into
+        # the channelizer — NO de-interleave/transpose (on TPU that relayout
+        # compiles into chunk-length-proportional code, ~17 MB / ~270 s per
+        # executable for a 4Mi chunk; the interleaved conv is ~0.7 MB / ~4 s
+        # — measured, docs/performance.md).  IQ order + scaling conventions
+        # live in the interleaved taps (ops/ddc.py::interleave_kernel).
+        f = _device_scale(raw, codec)
+        yr, yi, fir_tail, phase_next = ddc_apply_il(
+            ddc_plan, ddc_kernel, f, state["fir_tail"], state["phase"], inc_lo,
             poly_w=poly_w,
         )
     new_state = {"phase": phase_next, "fir_tail": fir_tail}
@@ -120,8 +134,13 @@ def chunk_step_impl(
     out = {}
     stages = {}
     if with_stages:
+        # cold path (first-chunk PSD snapshots): materialise the pair view
+        # and run the full-rate stages off the PAIR kernel
+        xr, xi = _deinterleave_pair(f, iq_order, n)
+        tr, ti = _deinterleave_pair(state["fir_tail"], iq_order, ddc_plan.overlap)
+        tail_pair = jnp.stack([tr, ti])
         mix_r, mix_i, filt_r, filt_i = ddc_fullrate_stages(
-            ddc_plan, ddc_kernel, xr, xi, state["fir_tail"], state["phase"], incs
+            ddc_plan, ddc_kernel_pair, xr, xi, tail_pair, state["phase"], incs
         )
         stages["input"] = (xr, xi)
         stages["mixed"] = (mix_r, mix_i)
@@ -177,6 +196,7 @@ def superstep_impl(
     ddc_kernel,
     rs_kernel,
     poly_w,
+    ddc_kernel_pair=None,
     **static,
 ):
     """Process ``S`` chunks in ONE dispatch: ``lax.scan`` over the stacked
@@ -207,7 +227,7 @@ def superstep_impl(
         st, ac, k = carry
         st, ac, _ = chunk_step_impl(
             st, ac, raw, rs_offset, slot_base + k, incs, ddc_kernel, rs_kernel,
-            poly_w, **static
+            poly_w, ddc_kernel_pair, **static
         )
         return (st, ac, k + jnp.int32(1)), None
 
@@ -220,18 +240,26 @@ _superstep = jax.jit(
 )
 
 
-def _device_convert(raw: jnp.ndarray, codec: str, iq_order: str, n: int):
-    """On-device sample conversion + de-interleave to a float32 (re, im)
-    pair (ffmpeg-compatible scaling, reference IQ-order semantics
-    ``processing.py:268-279``)."""
+def _device_scale(raw: jnp.ndarray, codec: str) -> jnp.ndarray:
+    """On-device sample scaling to float32 (ffmpeg-compatible), keeping the
+    stream INTERLEAVED — a contiguous elementwise op the TPU backend compiles
+    compactly, unlike any de-interleave/transpose (see chunk_step_impl)."""
     if codec == "pcm_u8":
-        f = (raw.astype(jnp.float32) - jnp.float32(128.0)) * jnp.float32(1.0 / 128.0)
-    elif codec == "pcm_s16le":
-        f = raw.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
-    elif codec == "pcm_f32le":
-        f = raw.astype(jnp.float32)
-    else:
-        raise ValueError(f"Unsupported codec '{codec}'")
+        return (raw.astype(jnp.float32) - jnp.float32(128.0)) * jnp.float32(
+            1.0 / 128.0
+        )
+    if codec == "pcm_s16le":
+        return raw.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    if codec == "pcm_f32le":
+        return raw.astype(jnp.float32)
+    raise ValueError(f"Unsupported codec '{codec}'")
+
+
+def _deinterleave_pair(f: jnp.ndarray, iq_order: str, n: int):
+    """Split a scaled interleaved stream into the (re, im) pair with the
+    reference IQ-order semantics (``processing.py:268-279``).  COLD paths
+    only (FFT channelizer on CPU, first-chunk stage snapshots): on TPU this
+    relayout compiles into chunk-length-proportional code."""
     pairs = f.reshape(n, 2)
     if iq_order.startswith("iq"):
         i, q = pairs[:, 0], pairs[:, 1]
@@ -240,6 +268,11 @@ def _device_convert(raw: jnp.ndarray, codec: str, iq_order: str, n: int):
     if iq_order.endswith("_inv"):
         q = -q
     return i, q
+
+
+def _device_convert(raw: jnp.ndarray, codec: str, iq_order: str, n: int):
+    """Scale + de-interleave to the float32 (re, im) pair (cold paths)."""
+    return _deinterleave_pair(_device_scale(raw, codec), iq_order, n)
 
 
 @dataclass
@@ -260,6 +293,7 @@ class ChunkStep:
     _rs_kernel: jnp.ndarray | None
     _incs: jnp.ndarray
     _poly_w: jnp.ndarray | None = None
+    _ddc_kernel_pair: jnp.ndarray | None = None  # stage-snapshot path only
     channelizer: str = "conv"
     os_plan: object = None
 
@@ -279,9 +313,14 @@ class ChunkStep:
     def init_state(self):
         plan = self.ddc_plan
         c = self.num_channels
+        if self.channelizer == "fft":
+            tail = jnp.zeros((2, plan.overlap), dtype=jnp.float32)
+        else:
+            # conv path carries the RAW-domain interleaved tail (ddc_apply_il)
+            tail = jnp.zeros((2 * plan.overlap,), dtype=jnp.float32)
         state = {
             "phase": jnp.zeros((c,), dtype=jnp.uint32),
-            "fir_tail": jnp.zeros((2, plan.overlap), dtype=jnp.float32),
+            "fir_tail": tail,
         }
         if not self.pass_through:
             state["demod"] = self.decoder.init_state((c,))
@@ -325,6 +364,7 @@ class ChunkStep:
             self._ddc_kernel,
             self._rs_kernel,
             self._poly_w,
+            self._ddc_kernel_pair if with_stages else None,
             ddc_plan=self.ddc_plan,
             rs_plan=self.rs_plan,
             decoder=self.decoder,
@@ -357,6 +397,7 @@ class ChunkStep:
             self._ddc_kernel,
             self._rs_kernel,
             self._poly_w,
+            None,
             ddc_plan=self.ddc_plan,
             rs_plan=self.rs_plan,
             decoder=self.decoder,
@@ -437,7 +478,7 @@ def build_chunk_step(
     # reference's own kernel shape, processing.py:300-346)
     channelizer = "conv"
     os_plan = None
-    kernel_dev = jnp.asarray(ddc_kernel_np, dtype=jnp.float32)
+    pair_kernel_dev = jnp.asarray(ddc_kernel_np, dtype=jnp.float32)
     if os.environ.get("IQ2A_CHANNELIZER", "conv").lower() == "fft":
         from ..ops.ddc import bank_from_kernel
         from ..ops.osfir import OverlapSavePlan
@@ -447,6 +488,12 @@ def build_chunk_step(
             ddc_plan.num_taps, ddc_plan.decimation, ddc_plan.chunk_size
         )
         kernel_dev = jnp.asarray(bank_from_kernel(ddc_kernel_np, os_plan.fft_size))
+        kernel_il_np = None
+    else:
+        # the hot path convolves the raw interleaved stream (IQ order and
+        # Q-inversion folded into the taps) — see ops/ddc.py::interleave_kernel
+        kernel_il_np = interleave_kernel(ddc_kernel_np, iq_order)
+        kernel_dev = jnp.asarray(kernel_il_np)
 
     # hand-written Pallas FIR: ~4x the XLA conv on v5e at -130 dB agreement.
     # Used when the tap tensor fits VMEM (big-L filters fall back to conv);
@@ -460,7 +507,10 @@ def build_chunk_step(
         from ..ops.pallas_ddc import build_poly_kernel, pallas_available
 
         if pallas_available():
-            poly_np = build_poly_kernel(ddc_kernel_np, ddc_plan.decimation)
+            # generic polyphase repack of the INTERLEAVED kernel with window
+            # stride 2D: features become the contiguous (T, 2D) reshape of
+            # the raw stream (pallas_ddc.pallas_poly_fir_il)
+            poly_np = build_poly_kernel(kernel_il_np, 2 * ddc_plan.decimation)
             k_taps, feat, out_ch_n = poly_np.shape
             f_pad = -(-feat // 128) * 128
             o_pad = -(-out_ch_n // 128) * 128
@@ -486,6 +536,7 @@ def build_chunk_step(
         ),
         _incs=jnp.asarray(np.asarray(incs_fixed, dtype=np.uint32)),
         _poly_w=poly_w_arr,
+        _ddc_kernel_pair=pair_kernel_dev,
         channelizer=channelizer,
         os_plan=os_plan,
     )

@@ -18,7 +18,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from conftest import error_db, make_nfm_iq
 
 from iq_to_audio_tpu.demod import create_decoder
-from iq_to_audio_tpu.ops.ddc import bandpass_kernel
+from iq_to_audio_tpu.ops.ddc import bandpass_kernel, interleave_kernel
 from iq_to_audio_tpu.ops.nco import nco_increment_fixed
 from iq_to_audio_tpu.ops.resample import ResamplePlan, design_resampler_kernel
 from iq_to_audio_tpu.parallel.mesh import make_mesh
@@ -89,7 +89,9 @@ def test_sharded_matches_single_device(mode):
     incs_sh = jax.device_put(
         np.asarray(incs_list, np.uint32), NamedSharding(mesh, P("dp"))
     )
-    ddc_k_sh = jax.device_put(ddc_k_np, NamedSharding(mesh, P("dp", None, None)))
+    ddc_k_sh = jax.device_put(
+        interleave_kernel(ddc_k_np, "iq"), NamedSharding(mesh, P("dp", None, None))
+    )
     rs_k_sh = jax.device_put(rs_k_np, NamedSharding(mesh, P()))
 
     state_sh = sharded_init()
