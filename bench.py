@@ -12,18 +12,21 @@ Runs on whatever JAX's default platform is (the real TPU chip under the
 driver).  Structure is shaped by the tunneled-TPU runtime's measured
 behavior (docs/performance.md):
 
-  * executable loading on the device server is ASYNCHRONOUS and slow
-    (seconds..minutes, high variance); the process's first device->host
-    fetch blocks on it,
-  * the first D2H fetch permanently degrades every later upload ~40x
-    (1.1 GiB/s -> ~38 MiB/s), uploads/dispatches alone never do.
+  * per connection, the FIRST device->host fetch blocks on an asynchronous
+    server-side executable load (measured minutes-scale, progressing during
+    idle time, per connection — spawning sibling connections only adds
+    load) and permanently degrades every later upload on that connection
+    ~40x,
+  * uploads and dispatches alone never degrade: a pass whose only fetch is
+    the EOF flush runs with clean ~1 GiB/s uploads end to end (measured
+    0.30 s for the 300 MB capture).
 
 So: one fetch-free warm pass compiles + dispatches every device program
 (client compile cache under .jax_cache makes reruns fast), a bounded sleep
-gives the async server load time to land, then measured passes run.  Pass 1
-runs with a clean connection (fast uploads, one EOF fetch); later passes
-run upload-degraded and act as the fallback if the load outlasted the
-sleep.  Best pass is reported, as in round 1.
+lets the async server load land, then measured passes run.  Pass 1 runs on
+the still-clean connection — when the load has landed it completes in
+~1 s (~30x realtime); passes 2-3 run upload-degraded (~3.6x) and are the
+fallback if the load outlasted the sleep.  Best pass is reported.
 """
 
 from __future__ import annotations
@@ -61,9 +64,10 @@ def main() -> int:
     offset = 25_000.0
     center = 400_000_000.0
     passes = 3
-    # seconds the async server-side executable load gets after the warm
-    # pass's first dispatch before the measured passes start
-    warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "300"))
+    # seconds the async server-side executable load gets (from the warm
+    # pass's first dispatch) before the measured passes start; loads have
+    # been observed to land anywhere from ~1 to ~10+ minutes in
+    warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "600"))
 
     with tempfile.TemporaryDirectory() as tmp:
         tmpdir = Path(tmp)
@@ -82,11 +86,11 @@ def main() -> int:
         # same duration as the measured passes: the accumulator-window size
         # is quantised from the capture length, so a different duration
         # would compile (and load) a different executable
-        warm_path = tmpdir / f"benchmark_fc-{int(center)}Hz_warm.wav"
-        generate_synthetic_iq(warm_path, sample_rate=sample_rate, seconds=seconds,
+        capture = tmpdir / f"benchmark_fc-{int(center)}Hz.wav"
+        generate_synthetic_iq(capture, sample_rate=sample_rate, seconds=seconds,
                               freq_offset=offset)
         warm_start = time.perf_counter()
-        warm_pipe = ProcessingPipeline(make_config(warm_path, "warm"))
+        warm_pipe = ProcessingPipeline(make_config(capture, "warm"))
         warm_pipe.warm_no_fetch = True
         warm_pipe.run(None)
         warm_elapsed = time.perf_counter() - warm_start
@@ -100,13 +104,10 @@ def main() -> int:
             time.sleep(remaining)
 
         # -- measured passes -------------------------------------------------
-        main_path = tmpdir / f"benchmark_fc-{int(center)}Hz.wav"
-        generate_synthetic_iq(main_path, sample_rate=sample_rate, seconds=seconds,
-                              freq_offset=offset)
         elapsed = float("inf")
         loop_seconds = float("inf")
         for i in range(passes):
-            cfg = make_config(main_path, f"p{i}")
+            cfg = make_config(capture, f"p{i}")
             start = time.perf_counter()
             result = ProcessingPipeline(cfg).run(None)
             e = time.perf_counter() - start

@@ -18,8 +18,64 @@ whole-signal output because the carry ``y[-1]`` is threaded between chunks.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
+
+_BLOCK = 1024
+
+
+def first_order_scan_const(a: float, b: jnp.ndarray, y0: jnp.ndarray):
+    """``y[n] = a*y[n-1] + b[n]`` for a CONSTANT coefficient, evaluated as
+    block matmuls on the MXU plus a tiny cross-block carry scan.
+
+    Why not ``associative_scan``: its recursive halving lowers to a ladder
+    of ~2*log2(N) differently-shaped slice/concat stages, and on TPU each
+    odd shape gets its own generated code — the compiled size grows with
+    the chunk length (measured ~1.7 MB for N=161k; docs/performance.md).
+    With a constant ``a`` the recurrence has a closed block form:
+
+        y[i] = a^(i+1) * y_in + sum_{j<=i} a^(i-j) * b[j]     (per block)
+
+    i.e. one lower-triangular (B, B) matmul per block — a single
+    MXU-shaped op whatever N is — followed by a length-N/B scan carrying
+    ``y_in`` across blocks (a^B underflows to 0 well before B=1024 for any
+    audio-range coefficient, so f32 is exact enough: validated at
+    better than -100 dB vs the float64 twin).
+
+    Returns ``(y, y_last)`` like :func:`first_order_scan`.
+    """
+    orig_shape = b.shape
+    n = orig_shape[-1]
+    blk = min(_BLOCK, n)
+    nb = -(-n // blk)
+    pad = nb * blk - n
+    if pad:
+        b = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)])
+    blocks = b.reshape(*b.shape[:-1], nb, blk)
+    i = np.arange(blk)
+    delta = i[:, None] - i[None, :]
+    tri = np.where(delta >= 0, float(a) ** np.maximum(delta, 0), 0.0)
+    T = jnp.asarray(tri, jnp.float32)  # T[i, j] = a^(i-j), lower-triangular
+    pref = jnp.matmul(
+        blocks, T.T, precision=lax.Precision.HIGHEST
+    )  # (..., nb, blk): the y0-independent part of each block
+    a_blk = jnp.float32(float(a) ** blk)
+    y0 = jnp.asarray(y0, jnp.float32)
+
+    def fold(carry, p_last):
+        nxt = a_blk * carry + p_last
+        return nxt, nxt
+
+    p_last = jnp.moveaxis(pref[..., -1], -1, 0)  # (nb, ...)
+    _, outs = lax.scan(fold, y0, p_last)
+    ends = jnp.moveaxis(outs, 0, -1)  # (..., nb): exact y at each block end
+    in_carry = jnp.concatenate([y0[..., None], ends[..., :-1]], axis=-1)
+    powers = jnp.asarray(float(a) ** (i + 1), jnp.float32)  # a^(i+1)
+    y = pref + in_carry[..., None] * powers
+    y = y.reshape(*orig_shape[:-1], nb * blk)[..., :n]
+    return y, y[..., -1]
 
 
 def first_order_scan(a: jnp.ndarray, b: jnp.ndarray, y0: jnp.ndarray):
@@ -47,10 +103,8 @@ def deemphasis(x: jnp.ndarray, alpha: float, y0: jnp.ndarray):
     ``zi`` for this filter equals ``alpha * y[-1]``, so carrying ``y[-1]``
     reproduces the same stream.
     """
-    alpha = jnp.float32(alpha)
-    a = jnp.broadcast_to(alpha, x.shape)
-    b = (jnp.float32(1.0) - alpha) * x
-    return first_order_scan(a, b, y0)
+    b = (jnp.float32(1.0) - jnp.float32(alpha)) * x
+    return first_order_scan_const(float(alpha), b, y0)
 
 
 def dc_blocker(x: jnp.ndarray, radius: float, x_prev: jnp.ndarray, y_prev: jnp.ndarray):
@@ -61,8 +115,7 @@ def dc_blocker(x: jnp.ndarray, radius: float, x_prev: jnp.ndarray, y_prev: jnp.n
     """
     shifted = jnp.concatenate([jnp.asarray(x_prev)[..., None], x[..., :-1]], axis=-1)
     u = x - shifted
-    r = jnp.broadcast_to(jnp.float32(radius), x.shape)
-    y, y_last = first_order_scan(r, u, y_prev)
+    y, y_last = first_order_scan_const(float(radius), u, y_prev)
     return y, (x[..., -1], y_last)
 
 

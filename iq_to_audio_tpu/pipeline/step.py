@@ -461,8 +461,18 @@ def build_chunk_step(
         env = os.environ.get("IQ2A_SUPER")
         if env:
             super_chunks = int(env)
+        elif jax.default_backend() != "cpu":
+            # one dispatch per accumulation window: the scan length is free
+            # at compile time (one body) and each extra executable on the
+            # EOF fetch's critical path costs a server-side load on
+            # tunneled runtimes.  Capping at the capture length keeps the
+            # final group full so the superstep path (not per-chunk
+            # singles) handles it.
+            super_chunks = acc_chunks
+            if est_total_chunks is not None and est_total_chunks > 0:
+                super_chunks = min(super_chunks, est_total_chunks)
         else:
-            super_chunks = 8 if jax.default_backend() != "cpu" else 1
+            super_chunks = 1
     if (
         rs_plan is not None
         and not rs_plan.identity
