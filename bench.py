@@ -65,9 +65,11 @@ def main() -> int:
     center = 400_000_000.0
     passes = 3
     # seconds the async server-side executable load gets (from the warm
-    # pass's first dispatch) before the measured passes start; loads have
-    # been observed to land anywhere from ~1 to ~10+ minutes in
-    warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "600"))
+    # pass's first dispatch) before the measured passes start; per-connection
+    # loads have been observed anywhere from ~6 to ~25 minutes with no
+    # cross-connection sharing, so the budget errs long — pass 1 on the
+    # clean connection is worth ~10x over the upload-degraded fallback
+    warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "1200"))
 
     with tempfile.TemporaryDirectory() as tmp:
         tmpdir = Path(tmp)
