@@ -135,6 +135,24 @@ class TestIIR:
         assert error_db(np.asarray(y), expected) < -90.0
         assert abs(float(y_last) - expected[-1]) < 1e-4
 
+    @pytest.mark.parametrize("n", [5, 1_000, 1_024, 1_025, 50_000])
+    def test_const_scan_block_matmul_matches_loop(self, n):
+        """first_order_scan_const (MXU block-matmul form, O(1) code size in
+        n) vs the float64 per-sample loop — across block-boundary lengths."""
+        from iq_to_audio_tpu.ops.iir import first_order_scan_const
+
+        rng = np.random.default_rng(n)
+        b = rng.normal(size=n).astype(np.float32)
+        a, y0 = 0.9659, 0.37
+        y, y_last = first_order_scan_const(a, jnp.asarray(b), jnp.float32(y0))
+        ref = np.empty(n)
+        c = y0
+        for i in range(n):
+            c = a * c + float(b[i])
+            ref[i] = c
+        assert error_db(np.asarray(y), ref) < -100.0
+        assert abs(float(y_last) - ref[-1]) < 1e-5
+
     def test_deemphasis_matches_lfilter_chunked(self):
         fs, tau = 96_000.0, 300.0
         rng = np.random.default_rng(1)
@@ -267,6 +285,58 @@ class TestDDC:
             ref = RefDecimator(decim).process(fir.process(RefOscillator(off, fs).mix(x, 1)))
             got = np.asarray(yr)[c] + 1j * np.asarray(yi)[c]
             assert error_db(got, ref) < -60.0
+
+
+    @pytest.mark.parametrize("iq_order", ["iq", "qi", "iq_inv", "qi_inv"])
+    def test_interleaved_matches_pair_exactly(self, iq_order):
+        """The interleaved-domain channelizer (the hot path) must match the
+        pair-input conv at float-reassociation level (same MACs) for every
+        IQ-order convention — the
+        interleaved taps fold scaling-free deinterleave + Q-sign handling
+        (ops/ddc.py::interleave_kernel; the relayout it eliminates compiles
+        into chunk-length-proportional TPU code, docs/performance.md)."""
+        from iq_to_audio_tpu.ops.ddc import ddc_apply_il, interleave_kernel
+        from iq_to_audio_tpu.pipeline.step import _device_convert, _device_scale
+
+        fs, decim, L = 250_000.0, 5, 41
+        rng = np.random.default_rng(3)
+        taps = np.hanning(L) / np.sum(np.hanning(L))
+        from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+
+        incs = [nco_increment_fixed(25_000.0, fs), nco_increment_fixed(-30_000.0, fs)]
+        kp = bandpass_kernel(taps, incs)
+        plan = DDCPlan.create(L, decim, target_chunk=2_000)
+        n = plan.chunk_size
+        raw = (rng.normal(size=2 * n) * 8_000).astype(np.int16)
+        ph = jnp.zeros(2, jnp.uint32)
+        inc_lo = jnp.asarray(
+            np.asarray([(i * decim) % (1 << 32) for i in incs], np.uint32)
+        )
+        tail_p = rng.normal(scale=0.1, size=(2, L - 1)).astype(np.float32)
+        xr, xi = _device_convert(jnp.asarray(raw), "pcm_s16le", iq_order, n)
+        yr1, yi1, nt1, pn1 = ddc_apply(
+            plan, jnp.asarray(kp), xr, xi, jnp.asarray(tail_p), ph, inc_lo
+        )
+        # raw-domain tail whose pair view equals tail_p
+        first, second = (0, 1) if iq_order.startswith("iq") else (1, 0)
+        qs = -1.0 if iq_order.endswith("_inv") else 1.0
+        itail = np.zeros(2 * (L - 1), np.float32)
+        itail[first::2] = tail_p[0]
+        itail[second::2] = qs * tail_p[1]
+        ki = interleave_kernel(kp, iq_order)
+        f = _device_scale(jnp.asarray(raw), "pcm_s16le")
+        yr2, yi2, nt2, pn2 = ddc_apply_il(
+            plan, jnp.asarray(ki), f, jnp.asarray(itail), ph, inc_lo
+        )
+        # same MAC set; reduction order may differ (2L-window vs 2xL-channel)
+        assert error_db(np.asarray(yr2), np.asarray(yr1)) < -120.0
+        assert error_db(np.asarray(yi2), np.asarray(yi1)) < -120.0
+        np.testing.assert_array_equal(np.asarray(pn1), np.asarray(pn2))
+        # the new raw-domain tail's pair view equals the pair path's tail
+        tr = np.asarray(nt2)[first::2]
+        ti = qs * np.asarray(nt2)[second::2]
+        np.testing.assert_array_equal(tr, np.asarray(nt1)[0])
+        np.testing.assert_array_equal(ti, np.asarray(nt1)[1])
 
 
 class TestResampler:
