@@ -12,21 +12,19 @@ Runs on whatever JAX's default platform is (the real TPU chip under the
 driver).  Structure is shaped by the tunneled-TPU runtime's measured
 behavior (docs/performance.md):
 
-  * per connection, the FIRST device->host fetch blocks on an asynchronous
-    server-side executable load (measured minutes-scale, progressing during
-    idle time, per connection — spawning sibling connections only adds
-    load) and permanently degrades every later upload on that connection
-    ~40x,
-  * uploads and dispatches alone never degrade: a pass whose only fetch is
-    the EOF flush runs with clean ~1 GiB/s uploads end to end (measured
-    0.30 s for the 300 MB capture).
+  * the FIRST device->host fetch of a connection blocks on a fixed
+    per-connection "session toll" (measured 3-18 minutes, independent of
+    the program — a 128x128 matmul pays the same), and it cannot be
+    observed without fetching (is_ready()/block_until_ready return early),
+  * AFTER the toll, the connection is fast in both directions: 128 MiB
+    uploads in ~0.05 s, sub-second fetches, the full 30 s pass in ~1 s —
+    with occasional multi-second scheduling hiccups.
 
-So: one fetch-free warm pass compiles + dispatches every device program
-(client compile cache under .jax_cache makes reruns fast), a bounded sleep
-lets the async server load land, then measured passes run.  Pass 1 runs on
-the still-clean connection — when the load has landed it completes in
-~1 s (~30x realtime); passes 2-3 run upload-degraded (~3.6x) and are the
-fallback if the load outlasted the sleep.  Best pass is reported.
+So: pay the toll up front with a trivial fetch on a background thread,
+compile + dispatch every device program meanwhile (fetch-free warm pass;
+client compile cache under .jax_cache makes reruns fast), give the toll a
+bounded wait, then run several measured passes and report the best (the
+hiccups make individual passes vary ~1-11 s).
 """
 
 from __future__ import annotations
@@ -35,6 +33,7 @@ import json
 import logging
 import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -63,13 +62,25 @@ def main() -> int:
     seconds = float(os.environ.get("IQ2A_BENCH_SECONDS", "30"))
     offset = 25_000.0
     center = 400_000_000.0
-    passes = 3
-    # seconds the async server-side executable load gets (from the warm
-    # pass's first dispatch) before the measured passes start; per-connection
-    # loads have been observed anywhere from ~6 to ~25 minutes with no
-    # cross-connection sharing, so the budget errs long — pass 1 on the
-    # clean connection is worth ~10x over the upload-degraded fallback
+    passes = int(os.environ.get("IQ2A_BENCH_PASSES", "8"))
+    # bounded wait for the per-connection session toll (3-18 min measured);
+    # if it outlasts the budget, pass 1's fetch simply absorbs the rest
     warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "1200"))
+
+    # -- pay the session toll on a background thread ----------------------
+    toll_done = threading.Event()
+
+    def _pay_toll():
+        import jax.numpy as jnp
+        import numpy as _np
+
+        t0 = time.perf_counter()
+        _np.asarray(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+        logging.info("session toll paid: %.1f s", time.perf_counter() - t0)
+        toll_done.set()
+
+    toll_start = time.perf_counter()
+    threading.Thread(target=_pay_toll, daemon=True).start()
 
     with tempfile.TemporaryDirectory() as tmp:
         tmpdir = Path(tmp)
@@ -98,12 +109,14 @@ def main() -> int:
         warm_elapsed = time.perf_counter() - warm_start
         logging.info("fetch-free warm pass (compile-inclusive): %.2f s", warm_elapsed)
 
-        # -- bounded sleep: let the async executable load land --------------
-        remaining = warm_budget - warm_elapsed
-        if remaining > 0:
-            logging.info("sleeping %.0f s for the async server-side executable "
-                         "load (IQ2A_BENCH_WARM_SECS=%.0f)", remaining, warm_budget)
-            time.sleep(remaining)
+        # -- bounded wait for the toll thread --------------------------------
+        remaining = warm_budget - (time.perf_counter() - toll_start)
+        if remaining > 0 and not toll_done.is_set():
+            logging.info("waiting up to %.0f s more for the session toll "
+                         "(IQ2A_BENCH_WARM_SECS=%.0f)", remaining, warm_budget)
+            toll_done.wait(timeout=remaining)
+        if not toll_done.is_set():
+            logging.info("toll still pending — pass 1 will absorb it")
 
         # -- measured passes -------------------------------------------------
         elapsed = float("inf")

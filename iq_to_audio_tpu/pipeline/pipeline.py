@@ -51,6 +51,10 @@ from .step import build_chunk_step
 
 LOG = logging.getLogger(__name__)
 
+# bump when the carried state pytree layout changes (v2: raw-domain
+# interleaved FIR tail, MXU block-IIR carries)
+_CKPT_VERSION = 2
+
 _OUTPUT_RATE = 48_000.0
 
 
@@ -589,6 +593,12 @@ class ProcessingPipeline:
                 processed_samples = 0
                 dec_emitted = 0
                 if resume_data is not None:
+                    if resume_data.get("version") != _CKPT_VERSION:
+                        raise ValueError(
+                            f"Checkpoint {ckpt_path} was written by an "
+                            "incompatible engine version (state layout "
+                            "changed); remove it or rerun without --resume."
+                        )
                     if resume_data["fingerprint"] != fingerprint:
                         raise ValueError(
                             f"Checkpoint {ckpt_path} does not match this "
@@ -613,7 +623,7 @@ class ProcessingPipeline:
                     import pickle
 
                     payload = {
-                        "version": 1,
+                        "version": _CKPT_VERSION,
                         "fingerprint": fingerprint,
                         "mix_sign": mix_sign,
                         "state": jax.tree_util.tree_map(np.asarray, st),
@@ -709,8 +719,11 @@ class ProcessingPipeline:
                     """Begin the accumulator D2H without blocking: the copy
                     drains behind the window's queued compute while the host
                     stages the next window (measured: async submit ~0.2 ms;
-                    the later np.asarray then returns from the landed copy)."""
-                    if self.warm_no_fetch:
+                    the later np.asarray then returns from the landed copy).
+                    IQ2A_SYNC_FETCH=1 disables the async start (on some
+                    relay runtimes copy_to_host_async routes the transfer
+                    down a slower path than a plain blocking fetch)."""
+                    if self.warm_no_fetch or os.environ.get("IQ2A_SYNC_FETCH"):
                         return
                     for arr in handle.values():
                         fn = getattr(arr, "copy_to_host_async", None)
