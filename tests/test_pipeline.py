@@ -378,3 +378,46 @@ def test_fft_channelizer_matches_conv(tmp_path, monkeypatch):
     monkeypatch.delenv("IQ2A_CHANNELIZER")
     assert outs["conv"].shape == outs["fft"].shape
     assert error_db(outs["fft"], outs["conv"]) < -60.0
+
+
+@pytest.mark.parametrize("order", ["qi", "iq_inv", "qi_inv"])
+def test_iq_order_end_to_end(tmp_path, order):
+    """Full-pipeline IQ-order handling: a capture stored in each alternate
+    channel convention, demodulated with the matching --iq-order, must
+    reproduce the canonical run's audio.  The conventions now live in the
+    interleaved channelizer taps (ops/ddc.py::interleave_kernel), so this
+    guards the end-to-end wiring, not just the op."""
+    iq = make_nfm_iq(FS, 0.5, OFFSET)
+    i, q = iq.real.copy(), iq.imag.copy()
+    if order.endswith("_inv"):
+        q = -q
+    cols = np.column_stack([i, q] if order.startswith("iq") else [q, i])
+    path = tmp_path / f"baseband_{int(CENTER)}Hz_{order}.wav"
+    write_stereo_wav(path, cols.astype(np.float32), int(FS), codec="pcm_f32le")
+    out = tmp_path / f"audio_{order}.wav"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + OFFSET,
+        demod_mode="nfm",
+        output_path=out,
+        iq_order=order,
+    )
+    ProcessingPipeline(cfg).run()
+    got, rate = read_wav(out)
+    got = got[:, 0]
+    assert rate == 48_000
+
+    base = _write_capture(tmp_path, iq, codec="pcm_f32le")
+    out_ref = tmp_path / "audio_canonical.wav"
+    ProcessingPipeline(
+        ProcessingConfig(
+            in_path=base,
+            target_freq=CENTER + OFFSET,
+            demod_mode="nfm",
+            output_path=out_ref,
+        )
+    ).run()
+    ref, _ = read_wav(out_ref)
+    ref = ref[:, 0]
+    n = min(got.size, ref.size)
+    assert error_db(got[:n], ref[:n]) < -80.0
