@@ -1,18 +1,25 @@
-"""Pallas DDC kernel vs the XLA conv path (interpret mode on CPU)."""
+"""Pallas DDC kernel vs the XLA conv path (interpret mode on CPU).
+
+Exercises the PRODUCT path: the interleaved-stream variant
+(``pallas_poly_fir_il`` — see ``ops/ddc.py::ddc_apply_il``), with the pair
+variant kept as a secondary check of the shared matmul kernel.
+"""
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from conftest import error_db, make_tone_iq
 
-from iq_to_audio_tpu.ops.ddc import DDCPlan, bandpass_kernel, ddc_apply
+from iq_to_audio_tpu.ops.ddc import (
+    DDCPlan,
+    bandpass_kernel,
+    ddc_apply,
+    interleave_kernel,
+)
 from iq_to_audio_tpu.ops.nco import nco_increment_fixed
 from iq_to_audio_tpu.pipeline.filters import design_channel_filter
 
@@ -21,28 +28,31 @@ pl = pytest.importorskip("jax.experimental.pallas")
 from iq_to_audio_tpu.ops import pallas_ddc  # noqa: E402
 
 
-def _interpret_poly_fir(x_pair, poly_w, decim, out_size):
-    """Run the kernel in interpreter mode (no TPU needed)."""
-    import jax.experimental.pallas as pl_mod
+class _Interpret:
+    """Force pallas_call into interpreter mode (no TPU needed)."""
 
-    orig = pl_mod.pallas_call
+    def __enter__(self):
+        import jax.experimental.pallas as pl_mod
 
-    def patched(*args, **kwargs):
-        kwargs["interpret"] = True
-        return orig(*args, **kwargs)
+        self._orig = pl_mod.pallas_call
 
-    pl_mod.pallas_call = patched
-    # also patch the symbol captured inside the module
-    pallas_ddc.pl.pallas_call = patched
-    try:
-        return pallas_ddc.pallas_poly_fir(x_pair, poly_w, decim, out_size)
-    finally:
-        pl_mod.pallas_call = orig
-        pallas_ddc.pl.pallas_call = orig
+        def patched(*args, **kwargs):
+            kwargs["interpret"] = True
+            return self._orig(*args, **kwargs)
+
+        pl_mod.pallas_call = patched
+        pallas_ddc.pl.pallas_call = patched
+        return self
+
+    def __exit__(self, *exc):
+        import jax.experimental.pallas as pl_mod
+
+        pl_mod.pallas_call = self._orig
+        pallas_ddc.pl.pallas_call = self._orig
+        return False
 
 
-@pytest.mark.parametrize("decim", [4, 26])
-def test_pallas_matches_conv(decim):
+def _setup(decim):
     fs = 250_000.0
     taps = design_channel_filter(fs, 12_500.0, decim)
     plan = DDCPlan.create(len(taps), decim, target_chunk=decim * 2048)
@@ -55,22 +65,33 @@ def test_pallas_matches_conv(decim):
     inc_lo = jnp.asarray(
         np.asarray([(i * decim) % (1 << 32) for i in incs], np.uint32)
     )
-    # reference: the conv path (post-mix disabled by comparing pre-mix output)
     yr, yi, _, _ = ddc_apply(
         plan, jnp.asarray(kernel_np), jnp.asarray(x.real), jnp.asarray(x.imag),
         tail, phase, inc_lo,
     )
-    # pallas path: bandpass conv only, then the same low-rate mix
+    return plan, x, kernel_np, phase, inc_lo, yr, yi
+
+
+@pytest.mark.parametrize("decim", [4, 26])
+def test_pallas_interleaved_matches_conv(decim):
+    """The product path: interleaved stream -> pallas_poly_fir_il -> mix,
+    against the pair conv reference."""
     from iq_to_audio_tpu.ops.ddc import lowrate_osc
 
-    x_full = jnp.stack(
-        [
-            jnp.concatenate([tail[0], jnp.asarray(x.real)]),
-            jnp.concatenate([tail[1], jnp.asarray(x.imag)]),
-        ]
+    plan, x, kernel_np, phase, inc_lo, yr, yi = _setup(decim)
+    L = plan.num_taps
+    kernel_il = interleave_kernel(kernel_np, "iq")
+    poly_il = jnp.asarray(
+        pallas_ddc.build_poly_kernel(kernel_il, 2 * plan.decimation)
     )
-    poly_w = jnp.asarray(pallas_ddc.build_poly_kernel(kernel_np, decim))
-    out = _interpret_poly_fir(x_full, poly_w, decim, plan.out_size)  # (2C, m)
+    x_il = np.empty(2 * plan.chunk_size, np.float32)
+    x_il[0::2] = x.real
+    x_il[1::2] = x.imag
+    full = jnp.concatenate([jnp.zeros(2 * (L - 1), jnp.float32), jnp.asarray(x_il)])
+    with _Interpret():
+        out = pallas_ddc.pallas_poly_fir_il(
+            full, poly_il, plan.decimation, plan.out_size
+        )
     bb = out.reshape(2, 2, plan.out_size)
     br, bi = bb[:, 0], bb[:, 1]
     cos, sin = lowrate_osc(phase, inc_lo, plan.out_size)
@@ -81,15 +102,48 @@ def test_pallas_matches_conv(decim):
     assert err_r < -100.0 and err_i < -100.0, (err_r, err_i)
 
 
+@pytest.mark.parametrize("decim", [26])
+def test_pallas_pair_matches_conv(decim):
+    """The pair-input variant (secondary check of the shared kernel)."""
+    from iq_to_audio_tpu.ops.ddc import lowrate_osc
+
+    plan, x, kernel_np, phase, inc_lo, yr, yi = _setup(decim)
+    x_full = jnp.stack(
+        [
+            jnp.concatenate([jnp.zeros(plan.overlap, jnp.float32), jnp.asarray(x.real)]),
+            jnp.concatenate([jnp.zeros(plan.overlap, jnp.float32), jnp.asarray(x.imag)]),
+        ]
+    )
+    poly_w = jnp.asarray(pallas_ddc.build_poly_kernel(kernel_np, decim))
+    with _Interpret():
+        out = pallas_ddc.pallas_poly_fir(x_full, poly_w, decim, plan.out_size)
+    bb = out.reshape(2, 2, plan.out_size)
+    br, bi = bb[:, 0], bb[:, 1]
+    cos, sin = lowrate_osc(phase, inc_lo, plan.out_size)
+    got_r = br * cos - bi * sin
+    got_i = br * sin + bi * cos
+    assert error_db(np.asarray(got_r), np.asarray(yr)) < -100.0
+    assert error_db(np.asarray(got_i), np.asarray(yi)) < -100.0
+
+
 def test_poly_kernel_packing_roundtrip():
-    """build_poly_kernel must preserve every tap exactly."""
+    """build_poly_kernel must preserve every tap exactly — including when
+    applied to the interleaved kernel with window stride 2D (the feature
+    axis becomes the contiguous (T, 2D) reshape of the raw stream)."""
     rng = np.random.default_rng(0)
     conv_k = rng.normal(size=(4, 2, 37)).astype(np.float32)
     w = pallas_ddc.build_poly_kernel(conv_k, decimation=5)
     K, F, O = w.shape
     assert F == 10 and O == 4 and K == -(-37 // 5) + 1
-    # reconstruct: conv_k[:, i, kD+p] == w[k, i*D+p, :]
     for j in range(37):
         k, p = divmod(j, 5)
         for i in range(2):
             np.testing.assert_array_equal(w[k, i * 5 + p, :], conv_k[:, i, j])
+    # interleaved: kernel (O, 1, 2L), stride 2D
+    ki = interleave_kernel(conv_k, "iq")
+    wi = pallas_ddc.build_poly_kernel(ki, decimation=10)
+    Ki, Fi, Oi = wi.shape
+    assert Fi == 10 and Oi == 4 and Ki == -(-74 // 10) + 1
+    for j in range(74):
+        k, p = divmod(j, 10)
+        np.testing.assert_array_equal(wi[k, p, :], ki[:, 0, j])
