@@ -527,6 +527,13 @@ class InteractiveWindow(QMainWindow):
         self.status_panel.set_status(message)
         self.statusBar().showMessage(message, 5000)
 
+    def closeEvent(self, event):  # noqa: N802 - Qt naming
+        """Cancel any in-flight workers before the window goes away
+        (reference ``app.py:2164-2166``) so background previews don't
+        outlive the session."""
+        self._stop_workers()
+        event.accept()
+
     def run(self) -> InteractiveSessionResult:
         return self.result
 
