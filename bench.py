@@ -65,7 +65,7 @@ def main() -> int:
     passes = int(os.environ.get("IQ2A_BENCH_PASSES", "8"))
     # bounded wait for the per-connection session toll (3-18 min measured);
     # if it outlasts the budget, pass 1's fetch simply absorbs the rest
-    warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "1200"))
+    warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "540"))
 
     # -- pay the session toll on a background thread ----------------------
     toll_done = threading.Event()
@@ -130,6 +130,10 @@ def main() -> int:
                          i + 1, passes, e, seconds / e)
             if e < elapsed:
                 elapsed, loop_seconds = e, result.loop_seconds
+            # relay hiccups make passes vary ~1-21 s; once one pass hits the
+            # fast regime there is nothing more to learn
+            if i >= 2 and elapsed < seconds / 15.0:
+                break
 
     realtime = seconds / elapsed
     msps = sample_rate * seconds / elapsed / 1e6
