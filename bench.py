@@ -44,6 +44,12 @@ logging.basicConfig(level=logging.INFO, stream=sys.stderr)
 
 import jax  # noqa: E402
 
+# honor an explicit JAX_PLATFORMS (the axon host pins the platform
+# programmatically from sitecustomize, which outranks the env var; this
+# restores `JAX_PLATFORMS=cpu python bench.py` for local smoke tests)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 # cache every program: client-side compile timing is near-zero for the small
 # helper jits on the async runtime, which would otherwise miss the default
