@@ -122,3 +122,29 @@ def test_zz_report(tmp_path):
     out = Path(os.environ.get("IQ2A_BENCH_JSON", tmp_path / "benchmark.json"))
     out.write_text(json.dumps(RESULTS, indent=2))
     assert RESULTS, "benchmark cases must have run"
+
+
+def test_bench_script_end_to_end(tmp_path):
+    """The driver entry point `bench.py` must run standalone and print one
+    valid JSON result line (smoke-tested on CPU with tiny budgets; the
+    session-toll thread and pass loop are the same code the TPU run uses)."""
+    import subprocess
+    import sys
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        IQ2A_BENCH_SECONDS="1",
+        IQ2A_BENCH_WARM_SECS="2",
+        IQ2A_BENCH_PASSES="1",
+    )
+    r = subprocess.run(
+        [sys.executable, str(repo / "bench.py")],
+        capture_output=True, text=True, timeout=300, cwd=repo, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["unit"] == "x realtime per chip"
+    assert rec["value"] > 0
+    assert abs(rec["vs_baseline"] - rec["value"] / 20.0) < 0.01
