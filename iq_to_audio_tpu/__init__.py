@@ -5,9 +5,13 @@ Re-implementation of the capability surface of ``rknightion/iq-to-audio``
 
 * The whole channelizer+demod chain is a single jitted chunk-step
   ``step(state, chunk) -> (state, audio)`` driven by a host streaming loop.
-* Per-sample recurrences (de-emphasis IIR, DC blocker, feedback AGC) are
-  associative scans; the channel filter is a batched overlap-save FFT kernel;
-  the 48 kHz resampler is an interpolated polyphase kernel on device.
+* The channelizer is ONE decimating strided convolution of the raw
+  interleaved sample stream (mix + IQ-order folded into the taps; Pallas
+  MXU kernel when the tap tensor fits VMEM); constant-coefficient
+  recurrences (de-emphasis IIR, DC blocker) are MXU block matmuls, the
+  input-dependent feedback AGC an associative scan; the 48 kHz resampler
+  is an exact polyphase convolution on device.  An overlap-save FFT bank
+  (``IQ2A_CHANNELIZER=fft``) serves complex/FFT-capable backends.
 * Up to five channels ride a leading batch axis through one shared pass.
 * Host ingest/encode (WAV/RIFF + raw cu8/cs16/cf32) is native code with a
   NumPy fallback — no ffmpeg/libsndfile dependency.
