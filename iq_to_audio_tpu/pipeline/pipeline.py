@@ -772,7 +772,7 @@ class ProcessingPipeline:
                 # The relay runtime heavily penalises a host->device upload
                 # that arrives while a dispatch is in flight (measured: a
                 # 32 MiB put that takes ~22 ms on an idle device takes ~1 s
-                # behind an outstanding dispatch — docs/perf_probe3.py).  So
+                # behind an outstanding dispatch — docs/probes/perf_probe3.py).  So
                 # each accumulation window runs as strict phases:
                 #   1. drain the previous window (its D2H was started async
                 #      and rode the queue behind its own compute),
