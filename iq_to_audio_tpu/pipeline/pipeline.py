@@ -103,12 +103,11 @@ class ProcessingPipeline:
         self._profiling = False
         # Benchmark warm-up mode: run the full pipeline (compiling and
         # dispatching every device program) but never fetch device->host.
-        # On the tunneled runtime the process's FIRST fetch waits on the
-        # asynchronous server-side executable load (seconds..minutes) and any
-        # fetch permanently degrades later uploads ~40x (docs/performance.md),
-        # so a fetch-free warm pass lets a subsequent measured pass run with
-        # clean uploads and a fast EOF fetch.  Outputs are silent/empty in
-        # this mode — benchmark tooling only.
+        # On the tunneled runtime the connection's FIRST fetch blocks on a
+        # minutes-scale session toll (docs/performance.md "Measured
+        # status"), so bench.py pays that toll separately and uses this
+        # fetch-free pass purely to compile/dispatch everything.  Outputs
+        # are silent/empty in this mode — benchmark tooling only.
         self.warm_no_fetch = False
 
     def cancel(self) -> None:
