@@ -421,3 +421,28 @@ def test_iq_order_end_to_end(tmp_path, order):
     ref = ref[:, 0]
     n = min(got.size, ref.size)
     assert error_db(got[:n], ref[:n]) < -80.0
+
+
+def test_sync_fetch_knob_equivalence(tmp_path, monkeypatch):
+    """IQ2A_SYNC_FETCH=1 (skip the async accumulator-fetch start) must not
+    change any output byte — it only reroutes the window flush D2H."""
+    iq = make_nfm_iq(FS, 0.5, OFFSET)
+    path = _write_capture(tmp_path, iq, codec="pcm_f32le")
+
+    def run(tag):
+        out = tmp_path / f"audio_{tag}.wav"
+        ProcessingPipeline(
+            ProcessingConfig(
+                in_path=path,
+                target_freq=CENTER + OFFSET,
+                demod_mode="nfm",
+                output_path=out,
+            )
+        ).run()
+        audio, _ = read_wav(out)
+        return audio[:, 0]
+
+    base = run("async")
+    monkeypatch.setenv("IQ2A_SYNC_FETCH", "1")
+    synced = run("sync")
+    np.testing.assert_array_equal(base, synced)
