@@ -151,6 +151,10 @@ def build_sharded_step(
     ``fn(state, raw, rs_offset, incs, ddc_kernel, rs_kernel)
     -> (state, audio)``.  ``raw`` is the interleaved chunk, sharded along
     ``seq``; channel-indexed state/outputs shard along ``dp``.
+    ``ddc_kernel`` must be the INTERLEAVED-domain kernel
+    (``ddc.interleave_kernel(bandpass_kernel(...), iq_order)``) — the
+    ``iq_order`` argument here only documents the convention the caller
+    folded into those taps; ``codec`` alone drives the on-device scaling.
 
     ``captures > 1`` runs **data-parallel multi-capture** mode: each ``dp``
     row processes its own independent recording (SURVEY §2d DP row —
