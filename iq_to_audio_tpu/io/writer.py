@@ -79,8 +79,10 @@ class AudioWriter:
     def write_s16(self, samples: np.ndarray) -> None:
         """Enqueue audio that was already s16-encoded (e.g. on device).
 
-        Peak tracking is the caller's responsibility on this path (the
-        device tracks the true pre-clip peak).
+        The peak is tracked from the written samples (exact for everything
+        the stream contains); when the device-side +-0.99 clipper engaged,
+        the pipeline max-merges the device's pre-clip float peak on top
+        (pipeline.py EOF flush).
         """
         if self._closed:
             raise RuntimeError("AudioWriter has already been closed.")
@@ -89,6 +91,9 @@ class AudioWriter:
         samples = np.asarray(samples, dtype=np.int16)
         if samples.size == 0:
             return
+        peak = float(np.max(np.abs(samples.astype(np.int32)))) / 32767.0
+        if peak > self.peak:
+            self.peak = peak
         self._submit(samples)
 
     def _submit(self, payload: np.ndarray) -> None:

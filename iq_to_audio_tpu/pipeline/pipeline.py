@@ -562,6 +562,7 @@ class ProcessingPipeline:
                     acc_chunks_cap=acc_cap,
                     super_chunks=super_req,
                     est_total_chunks=estimated_chunks or None,
+                    want_stages=cfg.plot_stages_path is not None,
                 )
                 state = step.init_state()
                 accs = step.init_accs()
@@ -580,6 +581,9 @@ class ProcessingPipeline:
                     "codec": input_spec.codec,
                     "iq_order": cfg.iq_order,
                     "acc_chunks": step.acc_chunks,
+                    # conv and fft channelizers carry differently-shaped
+                    # state pytrees — a resume must use the same backend
+                    "channelizer": step.channelizer,
                 }
                 stage_snapshots: dict[str, tuple[np.ndarray, float]] = {}
                 want_stages = cfg.plot_stages_path is not None
@@ -932,10 +936,18 @@ class ProcessingPipeline:
                             w.write_s16(buf[c, lo:hi])
                         rs_emitted += hi - lo
                 if "peak_handle" in last_audio:
-                    # peak is only needed at the end: one tiny D2H total
+                    # The device accumulator's float peak covers every slot
+                    # INCLUDING the final chunk's zero-padding, whose
+                    # real->pad boundary puts a discriminator transient in
+                    # samples that are never written.  The writers already
+                    # track the exact peak of the valid (written) samples, so
+                    # the device value is only consulted where it carries
+                    # information the quantised stream lost: pre-clip
+                    # amplitude once the +-0.99 clipper engaged.
                     peaks_np = np.asarray(last_audio["peak_handle"])
                     for c, w in enumerate(audio_writers):
-                        w.peak = max(w.peak, float(peaks_np[c]))
+                        if w.peak >= 0.985:
+                            w.peak = max(w.peak, float(peaks_np[c]))
                 loop_seconds = time.perf_counter() - loop_start
                 if want_timing:
                     LOG.info(

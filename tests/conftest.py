@@ -19,6 +19,10 @@ if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
         os.environ["XLA_FLAGS"] + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# pin the conv channelizer (the TPU-shaped path) for the suite: on CPU the
+# product auto-selects the faster FFT bank, but CI must keep exercising the
+# path the target hardware runs; dedicated tests opt into fft explicitly
+os.environ.setdefault("IQ2A_CHANNELIZER", "conv")
 
 import jax  # noqa: E402
 

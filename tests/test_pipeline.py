@@ -446,3 +446,37 @@ def test_sync_fetch_knob_equivalence(tmp_path, monkeypatch):
     monkeypatch.setenv("IQ2A_SYNC_FETCH", "1")
     synced = run("sync")
     np.testing.assert_array_equal(base, synced)
+
+
+def test_channelizer_auto_selection(monkeypatch):
+    """On CPU (complex/FFT-capable) the FFT bank is auto-selected (~4x
+    faster end-to-end, measured); stage-snapshot runs and explicit
+    IQ2A_CHANNELIZER pins keep the conv path; non-CPU backends default to
+    conv (minimal-backend safe, Pallas-eligible)."""
+    from iq_to_audio_tpu.demod import create_decoder
+    from iq_to_audio_tpu.ops.ddc import DDCPlan, bandpass_kernel
+    from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+    from iq_to_audio_tpu.pipeline import step as step_mod
+
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    taps = design_channel_filter(FS, 12_500.0, decim)
+    ddc_plan = DDCPlan.create(len(taps), decim, target_chunk=1 << 15)
+    decoder = create_decoder("nfm", deemph_us=300.0, agc_enabled=True)
+    decoder.setup(fs_ch)
+    inc = nco_increment_fixed(OFFSET, FS)
+
+    def build(**kw):
+        return step_mod.build_chunk_step(
+            ddc_plan=ddc_plan, rs_plan=None, rs_kernel_np=None,
+            ddc_kernel_np=bandpass_kernel(taps, [inc]), incs_fixed=[inc],
+            codec="pcm_s16le", iq_order="iq", decoder=decoder,
+            pass_through=False, dump_iq=False, **kw,
+        )
+
+    monkeypatch.delenv("IQ2A_CHANNELIZER", raising=False)
+    assert build().channelizer == "fft"            # CPU default
+    assert build(want_stages=True).channelizer == "conv"
+    monkeypatch.setenv("IQ2A_CHANNELIZER", "conv")
+    assert build().channelizer == "conv"           # explicit pin wins
+    monkeypatch.setenv("IQ2A_CHANNELIZER", "fft")
+    assert build(want_stages=True).channelizer == "fft"  # pin outranks auto
