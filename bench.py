@@ -125,21 +125,34 @@ def main() -> int:
             logging.info("toll still pending — pass 1 will absorb it")
 
         # -- measured passes -------------------------------------------------
+        # Alternate the hot-loop schedule pass-to-pass: overlapped (H2D of
+        # group k+1 rides behind group k's compute) vs phased (strict
+        # upload->dispatch->fetch).  The relay's upload-behind-dispatch
+        # behavior has flipped between campaigns (docs/performance.md), so
+        # the bench itself is the A/B — best pass wins whichever regime the
+        # wire is in today.  Both schedules share one compiled executable.
         elapsed = float("inf")
         loop_seconds = float("inf")
         for i in range(passes):
+            sched = "1" if i % 2 == 0 else "0"
+            os.environ["IQ2A_OVERLAP"] = sched
             cfg = make_config(capture, f"p{i}")
             start = time.perf_counter()
             result = ProcessingPipeline(cfg).run(None)
             e = time.perf_counter() - start
-            logging.info("pass %d/%d: %.3f s wall (%.1fx realtime)",
-                         i + 1, passes, e, seconds / e)
+            logging.info("pass %d/%d (%s): %.3f s wall (%.1fx realtime)",
+                         i + 1, passes,
+                         "overlapped" if sched == "1" else "phased",
+                         e, seconds / e)
             if e < elapsed:
                 elapsed, loop_seconds = e, result.loop_seconds
-            # relay hiccups make passes vary ~1-21 s; once one pass hits the
-            # fast regime there is nothing more to learn
-            if i >= 2 and elapsed < seconds / 15.0:
+            # relay hiccups make passes vary ~1-21 s; once both schedules
+            # have run and a pass hits the fast regime, stop
+            if i >= 1 and elapsed < seconds / 50.0:
                 break
+            if i >= 3 and elapsed < seconds / 15.0:
+                break
+        os.environ.pop("IQ2A_OVERLAP", None)
 
     realtime = seconds / elapsed
     msps = sample_rate * seconds / elapsed / 1e6
@@ -148,16 +161,18 @@ def main() -> int:
         "%.1fx realtime, %.1f Msps",
         passes, seconds, elapsed, loop_seconds, realtime, msps,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "NFM demod realtime factor (2.5 MS/s synthetic capture -> 48 kHz WAV, end-to-end incl. file IO)",
-                "value": round(realtime, 2),
-                "unit": "x realtime per chip",
-                "vs_baseline": round(realtime / 20.0, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "NFM demod realtime factor (2.5 MS/s synthetic capture -> 48 kHz WAV, end-to-end incl. file IO)",
+        "value": round(realtime, 2),
+        "unit": "x realtime per chip",
+        "vs_baseline": round(realtime / 20.0, 2),
+    }
+    if jax.default_backend() == "cpu":
+        # secondary artifact: the CPU-backend result against the reference's
+        # own 20x modern-CPU target (reference tests/BENCHMARKS.md:128-132),
+        # captured as a file so the claim is driver-verifiable
+        (REPO / "BENCH_cpu.json").write_text(json.dumps(record) + "\n")
+    print(json.dumps(record))
     return 0
 
 

@@ -22,6 +22,7 @@ runs (reference ``cli.py:683-710``).
 from __future__ import annotations
 
 import contextlib
+import dataclasses
 import logging
 import math
 import os
@@ -232,11 +233,12 @@ class ProcessingPipeline:
                         "manual entry in the GUI."
                     )
                 sample_rate = float(manual_rate)
-                probe = SampleRateProbe(ffprobe=None, header=None, wave=sample_rate)
+                probe = SampleRateProbe(override=sample_rate)
             else:
                 probe = probe_sample_rate(cfg.in_path)
                 if manual_rate is not None:
                     sample_rate = float(manual_rate)
+                    probe = dataclasses.replace(probe, override=sample_rate)
                 else:
                     try:
                         sample_rate = probe.value
@@ -548,6 +550,28 @@ class ProcessingPipeline:
                     or n_dec % rs_plan.down == 0
                 )
                 super_req = None if rs_aligned and not cfg.plot_stages_path else 1
+                # H2D/compute overlap schedule (see the hot-loop comment).
+                # IQ2A_OVERLAP: "1"/"on" pins the overlapped schedule,
+                # "0"/"off"/"phased" pins the strict phases, "auto"
+                # (default) overlaps and self-calibrates on long captures.
+                # Checkpointed runs stay phased — the phased drain point is
+                # the only place the carried state handle is both flushed
+                # and not yet donated to the next dispatch.
+                overlap_env = os.environ.get("IQ2A_OVERLAP", "auto").lower()
+                if overlap_env in {"0", "off", "phased"}:
+                    sched_mode = "phased"
+                elif overlap_env in {"auto", ""}:
+                    sched_mode = "auto"
+                else:
+                    sched_mode = "overlap"
+                if cfg.checkpoint_secs:
+                    if sched_mode == "overlap":
+                        LOG.info(
+                            "IQ2A_OVERLAP ignored: checkpointed runs use the "
+                            "phased schedule (the drain point is the only "
+                            "spot where the carried state is fetchable)."
+                        )
+                    sched_mode = "phased"
                 step = build_chunk_step(
                     ddc_plan=ddc_plan,
                     rs_plan=rs_plan,
@@ -692,7 +716,12 @@ class ProcessingPipeline:
                         block = nxt
 
                 def _groups():
-                    """Groups of up to ``super_chunks`` blocks per dispatch."""
+                    """Groups of ``super_chunks`` blocks per dispatch.  A
+                    partial FINAL group is zero-padded to the superstep
+                    length so ONE compiled executable serves every dispatch
+                    (pad chunks carry valid=0, count nothing and write
+                    nothing; they only advance the device stream state past
+                    EOF, where it is never used again)."""
                     group: list[tuple[int, np.ndarray]] = []
                     for item in _raw_blocks():
                         group.append(item)
@@ -700,6 +729,10 @@ class ProcessingPipeline:
                             yield group
                             group = []
                     if group:
+                        if super_chunks > 1:
+                            pad = np.zeros(2 * chunk_size, dtype=group[0][1].dtype)
+                            while len(group) < super_chunks:
+                                group.append((0, pad))
                         yield group
 
                 def _windows():
@@ -726,7 +759,9 @@ class ProcessingPipeline:
                     IQ2A_SYNC_FETCH=1 disables the async start (on some
                     relay runtimes copy_to_host_async routes the transfer
                     down a slower path than a plain blocking fetch)."""
-                    if self.warm_no_fetch or os.environ.get("IQ2A_SYNC_FETCH"):
+                    if self.warm_no_fetch or (
+                        os.environ.get("IQ2A_SYNC_FETCH", "0") != "0"
+                    ):
                         return
                     for arr in handle.values():
                         fn = getattr(arr, "copy_to_host_async", None)
@@ -769,140 +804,213 @@ class ProcessingPipeline:
                         last_audio["peak_handle"] = handle["peak"]
                     timing["write"] += time.perf_counter() - t0
 
-                # ------------------------------------------------------------
-                # Hot loop: phase-separated windows.
-                #
-                # The relay runtime heavily penalises a host->device upload
-                # that arrives while a dispatch is in flight (measured: a
-                # 32 MiB put that takes ~22 ms on an idle device takes ~1 s
-                # behind an outstanding dispatch — docs/probes/perf_probe3.py).  So
-                # each accumulation window runs as strict phases:
-                #   1. drain the previous window (its D2H was started async
-                #      and rode the queue behind its own compute),
-                #   2. upload every raw block of this window back-to-back at
-                #      full H2D bandwidth (nothing in flight),
-                #   3. submit all dispatches on the resident buffers (async
-                #      submits pipeline at ~3 ms/step),
-                #   4. start the accumulator fetch without blocking.
-                # ------------------------------------------------------------
                 idx = 0  # global chunk counter (device-consumed chunks)
+
+                def _upload_group(group):
+                    """Stage one dispatch group on device (async H2D)."""
+                    t0 = time.perf_counter()
+                    if len(group) == super_chunks and super_chunks > 1:
+                        stack = np.empty(
+                            (super_chunks, 2 * chunk_size), dtype=group[0][1].dtype
+                        )
+                        for s, (_v, blk) in enumerate(group):
+                            stack[s] = blk
+                        dev = jax.device_put(stack)
+                    else:
+                        dev = [jax.device_put(blk) for _v, blk in group]
+                    timing["feed"] += time.perf_counter() - t0
+                    return dev
+
+                def _dispatch_group(group, raw_dev):
+                    """Exact host bookkeeping + one async device dispatch."""
+                    nonlocal idx, state, accs
+                    nonlocal processed_samples, dec_emitted
+                    nonlocal rs_in_device, rs_in_valid, rs_emitted
+                    t0 = time.perf_counter()
+                    slot_base = idx % acc_chunks
+                    n_real = len(group)
+                    rs_offset = 0
+                    if rs_plan is not None and not rs_plan.identity:
+                        rs_offset = rs_plan.chunk_offset(rs_in_device)
+                    group_valid = 0
+                    for valid_frames, _blk in group:
+                        # exact host bookkeeping (Python ints, no syncs)
+                        processed_samples += valid_frames
+                        group_valid += valid_frames
+                        dec_total = -(-processed_samples // decimation)  # ceil
+                        dec_valid = dec_total - dec_emitted
+                        dec_emitted = dec_total
+                        if rs_plan is not None and not rs_plan.identity:
+                            audio_count = rs_plan.out_count(rs_in_device, dec_valid)
+                            rs_in_device += n_dec
+                            rs_in_valid += dec_valid
+                            rs_emitted += audio_count
+                        elif rs_plan is not None:
+                            audio_count = dec_valid
+                        else:
+                            audio_count = 0
+                        window.append((dec_valid, audio_count))
+
+                    report(f"C{idx + 1} channel")
+                    if n_real == super_chunks and super_chunks > 1:
+                        state, accs = step.fn_super(
+                            state, accs, raw_dev, rs_offset, slot_base
+                        )
+                    else:
+                        # final partial group (or S==1): per-chunk steps
+                        for s, blk_dev in enumerate(raw_dev):
+                            if want_stages and idx + s == 0:
+                                state, accs, out = step.fn_stages(
+                                    state, accs, blk_dev, rs_offset, slot_base + s
+                                )
+                                stages = out.pop("stages")
+                                for name, buf in stages.items():
+                                    rate = (
+                                        sample_rate
+                                        if name in {"input", "mixed", "filtered"}
+                                        else fs_channel
+                                    )
+                                    if isinstance(buf, tuple):  # (re, im)
+                                        arr = np.asarray(buf[0]) + 1j * np.asarray(
+                                            buf[1]
+                                        )
+                                    else:
+                                        arr = np.asarray(buf)
+                                    stage_snapshots[name] = (arr, rate)
+                            else:
+                                state, accs, _out = step.fn(
+                                    state, accs, blk_dev, rs_offset, slot_base + s
+                                )
+                    idx += n_real
+
+                    tracker.advance("ingest", float(group_valid))
+                    group_dec = sum(d for d, _ in window[-n_real:])
+                    # downstream progress is host-known without syncs
+                    tracker.advance("channel", float(group_dec))
+                    if not pass_through:
+                        if cfg.dump_iq_path:
+                            tracker.advance("dump_iq", float(group_dec))
+                        tracker.advance("demod", float(group_dec))
+                        tracker.advance(
+                            "encode",
+                            float(group_dec) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
+                        )
+                    else:
+                        tracker.advance("demod", float(group_dec))
+                    timing["dispatch"] += time.perf_counter() - t0
+
+                def _drain_and_checkpoint():
+                    nonlocal pending_flush, next_ckpt_at
+                    if pending_flush is None:
+                        return
+                    _write_flush(*pending_flush)
+                    pending_flush = None
+                    if next_ckpt_at is not None and processed_samples >= next_ckpt_at:
+                        _save_checkpoint(state)
+                        next_ckpt_at = processed_samples + int(
+                            cfg.checkpoint_secs * sample_rate
+                        )
+
+                # ------------------------------------------------------------
+                # Hot loop: two schedules over the same dispatch groups (and
+                # therefore the same compiled executable).
+                #
+                # OVERLAPPED (default): per group, issue the async
+                # ``device_put`` and immediately submit the dispatch, so
+                # group k+1's upload streams over the wire while group k
+                # computes; the previous window's accumulator (whose D2H was
+                # started async behind its own compute) is drained AFTER this
+                # window's dispatches, so file writes also ride behind device
+                # compute.  Steady-state wall per window ~ max(H2D, exec)
+                # instead of their sum.
+                #
+                # PHASED (IQ2A_OVERLAP=0, checkpointed runs, or auto-
+                # calibration fallback): strict phases — drain, upload the
+                # whole window back-to-back, submit all dispatches, start
+                # the fetch.  This is the safe shape for relay runtimes that
+                # penalise uploads arriving behind an in-flight dispatch
+                # (measured in an earlier campaign: a 32 MiB put that takes
+                # ~22 ms idle took ~1 s behind a dispatch —
+                # docs/probes/perf_probe3.py; later campaigns showed no such
+                # penalty, hence measure-don't-assume).
+                #
+                # AUTO calibration: captures spanning >=4 windows run
+                # windows 0-1 phased and window 2 overlapped, compare
+                # per-chunk wall time, and keep the winner; shorter captures
+                # (incl. the single-window headline bench, which A/Bs at the
+                # bench level across passes) go straight to overlapped.
+                # ------------------------------------------------------------
+                est_windows = None
+                if estimated_chunks:
+                    est_windows = -(-estimated_chunks // acc_chunks)
+                ab_calibrating = (
+                    sched_mode == "auto"
+                    and est_windows is not None
+                    and est_windows >= 4
+                )
+                ab: dict[str, float | bool] = {}
+
+                def _use_overlap(w_index: int) -> bool:
+                    if sched_mode == "phased":
+                        return False
+                    if sched_mode == "overlap" or not ab_calibrating:
+                        return True
+                    if w_index <= 1:
+                        return False  # warm-up + phased measurement
+                    if w_index == 2:
+                        return True  # overlapped measurement
+                    return bool(ab.get("overlap_wins", True))
+
+                w_index = 0
                 for wgroups in _windows():
                     _check_cancel(f"chunk {idx + 1}")
+                    t_win = time.perf_counter()
+                    window = []
+                    overlapped = _use_overlap(w_index)
 
-                    # -- phase 1: drain the previous window -------------------
-                    if pending_flush is not None:
-                        _write_flush(*pending_flush)
-                        pending_flush = None
-                        window = []
-                        if next_ckpt_at is not None and processed_samples >= next_ckpt_at:
-                            _save_checkpoint(state)
-                            next_ckpt_at = processed_samples + int(
-                                cfg.checkpoint_secs * sample_rate
+                    if overlapped:
+                        for group in wgroups:
+                            _dispatch_group(group, _upload_group(group))
+                        _start_fetch(accs)
+                        _drain_and_checkpoint()
+                    else:
+                        _drain_and_checkpoint()
+                        dev_groups = [_upload_group(g) for g in wgroups]
+                        for group, raw_dev in zip(wgroups, dev_groups):
+                            _dispatch_group(group, raw_dev)
+                        if os.environ.get("IQ2A_TIMING") == "2":
+                            t0 = time.perf_counter()
+                            jax.block_until_ready(
+                                accs["audio" if not pass_through else "iq_r"]
                             )
-
-                    # -- phase 2: upload the whole window ----------------------
-                    t0 = time.perf_counter()
-                    dev_groups = []
-                    for group in wgroups:
-                        if len(group) == super_chunks and super_chunks > 1:
-                            stack = np.empty(
-                                (super_chunks, 2 * chunk_size), dtype=group[0][1].dtype
+                            LOG.info(
+                                "window @%d exec %.1f ms",
+                                idx,
+                                1e3 * (time.perf_counter() - t0),
                             )
-                            for s, (_v, blk) in enumerate(group):
-                                stack[s] = blk
-                            dev_groups.append(jax.device_put(stack))
-                        else:
-                            dev_groups.append(
-                                [jax.device_put(blk) for _v, blk in group]
-                            )
-                    timing["feed"] += time.perf_counter() - t0
+                        _start_fetch(accs)
 
-                    # -- phase 3: bookkeeping + dispatch ----------------------
-                    t0 = time.perf_counter()
-                    for group, raw_dev in zip(wgroups, dev_groups):
-                        slot_base = idx % acc_chunks
-                        n_real = len(group)
-                        rs_offset = 0
-                        if rs_plan is not None and not rs_plan.identity:
-                            rs_offset = rs_plan.chunk_offset(rs_in_device)
-                        group_valid = 0
-                        for valid_frames, _blk in group:
-                            # exact host bookkeeping (Python ints, no syncs)
-                            processed_samples += valid_frames
-                            group_valid += valid_frames
-                            dec_total = -(-processed_samples // decimation)  # ceil
-                            dec_valid = dec_total - dec_emitted
-                            dec_emitted = dec_total
-                            if rs_plan is not None and not rs_plan.identity:
-                                audio_count = rs_plan.out_count(rs_in_device, dec_valid)
-                                rs_in_device += n_dec
-                                rs_in_valid += dec_valid
-                                rs_emitted += audio_count
-                            elif rs_plan is not None:
-                                audio_count = dec_valid
-                            else:
-                                audio_count = 0
-                            window.append((dec_valid, audio_count))
-
-                        report(f"C{idx + 1} channel")
-                        if n_real == super_chunks and super_chunks > 1:
-                            state, accs = step.fn_super(
-                                state, accs, raw_dev, rs_offset, slot_base
-                            )
-                        else:
-                            # final partial group (or S==1): per-chunk steps
-                            for s, blk_dev in enumerate(raw_dev):
-                                if want_stages and idx + s == 0:
-                                    state, accs, out = step.fn_stages(
-                                        state, accs, blk_dev, rs_offset, slot_base + s
-                                    )
-                                    stages = out.pop("stages")
-                                    for name, buf in stages.items():
-                                        rate = (
-                                            sample_rate
-                                            if name in {"input", "mixed", "filtered"}
-                                            else fs_channel
-                                        )
-                                        if isinstance(buf, tuple):  # (re, im)
-                                            arr = np.asarray(buf[0]) + 1j * np.asarray(
-                                                buf[1]
-                                            )
-                                        else:
-                                            arr = np.asarray(buf)
-                                        stage_snapshots[name] = (arr, rate)
-                                else:
-                                    state, accs, _out = step.fn(
-                                        state, accs, blk_dev, rs_offset, slot_base + s
-                                    )
-                        idx += n_real
-
-                        tracker.advance("ingest", float(group_valid))
-                        group_dec = sum(d for d, _ in window[-n_real:])
-                        # downstream progress is host-known without syncs
-                        tracker.advance("channel", float(group_dec))
-                        if not pass_through:
-                            if cfg.dump_iq_path:
-                                tracker.advance("dump_iq", float(group_dec))
-                            tracker.advance("demod", float(group_dec))
-                            tracker.advance(
-                                "encode",
-                                float(group_dec) / max(fs_channel, 1e-9) * _OUTPUT_RATE,
-                            )
-                        else:
-                            tracker.advance("demod", float(group_dec))
-                    timing["dispatch"] += time.perf_counter() - t0
-                    if os.environ.get("IQ2A_TIMING") == "2":
-                        t0 = time.perf_counter()
-                        jax.block_until_ready(
-                            accs["audio" if not pass_through else "iq_r"]
-                        )
-                        LOG.info(
-                            "window @%d exec %.1f ms", idx, 1e3 * (time.perf_counter() - t0)
-                        )
-
-                    # -- phase 4: start this window's fetch, defer the write --
-                    _start_fetch(accs)
                     pending_flush = (accs, window)
+                    if ab_calibrating and 1 <= w_index <= 2:
+                        # steady-state per-chunk wall (window 0 absorbed the
+                        # compile); the drain inside the iteration means each
+                        # measurement carries its schedule's true cost
+                        per_chunk = (time.perf_counter() - t_win) / max(
+                            1, sum(len(g) for g in wgroups)
+                        )
+                        if w_index == 1:
+                            ab["phased_pc"] = per_chunk
+                        else:
+                            phased_pc = float(ab.get("phased_pc", float("inf")))
+                            ab["overlap_wins"] = per_chunk <= phased_pc * 1.05
+                            LOG.info(
+                                "overlap auto-calibration: phased %.1f ms/chunk, "
+                                "overlapped %.1f ms/chunk -> %s schedule",
+                                1e3 * phased_pc,
+                                1e3 * per_chunk,
+                                "overlapped" if ab["overlap_wins"] else "phased",
+                            )
+                    w_index += 1
                     _check_cancel(f"chunk {idx} encode")
                 limit_exhausted = limit_exhausted or feed_state["limit_exhausted"]
 
@@ -945,8 +1053,11 @@ class ProcessingPipeline:
                     # information the quantised stream lost: pre-clip
                     # amplitude once the +-0.99 clipper engaged.
                     peaks_np = np.asarray(last_audio["peak_handle"])
+                    # quantised value of a just-clipped sample: only consult
+                    # the device peak when the +-0.99 clipper actually engaged
+                    clip_q = round(0.99 * 32767.0) / 32767.0 - 1e-6
                     for c, w in enumerate(audio_writers):
-                        if w.peak >= 0.985:
+                        if w.peak >= clip_q:
                             w.peak = max(w.peak, float(peaks_np[c]))
                 loop_seconds = time.perf_counter() - loop_start
                 if want_timing:

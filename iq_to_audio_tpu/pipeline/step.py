@@ -471,7 +471,17 @@ def build_chunk_step(
             # singles) handles it.
             super_chunks = acc_chunks
             if est_total_chunks is not None and est_total_chunks > 0:
-                super_chunks = min(super_chunks, est_total_chunks)
+                # Split the capture into ~IQ2A_GROUPS dispatch groups so the
+                # hot loop can slide group k+1's upload behind group k's
+                # compute (pipeline.py hot-loop schedule).  The phased and
+                # overlapped schedules share this grouping — and therefore
+                # ONE compiled executable (the final group is zero-padded to
+                # the superstep length), which matters on tunneled runtimes
+                # where every distinct executable pays a server-side load.
+                groups_target = max(1, int(os.environ.get("IQ2A_GROUPS", "6")))
+                super_chunks = min(
+                    super_chunks, max(1, -(-est_total_chunks // groups_target))
+                )
         else:
             super_chunks = 1
     if (
@@ -482,6 +492,11 @@ def build_chunk_step(
         super_chunks = 1  # per-chunk rs_offset required (see superstep_impl)
     super_chunks = max(1, min(super_chunks, acc_chunks))
     acc_chunks = (acc_chunks // super_chunks) * super_chunks
+    if est_total_chunks is not None and est_total_chunks > 0:
+        # the final D2H reads every window slot: never allocate more slots
+        # than the capture can dispatch (incl. the zero-padded final group)
+        padded_total = -(-est_total_chunks // super_chunks) * super_chunks
+        acc_chunks = max(super_chunks, min(acc_chunks, padded_total))
 
     # channelizer backend selection: the decimating conv (runs on minimal
     # TPU backends, MXU-friendly) or the overlap-save FFT bank (the

@@ -93,6 +93,49 @@ def test_golden_all_modes(tmp_path, mode, agc, gen):
     assert rms > 0.005
 
 
+@pytest.mark.parametrize("mode,toneoff", [("usb", 1_000.0), ("lsb", -1_000.0)])
+def test_golden_ssb_agc_on(tmp_path, mode, toneoff):
+    """End-to-end AGC-ON golden: the device SSB pipeline (multi-chunk, gain
+    carried across chunks) within -60 dB of the float64 AGC chain.
+
+    The twin consumes the device's own dumped channel IQ (cf32) rather than
+    rerunning the full f64 front-end: the AGC's ``target/|x|`` update
+    amplifies any upstream f32-vs-f64 difference by 25-40 dB near audio
+    zero crossings (measured: a -60 dB AGC-off chain lands at only -21 dB
+    after AGC), so a full-chain comparison cannot isolate the AGC.  Sharing
+    the bit-exact channel stream pins the comparison to what this test is
+    for: the scan-based gain recurrence, its cross-chunk carry, and the
+    resampler behind it.  See PARITY.md (AGC numerics)."""
+    from iq_to_audio_tpu.ref.chain import RefAGC, RefDCBlocker
+
+    iq = make_tone_iq(FS, 2.0, OFFSET + toneoff)
+    path = _write_capture(tmp_path, iq, codec="pcm_f32le")
+    out = tmp_path / "audio.wav"
+    dump = tmp_path / "chan.cf32"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + OFFSET,
+        demod_mode=mode,
+        agc_enabled=True,
+        output_path=out,
+        chunk_size=32_768,  # several chunks: the carried gain matters
+        dump_iq_path=dump,
+    )
+    result = ProcessingPipeline(cfg).run()
+    got = read_wav(out)[0][:, 0]
+    raw = np.fromfile(dump, dtype=np.complex64)
+    analytic = np.conj(raw) if mode == "lsb" else raw
+    audio = RefDCBlocker().process(analytic.real.astype(np.float64))
+    audio = RefAGC().process(audio)
+    fs_ch = FS / result.decimation
+    plan = ResamplePlan.create(fs_ch, 48_000.0, 1)
+    ref = np.clip(RefResampler(plan.up, plan.down).resample_all(audio), -0.99, 0.99)
+    n = min(got.size, ref.size)
+    assert abs(got.size - ref.size) <= 2
+    err = error_db(got[:n], ref[:n])
+    assert err < -60.0, (mode, err)
+
+
 def test_ssb_agc_tracks_target(tmp_path):
     """With AGC on, quiet SSB audio is pulled toward the -12 dBFS target and
     the device gain trajectory matches the float64 twin's RMS closely."""
@@ -158,6 +201,73 @@ def test_superstep_equals_single_step(tmp_path, monkeypatch):
     diff = np.abs(outputs["single"] - outputs["super4"])
     assert diff.max() <= 1.5 / 32767.0
     assert float(np.mean(diff > 0)) < 1e-3
+
+
+def test_overlap_schedule_matches_phased(tmp_path, monkeypatch):
+    """The overlapped hot-loop schedule (group k+1's upload issued behind
+    group k's dispatch, previous window drained after this window's
+    submits) must write byte-identical audio to the strict phased
+    schedule — same dispatch groups, same executable, different host
+    ordering only."""
+    iq = make_nfm_iq(FS, 1.3, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    outputs = {}
+    monkeypatch.setenv("IQ2A_SUPER", "2")  # 2-chunk groups
+    monkeypatch.setenv("IQ2A_ACC", "4")  # 2 groups per window, ~3 windows
+    for label, env in (("phased", "0"), ("overlap", "1")):
+        monkeypatch.setenv("IQ2A_OVERLAP", env)
+        out = tmp_path / f"audio_{label}.wav"
+        cfg = ProcessingConfig(
+            in_path=path,
+            target_freq=CENTER + OFFSET,
+            output_path=out,
+            chunk_size=32_768,
+            mix_sign_override=1,
+        )
+        ProcessingPipeline(cfg).run()
+        outputs[label] = read_wav(out)[0][:, 0]
+    assert np.array_equal(outputs["phased"], outputs["overlap"])
+
+
+def test_overlap_auto_calibration(tmp_path, monkeypatch, caplog):
+    """On captures spanning >=4 accumulation windows the default (auto)
+    schedule runs a phased-vs-overlapped A/B on windows 1-2, logs the
+    decision, and still writes byte-identical audio."""
+    import logging as _logging
+
+    # the planner tunes chunk_size to ~65536 here: 3.5 s -> ~14 chunks,
+    # 7 two-chunk windows — enough for the >=4-window A/B gate
+    iq = make_nfm_iq(FS, 3.5, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    monkeypatch.setenv("IQ2A_SUPER", "2")
+    monkeypatch.setenv("IQ2A_ACC", "2")  # 1 group per window
+    monkeypatch.setenv("IQ2A_OVERLAP", "0")
+    out_phased = tmp_path / "audio_phased.wav"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + OFFSET,
+        output_path=out_phased,
+        chunk_size=32_768,
+        mix_sign_override=1,
+    )
+    ProcessingPipeline(cfg).run()
+    monkeypatch.delenv("IQ2A_OVERLAP")
+    out_auto = tmp_path / "audio_auto.wav"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + OFFSET,
+        output_path=out_auto,
+        chunk_size=32_768,
+        mix_sign_override=1,
+    )
+    with caplog.at_level(_logging.INFO, logger="iq_to_audio_tpu.pipeline.pipeline"):
+        ProcessingPipeline(cfg).run()
+    assert any(
+        "overlap auto-calibration" in r.getMessage() for r in caplog.records
+    )
+    assert np.array_equal(
+        read_wav(out_phased)[0][:, 0], read_wav(out_auto)[0][:, 0]
+    )
 
 
 def test_build_chunk_step_explicit_super_on_accelerator(monkeypatch):
