@@ -64,92 +64,86 @@ DIGITAL_DECODER_KEYS: tuple[str, ...] = tuple(d.key for d in DIGITAL_DECODERS)
 
 
 def _add_digital_subcommand(parser: argparse.ArgumentParser) -> None:
-    subparsers = parser.add_subparsers(dest="subcommand", metavar="command")
-    digital = subparsers.add_parser(
+    sub = parser.add_subparsers(dest="subcommand", metavar="command")
+    digital = sub.add_parser(
         "digital",
-        help="Launch a digital decoder within the backend container.",
+        help="Run a digital decoder inside the backend container.",
         description=(
-            "Run the iq-to-audio backend container and invoke a decoder such as "
-            "DSD-FME. The selected audio directory is bind-mounted into the "
-            "container, allowing decoders to process exported recordings."
+            "Bind-mounts a directory of exported audio into the "
+            "iq-to-audio backend container and runs a decoder preset "
+            "(e.g. DSD-FME), or an explicit command, over it."
         ),
     )
-    digital.add_argument("--audio-dir", dest="audio_dir", type=Path, required=True,
-                         help="Directory containing exported audio to bind-mount inside the container.")
-    digital.add_argument("--decoder", dest="decoder", choices=DIGITAL_DECODER_KEYS,
-                         default=DEFAULT_DECODER_KEY,
-                         help="Decoder preset to use (default: %(default)s).")
-    digital.add_argument("--image", dest="image", type=str, default=None,
-                         help="Docker image to launch (default: backend image).")
-    digital.add_argument("--no-pull", dest="pull", action="store_false",
-                         help="Do not automatically pull the backend image if it is missing locally.")
-    digital.add_argument("decoder_args", nargs=argparse.REMAINDER,
-                         help="Command to execute inside the container (prefix with -- to pass flags).")
-    digital.set_defaults(pull=True)
+    digital.add_argument(
+        "--audio-dir", type=Path, required=True,
+        help="Directory of exported audio to mount inside the container.",
+    )
+    digital.add_argument(
+        "--decoder", choices=DIGITAL_DECODER_KEYS, default=DEFAULT_DECODER_KEY,
+        help="Decoder preset to run (default: %(default)s).",
+    )
+    digital.add_argument(
+        "--image", default=None,
+        help="Override the backend Docker image.",
+    )
+    digital.add_argument(
+        "--no-pull", dest="pull", action="store_false", default=True,
+        help="Never pull the backend image; fail if it is missing locally.",
+    )
+    digital.add_argument(
+        "decoder_args", nargs=argparse.REMAINDER,
+        help="Explicit container command (prefix with -- to pass flags).",
+    )
+
+
+def _digital_command_tokens(args: argparse.Namespace) -> tuple[str, ...]:
+    """The container command: an explicit trailing command wins, otherwise
+    the selected preset's default.  Raises ValueError on unusable input."""
+    tokens = list(getattr(args, "decoder_args", None) or [])
+    if tokens[:1] == ["--"]:
+        tokens = tokens[1:]
+    if tokens:
+        return tuple(tokens)
+    try:
+        preset = get_decoder(args.decoder)
+    except KeyError as exc:
+        raise ValueError(f"Unsupported decoder preset: {args.decoder}") from exc
+    if not preset.default_command:
+        raise ValueError("No command specified for backend container.")
+    return preset.default_command
+
+
+def _existing_dir(path: Path) -> Path:
+    if not path.exists():
+        raise ValueError(f"Audio directory does not exist: {path}")
+    if not path.is_dir():
+        raise ValueError(f"Audio path is not a directory: {path}")
+    return path
 
 
 def run_digital_command(args: argparse.Namespace) -> int:
-    from .post.docker_backend import (
-        DEFAULT_IMAGE,
-        DockerBackend,
-        DockerBackendConfig,
-        DockerBackendError,
-        DockerConnectionError,
-        DockerLaunchError,
-        DockerLaunchRequest,
-    )
+    """``iq-to-audio digital …``: one linear flow, every user error funneled
+    through ValueError/DockerBackendError into a single exit path."""
+    from .post import docker_backend as db
 
-    audio_dir: Path = args.audio_dir
-    if not audio_dir.exists():
-        LOG.error("Audio directory does not exist: %s", audio_dir)
-        return 1
-    if not audio_dir.is_dir():
-        LOG.error("Audio path is not a directory: %s", audio_dir)
-        return 1
     try:
-        decoder = get_decoder(args.decoder)
-    except KeyError:
-        LOG.error("Unsupported decoder preset: %s", args.decoder)
-        return 1
-
-    extra_args = list(getattr(args, "decoder_args", []) or [])
-    if extra_args and extra_args[0] == "--":
-        extra_args = extra_args[1:]
-    command_tokens = tuple(extra_args) if extra_args else decoder.default_command
-    if not command_tokens:
-        LOG.error("No command specified for backend container.")
-        return 1
-
-    config = DockerBackendConfig(image=args.image or DEFAULT_IMAGE)
-    try:
-        backend = DockerBackend(config=config)
+        command = _digital_command_tokens(args)
+        launch = db.DockerLaunchRequest(
+            command=command,
+            audio_dir=_existing_dir(args.audio_dir),
+            decoder_key=args.decoder,
+            pull_if_missing=bool(args.pull),
+        )
+        backend = db.DockerBackend(
+            config=db.DockerBackendConfig(image=args.image or db.DEFAULT_IMAGE)
+        )
         backend.ensure_connection()
-    except DockerConnectionError as exc:
-        LOG.error("Docker engine unavailable: %s", exc)
-        return 1
-    launch = DockerLaunchRequest(
-        command=command_tokens,
-        audio_dir=audio_dir,
-        decoder_key=decoder.key,
-        pull_if_missing=bool(args.pull),
-    )
-    LOG.info(
-        "Launching backend decoder '%s' with command: %s",
-        decoder.key,
-        " ".join(command_tokens),
-    )
-
-    def _emit_log(text: str) -> None:
-        sys.stdout.write(text)
-        sys.stdout.flush()
-
-    try:
-        backend.run_and_stream(launch, log_callback=_emit_log)
-    except (DockerLaunchError, DockerBackendError) as exc:
-        LOG.error("Backend execution failed: %s", exc)
-        return 1
-    except ValueError as exc:
-        LOG.error("Invalid launch parameters: %s", exc)
+        LOG.info("Backend decoder '%s': %s", args.decoder, " ".join(command))
+        backend.run_and_stream(
+            launch, log_callback=lambda text: print(text, end="", flush=True)
+        )
+    except (ValueError, db.DockerBackendError) as exc:
+        LOG.error("%s", exc)
         return 1
     return 0
 
@@ -271,22 +265,30 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def _run_audio_post(args: argparse.Namespace) -> int:
-    squelch_config = SquelchConfig(
-        method=args.audio_post_mode,
-        auto_noise_floor=args.audio_post_noise_floor is None,
-        manual_noise_floor_db=args.audio_post_noise_floor,
-        noise_floor_percentile=args.audio_post_percentile,
-        threshold_margin_db=args.audio_post_threshold,
-        trim_silence=args.audio_post_trim,
-        trim_lead_seconds=args.audio_post_lead,
-        trim_trail_seconds=args.audio_post_trail,
-    )
-    post_options = AudioPostOptions(
-        config=squelch_config,
+# --audio-post-* flag -> SquelchConfig field plumbing, declaratively
+_SQUELCH_FLAG_FIELDS = {
+    "method": "audio_post_mode",
+    "manual_noise_floor_db": "audio_post_noise_floor",
+    "noise_floor_percentile": "audio_post_percentile",
+    "threshold_margin_db": "audio_post_threshold",
+    "trim_silence": "audio_post_trim",
+    "trim_lead_seconds": "audio_post_lead",
+    "trim_trail_seconds": "audio_post_trail",
+}
+
+
+def _post_options(args: argparse.Namespace) -> AudioPostOptions:
+    fields = {dst: getattr(args, src) for dst, src in _SQUELCH_FLAG_FIELDS.items()}
+    fields["auto_noise_floor"] = args.audio_post_noise_floor is None
+    return AudioPostOptions(
+        config=SquelchConfig(**fields),
         overwrite=args.audio_post_overwrite,
         cleaned_suffix=args.audio_post_suffix,
     )
+
+
+def _run_audio_post(args: argparse.Namespace) -> int:
+    post_options = _post_options(args)
     try:
         post_targets = gather_audio_targets(args.audio_post_path, post_options)
     except Exception as exc:
@@ -295,19 +297,24 @@ def _run_audio_post(args: argparse.Namespace) -> int:
     if not post_targets:
         LOG.error("No audio files found at %s.", args.audio_post_path)
         return 1
+    naming = (
+        "overwrite"
+        if post_options.overwrite
+        else f"suffix '{post_options.cleaned_suffix}'"
+    )
     LOG.info(
         "Audio post-processing %d file(s) via %s squelch (%s).",
         len(post_targets),
-        squelch_config.method,
-        "overwrite" if post_options.overwrite else f"suffix '{post_options.cleaned_suffix}'",
+        post_options.config.method,
+        naming,
     )
 
     def _progress(completed: int, total: int, current: Path) -> None:
         if total <= 0:
             LOG.info("Processing %s", current)
-            return
-        completed = max(0, min(completed, total))
-        LOG.info(" [%6.2f%%] %s", (completed / total) * 100.0, current)
+        else:
+            pct = 100.0 * max(0, min(completed, total)) / total
+            LOG.info(" [%6.2f%%] %s", pct, current)
 
     summary = process_audio_batch(post_targets, post_options, progress_cb=_progress)
     for item in summary.results:
@@ -371,50 +378,51 @@ def main(argv: list[str] | None = None) -> int:
     args.input_paths = list(args.input_path or [])
     args.input_path = args.input_paths[0] if args.input_paths else None
 
-    input_format_value: str | None = None
-    input_container: str | None = None
-    input_format_source: str | None = None
+    # (codec, container, source) from an explicit --input-format override
+    input_fmt: tuple[str | None, str | None, str | None] = (None, None, None)
     if args.input_format:
         try:
             container, codec = parse_user_format(args.input_format, default_container=None)
         except ValueError as exc:
             parser.error(f"--input-format: {exc}")
-        input_format_value = codec
-        input_container = container
-        input_format_source = "cli"
+        input_fmt = (codec, container, "cli")
 
     if len(frequencies) > 5:
         parser.error("At most five target frequencies are supported per run.")
-    seen: list[float] = []
-    for freq in frequencies:
-        for prior in seen:
-            if math.isclose(freq, prior, rel_tol=0.0, abs_tol=0.5):
-                parser.error("Duplicate target frequencies are not allowed.")
-        seen.append(freq)
+    for n, freq in enumerate(frequencies):
+        if any(math.isclose(freq, prior, abs_tol=0.5) for prior in frequencies[:n]):
+            parser.error("Duplicate target frequencies are not allowed.")
 
+    # flags whose dest already IS the ProcessingConfig field name pass
+    # straight through; everything renamed or derived is listed explicitly
     shared_kwargs = {
-        "bandwidth": args.bandwidth,
-        "center_freq": args.center_freq,
-        "center_freq_source": "cli" if args.center_freq is not None else None,
-        "demod_mode": args.demod,
-        "fs_ch_target": args.fs_ch,
-        "deemph_us": args.deemph_us,
-        "agc_enabled": args.agc_enabled,
-        "chunk_size": args.chunk_size,
-        "filter_block": args.filter_block,
-        "auto_filter_block": args.auto_filter_block,
-        "iq_order": args.iq_order,
-        "probe_only": args.probe_only,
-        "mix_sign_override": args.mix_sign,
-        "fft_workers": args.fft_workers,
-        "input_format": input_format_value,
-        "input_container": input_container,
-        "input_format_source": input_format_source,
-        "input_sample_rate": args.input_sample_rate,
-        "profile_dir": args.profile_dir,
-        "checkpoint_secs": args.checkpoint_secs,
-        "resume": args.resume,
+        name: getattr(args, name)
+        for name in (
+            "bandwidth",
+            "center_freq",
+            "deemph_us",
+            "agc_enabled",
+            "chunk_size",
+            "filter_block",
+            "auto_filter_block",
+            "iq_order",
+            "probe_only",
+            "fft_workers",
+            "input_sample_rate",
+            "profile_dir",
+            "checkpoint_secs",
+            "resume",
+        )
     }
+    shared_kwargs.update(
+        center_freq_source="cli" if args.center_freq is not None else None,
+        demod_mode=args.demod,
+        fs_ch_target=args.fs_ch,
+        mix_sign_override=args.mix_sign,
+        input_format=input_fmt[0],
+        input_container=input_fmt[1],
+        input_format_source=input_fmt[2],
+    )
     base_kwargs = dict(shared_kwargs)
     base_kwargs.update(
         target_freq=frequencies[0] if frequencies else 0.0,
@@ -545,7 +553,7 @@ def main(argv: list[str] | None = None) -> int:
             tag = int(round(result.target_freq))
             print(
                 f"[{tag}] Sample rate: {info.value:.2f} Hz "
-                f"(ffprobe={info.ffprobe}, header={info.header}, wave={info.wave})"
+                f"(header={info.header}, wave={info.wave}, override={info.override})"
             )
             print(
                 f"[{tag}] Center frequency: {result.center_freq:.0f} Hz, "

@@ -1,10 +1,13 @@
 """Sample-rate probing.
 
-Same preference triple as the reference (``probe.py:14-37``): the reference
-asks ffprobe, libsndfile and the stdlib ``wave`` module; here the primary
-source is the first-party RIFF parser, with ``wave`` as an independent
-cross-check.  The ``ffprobe`` slot is kept for API parity and is always
-None (there is no external prober to shell out to).
+The reference triangulates ffprobe, libsndfile and the stdlib ``wave``
+module (reference ``probe.py:14-37``).  This framework has no external
+probers, so the sources are the ones that actually exist here: the
+first-party RIFF parser (authoritative — it applies the same
+ignore-length semantics as the reader), the stdlib ``wave`` module as an
+independent cross-check, and an explicit user override (raw captures have
+no header to probe).  A disagreement between parser and cross-check is
+logged rather than silently resolved.
 """
 
 from __future__ import annotations
@@ -18,39 +21,55 @@ from .riff import WavFormatError, parse_wav_header
 LOG = logging.getLogger(__name__)
 
 
-@dataclass
+@dataclass(frozen=True)
 class SampleRateProbe:
-    ffprobe: float | None
-    header: float | None
-    wave: float | None = None
+    """Best-effort sample-rate measurements, one slot per source."""
+
+    header: float | None = None  # first-party RIFF parse
+    wave: float | None = None  # stdlib ``wave`` cross-check
+    override: float | None = None  # user-supplied (--input-sample-rate)
 
     @property
     def value(self) -> float:
-        """Return the best available sample rate measurement."""
-        if self.ffprobe:
-            return self.ffprobe
-        if self.header:
-            return self.header
-        if self.wave:
-            return self.wave
+        """The rate to run with: explicit user intent outranks the header,
+        which outranks the stdlib fallback."""
+        for rate in (self.override, self.header, self.wave):
+            if rate:
+                return rate
         raise RuntimeError("Unable to determine sample rate from header.")
+
+    @property
+    def consistent(self) -> bool:
+        """False when two populated sources disagree."""
+        rates = {r for r in (self.header, self.wave) if r}
+        return len(rates) <= 1
 
 
 def probe_sample_rate(path: Path) -> SampleRateProbe:
-    header_rate = _header_sample_rate(path)
-    wave_rate = _wave_sample_rate(path)
-    return SampleRateProbe(ffprobe=None, header=header_rate, wave=wave_rate)
+    probe = SampleRateProbe(
+        header=_riff_rate(path), wave=_stdlib_wave_rate(path)
+    )
+    if not probe.consistent:
+        LOG.warning(
+            "Sample-rate sources disagree for %s: RIFF parser says %s, "
+            "stdlib wave says %s — using %s.",
+            path,
+            probe.header,
+            probe.wave,
+            probe.value,
+        )
+    return probe
 
 
-def _header_sample_rate(path: Path) -> float | None:
+def _riff_rate(path: Path) -> float | None:
     try:
         info = parse_wav_header(path)
     except (WavFormatError, OSError):
         return None
-    return float(info.sample_rate) if info.sample_rate else None
+    return float(info.sample_rate) or None
 
 
-def _wave_sample_rate(path: Path) -> float | None:
+def _stdlib_wave_rate(path: Path) -> float | None:
     import wave
 
     try:

@@ -1,14 +1,16 @@
 """Container orchestration for third-party digital decoders.
 
-Same capability surface as the reference backend module (reference
+Capability parity with the reference backend module (reference
 ``docker_backend.py``): engine connectivity probing, image inspection,
-offline-first image acquisition (local → bundled tar.xz → registry
-pull), and a detached run that streams container logs back to a
-callback and maps the exit status.
+offline-first image acquisition (local image → bundled tar.xz → registry
+pull), and a detached run that streams container logs to a callback and
+maps the exit status.
 
-``docker-py`` is imported lazily: the TPU pipeline never needs it, the
-test suite injects a mock client, and machines without Docker can still
-use everything else in the package.
+Design differences from the reference: ``docker-py`` is imported lazily
+(the TPU pipeline never needs it, tests inject a mock client, and
+machines without Docker keep the rest of the package), every SDK call
+goes through one error-translation helper, and image acquisition is a
+strategy chain rather than nested conditionals.
 """
 
 from __future__ import annotations
@@ -59,13 +61,25 @@ def _sdk_errors() -> tuple[type[BaseException], ...]:
     return (DockerException, OSError)
 
 
-def _errtext(exc: BaseException, fallback: str) -> str:
-    return str(exc).strip() or fallback
+def _raise_as(exc_type: type[DockerBackendError], exc: BaseException, fallback: str):
+    """Translate an SDK exception into this module's hierarchy."""
+    raise exc_type(str(exc).strip() or fallback) from exc
 
 
 def default_decoder_command(command: Sequence[str] | None = None) -> tuple[str, ...]:
     """Normalize a decoder command to a tuple, defaulting to dsd-fme."""
     return tuple(command) if command else ("dsd-fme", "--help")
+
+
+def _as_exit_code(value: object) -> int:
+    """Container StatusCode as reported by the engine -> int, 1 if odd."""
+    match value:
+        case bool() | int() | float():
+            return int(value)
+        case str() if value.lstrip("-").isdigit():
+            return int(value)
+        case _:
+            return 1
 
 
 @dataclass(slots=True)
@@ -91,14 +105,27 @@ class DockerLaunchRequest:
     pull_if_missing: bool = True
 
     def validate(self) -> None:
-        if not self.command:
-            raise ValueError(
-                "Launch request must include a command to execute inside the container."
-            )
-        if not self.audio_dir.exists():
-            raise ValueError(f"Audio directory does not exist: {self.audio_dir}")
-        if not self.audio_dir.is_dir():
-            raise ValueError(f"Audio path is not a directory: {self.audio_dir}")
+        problem = (
+            "Launch request must include a command to execute inside the "
+            "container."
+            if not self.command
+            else f"Audio directory does not exist: {self.audio_dir}"
+            if not self.audio_dir.exists()
+            else f"Audio path is not a directory: {self.audio_dir}"
+            if not self.audio_dir.is_dir()
+            else None
+        )
+        if problem:
+            raise ValueError(problem)
+
+    def mount_spec(self, target: Path) -> dict[str, dict[str, str]]:
+        """docker-py volume mapping: host audio dir -> container target."""
+        return {
+            self.audio_dir.resolve().as_posix(): {
+                "bind": target.as_posix(),
+                "mode": "rw",
+            }
+        }
 
 
 @dataclass(slots=True)
@@ -117,10 +144,12 @@ class DockerImageInfo:
     def format_status(self) -> str:
         if not self.present:
             return "Image not yet loaded"
-        tag = self.tags[0] if self.tags else "unknown"
-        size = f"{self.size_mb:.0f} MB" if self.size_mb else "unknown size"
-        built = self.created.split("T")[0] if self.created else "unknown date"
-        return f"Image: {tag} ({size}, built {built})"
+        parts = [
+            f"{self.size_mb:.0f} MB" if self.size_mb else "unknown size",
+            f"built {self.created.split('T')[0]}" if self.created else "built ?",
+        ]
+        name = next(iter(self.tags), "unknown")
+        return f"Image: {name} ({', '.join(parts)})"
 
 
 class DockerBackend:
@@ -143,9 +172,7 @@ class DockerBackend:
         try:
             return docker.from_env()
         except Exception as exc:
-            raise DockerConnectionError(
-                _errtext(exc, "Unable to create a Docker client.")
-            ) from exc
+            _raise_as(DockerConnectionError, exc, "Unable to create a Docker client.")
 
     @property
     def client(self):
@@ -159,7 +186,7 @@ class DockerBackend:
             # ping alone can succeed without list permissions
             self._client.containers.list(limit=1)
         except _sdk_errors() as exc:
-            msg = _errtext(exc, "Unable to communicate with the Docker engine.")
+            msg = str(exc).strip() or "Unable to communicate with the Docker engine."
             LOG.debug("Docker probe failed: %s", msg)
             return DockerConnectivity(False, msg)
         return DockerConnectivity(True, "Docker engine reachable.")
@@ -184,26 +211,29 @@ class DockerBackend:
         )
 
     def pull_image(self) -> None:
-        LOG.debug("Pulling backend image %s", self.config.image)
+        LOG.debug("Registry pull: %s", self.config.image)
         try:
             self._client.images.pull(self.config.image)
         except _sdk_errors() as exc:  # pragma: no cover - registry-specific
-            raise DockerBackendError(
-                _errtext(exc, f"Failed to pull {self.config.image}.")
-            ) from exc
+            _raise_as(DockerBackendError, exc, f"Failed to pull {self.config.image}.")
 
     # ---- offline-first bundled image ----
 
     @staticmethod
     def _locate_bundled_tar() -> Path | None:
-        if getattr(sys, "frozen", False) and hasattr(sys, "_MEIPASS"):
-            root = Path(sys._MEIPASS) / "docker"
-        else:
-            root = Path(__file__).resolve().parents[2] / "packaging" / "docker"
+        """The per-arch image tar shipped next to the frozen app (PyInstaller
+        ``_MEIPASS``) or in the source tree's packaging directory."""
+        frozen = getattr(sys, "frozen", False) and hasattr(sys, "_MEIPASS")
+        root = (
+            Path(sys._MEIPASS) / "docker"
+            if frozen
+            else Path(__file__).resolve().parents[2] / "packaging" / "docker"
+        )
         name = _BUNDLE_TAR_BY_ARCH.get(platform.machine().lower())
         if name is None:
             LOG.warning(
-                "Unsupported architecture for bundled image: %s", platform.machine()
+                "No bundled backend image for this architecture (%s)",
+                platform.machine(),
             )
             return None
         candidate = root / name
@@ -216,47 +246,55 @@ class DockerBackend:
         notify = progress_callback or (lambda _msg: None)
         src = self._locate_bundled_tar()
         if src is None:
-            LOG.debug("No bundled Docker image found")
+            LOG.debug("No bundled backend image tar on disk")
             return False
-        LOG.info("Loading bundled Docker image from %s", src)
+        LOG.info("Found bundled backend image: %s", src)
         notify("Extracting bundled container image...")
-        scratch: Path | None = None
-        try:
-            with tempfile.NamedTemporaryFile(suffix=".tar", delete=False) as tmp:
-                scratch = Path(tmp.name)
-            with lzma.open(src, "rb") as packed, open(scratch, "wb") as raw:
-                shutil.copyfileobj(packed, raw)
+        with tempfile.TemporaryDirectory(prefix="iq2a-docker-") as scratch:
+            unpacked = Path(scratch) / "image.tar"
+            try:
+                with lzma.open(src, "rb") as packed, unpacked.open("wb") as raw:
+                    shutil.copyfileobj(packed, raw)
+            except (lzma.LZMAError, OSError) as exc:
+                raise DockerBackendError(
+                    f"Failed to decompress bundled image: {exc}"
+                ) from exc
             notify("Loading container into Docker...")
-            with open(scratch, "rb") as f:
-                self._client.images.load(f.read())
-        except (lzma.LZMAError, OSError) as exc:
-            raise DockerBackendError(
-                f"Failed to decompress bundled image: {exc}"
-            ) from exc
-        except _sdk_errors() as exc:
-            raise DockerBackendError(
-                f"Failed to load bundled image into Docker: {exc}"
-            ) from exc
-        finally:
-            if scratch is not None:
-                with contextlib.suppress(OSError):
-                    scratch.unlink()
-        LOG.info("Successfully loaded bundled Docker image")
+            try:
+                self._client.images.load(unpacked.read_bytes())
+            except _sdk_errors() as exc:
+                raise DockerBackendError(
+                    f"Failed to load bundled image into Docker: {exc}"
+                ) from exc
+        LOG.info("Bundled backend image loaded")
         return True
 
     def _ensure_image_available(self) -> None:
-        """Acquisition order: local image, then bundled tar, then registry."""
-        with contextlib.suppress(*_sdk_errors()):
-            self._client.images.get(self.config.image)
-            return
-        LOG.info("Image not found locally, attempting to load from bundled tar...")
-        try:
-            if self.load_bundled_image():
+        """Acquisition chain: local image, then bundled tar, then registry;
+        the first source that delivers wins, the registry failure is fatal."""
+
+        def have_local() -> bool:
+            with contextlib.suppress(*_sdk_errors()):
+                self._client.images.get(self.config.image)
+                return True
+            return False
+
+        def bundled() -> bool:
+            LOG.info("Image not local; trying the bundled tar...")
+            try:
+                return self.load_bundled_image()
+            except DockerBackendError:
+                LOG.warning("Bundled image failed to load; will pull instead")
+                return False
+
+        def registry() -> bool:
+            LOG.info("Pulling backend image from the registry...")
+            self.pull_image()
+            return True
+
+        for acquire in (have_local, bundled, registry):
+            if acquire():
                 return
-        except DockerBackendError:
-            LOG.warning("Failed to load bundled image, will try pull instead")
-        LOG.info("Bundled image unavailable, pulling from registry...")
-        self.pull_image()
 
     # ---- run ----
 
@@ -273,14 +311,9 @@ class DockerBackend:
         request.validate()
         if request.pull_if_missing:
             self._ensure_image_available()
-        mount = {
-            request.audio_dir.resolve().as_posix(): {
-                "bind": self.config.audio_mount.as_posix(),
-                "mode": "rw",
-            }
-        }
+        emit = log_callback or (lambda line: LOG.info("%s", line.rstrip("\n")))
         LOG.debug(
-            "Launching backend container image=%s command=%s audio_dir=%s",
+            "Backend container: image=%s command=%s audio_dir=%s",
             self.config.image,
             request.command,
             request.audio_dir,
@@ -291,27 +324,22 @@ class DockerBackend:
                 command=list(request.command),
                 detach=True,
                 remove=self.config.auto_remove,
-                volumes=mount,
+                volumes=request.mount_spec(self.config.audio_mount),
                 working_dir=self.config.audio_mount.as_posix(),
                 environment=self.config.environment or None,
                 tty=self.config.tty,
                 stdin_open=self.config.stdin_open,
             )
         except _sdk_errors() as exc:
-            raise DockerLaunchError(
-                _errtext(exc, "Failed to start backend container.")
-            ) from exc
+            _raise_as(DockerLaunchError, exc, "Failed to start backend container.")
 
         try:
             for line in self._log_lines(container):
-                if log_callback is not None:
-                    log_callback(line)
-                else:
-                    LOG.info("%s", line.rstrip("\n"))
+                emit(line)
         finally:
             outcome = self._await_exit(container)
 
-        code = self._exit_code(outcome.get("StatusCode", 1))
+        code = _as_exit_code(outcome.get("StatusCode", 1))
         if code != 0:
             err = outcome.get("Error")
             raise DockerLaunchError(
@@ -325,36 +353,16 @@ class DockerBackend:
         try:
             stream = container.attach(stream=True, stdout=True, stderr=True, logs=True)
         except _sdk_errors() as exc:
-            raise DockerLaunchError(
-                _errtext(exc, "Unable to attach to backend container.")
-            ) from exc
+            _raise_as(DockerLaunchError, exc, "Unable to attach to backend container.")
         for raw in stream:
-            if isinstance(raw, bytes):
-                yield raw.decode("utf-8", errors="replace")
-            else:
-                yield str(raw)
+            yield raw.decode("utf-8", errors="replace") if isinstance(raw, bytes) else str(raw)
 
     def _await_exit(self, container) -> dict[str, object]:
         try:
             return dict(container.wait())
         except _sdk_errors() as exc:
-            raise DockerLaunchError(
-                _errtext(exc, "Failed while waiting for container exit.")
-            ) from exc
+            _raise_as(DockerLaunchError, exc, "Failed while waiting for container exit.")
         finally:
             if not self.config.auto_remove:
                 with contextlib.suppress(Exception):
                     container.remove(force=True)
-
-    @staticmethod
-    def _exit_code(value: object) -> int:
-        if isinstance(value, bool):
-            return int(value)
-        if isinstance(value, (int, float)):
-            return int(value)
-        if isinstance(value, str):
-            try:
-                return int(value)
-            except ValueError:
-                return 1
-        return 1

@@ -1,10 +1,17 @@
 """Center-frequency detection from metadata tags and filename heuristics.
 
-Capability match with the reference ``utils.py:24-199``: metadata keys are
-checked first (tags come from the first-party RIFF INFO parser instead of
-libsndfile/ffprobe), then filename patterns like ``baseband_145500000Hz...``
-(SDR++) or ``HH-MM-SS_..145500kHz..`` (SDR#), picking the **largest**
-candidate >= 1 kHz.
+Behavioral parity with the reference (``utils.py:24-199``), re-expressed as
+a ranked candidate stream: every possible source (known metadata keys,
+frequency-ish stray tags, filename tokens) yields scored candidates in
+priority order and the first parseable one wins.  Tags come from the
+first-party RIFF INFO parser instead of libsndfile/ffprobe; embedded
+``key=value`` / ``key:value`` lines inside comment-style tags are unpacked
+(reference ``utils.py:216-218``), with ``;`` accepted both as a line
+separator and as a comment prefix.
+
+Contract pinned by tests/test_utils.py: largest filename candidate >= 1 kHz
+wins; sources are ``metadata:<key>``, ``filename:sdrpp``,
+``filename:sdrsharp``, ``filename``, ``unavailable``.
 """
 
 from __future__ import annotations
@@ -13,12 +20,22 @@ import logging
 import re
 from dataclasses import dataclass
 from pathlib import Path
+from typing import Iterator
 
 LOG = logging.getLogger(__name__)
 
-_FREQ_PATTERN = re.compile(r"(?P<value>[-+]?\d+(?:\.\d+)?)(?P<unit>\s*[kKmMgG]?)\s*(?:[Hh][Zz])?")
-_FILENAME_FREQ_PATTERN = re.compile(r"(?i)(\d+(?:\.\d+)?)([kmg]?)(?:hz)")
-_METADATA_KEYS = [
+# "145.5 M", "145500000", "433.92MHz", ... — magnitude + optional SI scale
+_TEXT_FREQ = re.compile(
+    r"(?P<mag>[-+]?\d+(?:\.\d+)?)(?P<scale>\s*[kKmMgG]?)\s*(?:[Hh][Zz])?"
+)
+# filename tokens must spell out the unit: "145500000Hz", "433920kHz"
+_NAME_FREQ = re.compile(r"(?i)(?P<mag>\d+(?:\.\d+)?)(?P<scale>[kmg]?)hz")
+
+_SCALE = {"": 1.0, "k": 1e3, "m": 1e6, "g": 1e9}
+
+# tag keys that explicitly mean "tuner center", most specific first; any
+# other key merely *mentioning* freq/hz ranks after all of these
+_KNOWN_KEYS = (
     "center_frequency",
     "centerfrequency",
     "frequency",
@@ -27,9 +44,14 @@ _METADATA_KEYS = [
     "carrier_frequency",
     "rx_frequency",
     "hz",
-]
+)
+_KEY_RANK = {key: rank for rank, key in enumerate(_KNOWN_KEYS)}
 
-_UNIT_MULTIPLIER = {"": 1.0, "k": 1e3, "m": 1e6, "g": 1e9}
+# filename layout fingerprints -> source label suffix
+_STEM_STYLES = (
+    ("sdrpp", re.compile(r"^baseband_")),
+    ("sdrsharp", re.compile(r"^\d{2}-\d{2}-\d{2}_")),
+)
 
 
 @dataclass
@@ -39,13 +61,9 @@ class CenterFrequencyResult:
 
 
 def detect_center_frequency(path: Path) -> CenterFrequencyResult:
-    """Detect center frequency (Hz) via metadata first, then filename."""
-    metadata = _from_metadata(path)
-    if metadata is not None:
-        return metadata
-    filename = _from_filename(path)
-    if filename is not None:
-        return filename
+    """Detect center frequency (Hz): metadata outranks filename."""
+    for candidate in _candidates(path):
+        return candidate
     return CenterFrequencyResult(value=None, source="unavailable")
 
 
@@ -54,7 +72,35 @@ def parse_center_frequency(path: Path) -> float | None:
     return detect_center_frequency(path).value
 
 
+def _candidates(path: Path) -> Iterator[CenterFrequencyResult]:
+    """All parseable frequency candidates, best source first."""
+    tags = _file_tags(path)
+    ranked = sorted(
+        (k for k in tags if k in _KEY_RANK or _frequencyish(k)),
+        key=lambda k: _KEY_RANK.get(k, len(_KNOWN_KEYS)),
+    )
+    for key in ranked:
+        hz = _parse_frequency_text(tags[key])
+        if hz:
+            yield CenterFrequencyResult(hz, f"metadata:{key}")
+    hit = _filename_candidate(path)
+    if hit is not None:
+        yield hit
+
+
+def _frequencyish(key: str) -> bool:
+    lowered = key.lower()
+    return "freq" in lowered or "hz" in lowered
+
+
 def _file_tags(path: Path) -> dict[str, str]:
+    """RIFF INFO tags, lowercased, with packed sub-tags unfolded.
+
+    SDR recorders often stuff ``key=value`` (or ``key:value``) lines into a
+    single comment/title tag; each such line becomes its own entry unless a
+    real tag already claimed the key.  Lines opening with ``;`` are
+    comments.
+    """
     from ..io.riff import WavFormatError, parse_wav_header
 
     try:
@@ -62,83 +108,54 @@ def _file_tags(path: Path) -> dict[str, str]:
     except (WavFormatError, OSError):
         return {}
     tags = {k.lower(): v for k, v in info.tags.items()}
-    # SDR software often packs "key=value" pairs inside a comment/title tag
-    # (libsndfile surfaces those lines too — reference utils.py:203-223)
-    for value in list(tags.values()):
-        for piece in value.replace(";", "\n").splitlines():
-            if "=" in piece:
-                key, sub = piece.split("=", 1)
+    for packed in list(tags.values()):
+        for line in packed.replace(";", "\n").splitlines():
+            line = line.strip()
+            sep = "=" if "=" in line else ":" if ":" in line else None
+            if not line or sep is None:
+                continue
+            key, _, sub = line.partition(sep)
+            if key.strip():
                 tags.setdefault(key.strip().lower(), sub.strip())
     return tags
 
 
-def _from_metadata(path: Path) -> CenterFrequencyResult | None:
-    tags = _file_tags(path)
-    for key in _METADATA_KEYS:
-        if key in tags:
-            freq = _parse_frequency_text(tags[key])
-            if freq:
-                return CenterFrequencyResult(freq, f"metadata:{key}")
-    for key, raw in tags.items():
-        if key in _METADATA_KEYS:
-            continue
-        lowered = key.lower()
-        if "freq" not in lowered and "hz" not in lowered:
-            continue
-        freq = _parse_frequency_text(raw)
-        if freq:
-            return CenterFrequencyResult(freq, f"metadata:{key}")
-    return None
-
-
-def _from_filename(path: Path) -> CenterFrequencyResult | None:
-    name = path.name
-    matches = []
-    for match in _FILENAME_FREQ_PATTERN.finditer(name):
-        value = _apply_unit(match.group(1), match.group(2))
-        if value and value >= 1_000.0:
-            matches.append((value, match.start()))
-    if not matches:
+def _filename_candidate(path: Path) -> CenterFrequencyResult | None:
+    hits = [
+        hz
+        for m in _NAME_FREQ.finditer(path.name)
+        if (hz := _scaled(m["mag"], m["scale"])) is not None and hz >= 1_000.0
+    ]
+    if not hits:
         return None
-    matches.sort(key=lambda item: item[0], reverse=True)
-    value, _ = matches[0]
-
     stem = path.stem.lower()
-    if stem.startswith("baseband_"):
-        source = "filename:sdrpp"
-    elif re.match(r"\d{2}-\d{2}-\d{2}_", stem):
-        source = "filename:sdrsharp"
-    else:
-        source = "filename"
-    return CenterFrequencyResult(value, source)
+    style = next(
+        (name for name, pattern in _STEM_STYLES if pattern.match(stem)), None
+    )
+    source = f"filename:{style}" if style else "filename"
+    return CenterFrequencyResult(max(hits), source)
 
 
 def _parse_frequency_text(text: str | None) -> float | None:
-    if text is None:
+    """Hz from free-form tag text: plain number, or magnitude + SI scale."""
+    cleaned = (text or "").strip().replace(",", "").replace("_", "")
+    if not cleaned:
         return None
-    stripped = text.strip()
-    if not stripped:
-        return None
-    cleaned = stripped.replace(",", "").replace("_", "")
     try:
-        value = float(cleaned)
-        if value > 0:
-            return value
+        plain = float(cleaned)
     except ValueError:
         pass
-    match = _FREQ_PATTERN.search(cleaned)
-    if not match:
+    else:
+        return plain if plain > 0 else None
+    m = _TEXT_FREQ.search(cleaned)
+    if m is None:
         return None
-    magnitude = float(match.group("value"))
-    unit = match.group("unit").strip().lower()
-    value = magnitude * _UNIT_MULTIPLIER.get(unit, 1.0)
-    return value if value > 0 else None
+    return _scaled(m["mag"], m["scale"])
 
 
-def _apply_unit(raw_value: str, unit: str) -> float | None:
+def _scaled(magnitude: str, scale: str) -> float | None:
     try:
-        magnitude = float(raw_value)
+        hz = float(magnitude) * _SCALE.get(scale.strip().lower(), 1.0)
     except ValueError:
         return None
-    value = magnitude * _UNIT_MULTIPLIER.get(unit.lower(), 1.0)
-    return value if value > 0 else None
+    return hz if hz > 0 else None

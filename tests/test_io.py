@@ -193,4 +193,5 @@ class TestProbe:
         assert probe.value == 2_500_000.0
         assert probe.header == 2_500_000.0
         assert probe.wave == 2_500_000.0
-        assert probe.ffprobe is None
+        assert probe.override is None
+        assert probe.consistent

@@ -64,3 +64,21 @@ class TestMetadataDetection:
         result = detect_center_frequency(path)
         assert result.value == pytest.approx(145_500_000.0)
         assert result.source == "metadata:tuner_frequency"
+
+    def test_colon_separated_packed_tag(self, tmp_path):
+        # SDR recorders also pack "key: value" lines into comment tags
+        # (reference utils.py:216-218 splits on ':' as well as '=')
+        path = tmp_path / "plain.wav"
+        self._write_with_tag(path, b"recorder: acme\ncenter_frequency: 433920000")
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(433_920_000.0)
+        assert result.source == "metadata:center_frequency"
+
+    def test_semicolon_packed_and_comment_lines(self, tmp_path):
+        # ';' acts as a line separator for packed tags; a line reduced to a
+        # bare comment must not poison parsing of the rest
+        path = tmp_path / "plain.wav"
+        self._write_with_tag(path, b"gain=21.5;frequency=96500000")
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(96_500_000.0)
+        assert result.source == "metadata:frequency"
