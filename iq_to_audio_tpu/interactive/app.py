@@ -253,7 +253,23 @@ class InteractiveWindow(QMainWindow):
             self.state.center_freq = freq.value
             self.state.center_freq_source = freq.source
             self.recording_panel.show_center(freq.value, freq.source)
+        self._push_recent_outputs(selected_path=path)
         self._schedule_snapshot()
+
+    def _push_recent_outputs(
+        self, *, selected_path: Path | None = None, output_dir: Path | None = None
+    ):
+        """Hand the latest capture/output location to the post pages so
+        audio-post and digital hand-off default to what was just produced
+        (reference app.py:893-919)."""
+        selected = selected_path or self.state.input_path
+        resolved = output_dir or self.state.output_dir
+        if resolved is None and selected is not None:
+            resolved = Path(selected).parent
+        self.audio_post_page.update_recent_capture(
+            selected_path=selected, output_dir=resolved
+        )
+        self.digital_post_page.update_recent_capture(output_dir=resolved)
 
     def _schedule_snapshot(self):
         if self.state.input_path is None:
@@ -319,7 +335,13 @@ class InteractiveWindow(QMainWindow):
         self.ax.tick_params(colors=theme["fg"])
         for spine in self.ax.spines.values():
             spine.set_color(theme["grid"])
-        self.ax.grid(True, color=theme["grid"], alpha=0.5, lw=0.4)
+        self.ax.grid(
+            True,
+            color=theme["grid"],
+            linestyle=theme.get("grid_style", ":"),
+            alpha=0.5,
+            lw=0.4,
+        )
         self.ax.set_xlabel("Frequency (Hz)", color=theme["fg"])
         self.ax.set_ylabel("dBFS/Hz", color=theme["fg"])
         self.span = SpanController(self.ax, self._span_selected)
@@ -501,6 +523,7 @@ class InteractiveWindow(QMainWindow):
         if results:
             paths = ", ".join(str(p) for _, _, p in results)
             self._status(f"Preview written: {paths}")
+            self._push_recent_outputs(output_dir=Path(results[0][2]).parent)
 
     def _preview_failed(self, message: str):
         self.status_panel.set_busy(False)

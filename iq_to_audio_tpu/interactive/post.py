@@ -57,7 +57,20 @@ class AudioPostPage(QWidget):
         row.addWidget(pick_file)
         row.addWidget(pick_dir)
         source.add_layout(row)
+        # latest-capture hand-off (reference post.py:322-328): the main
+        # window pushes the most recent capture/output dir here so one
+        # click points the batch at what was just demodulated
+        recent_row = QHBoxLayout()
+        self.recent_hint = QLabel("No capture processed this session yet.")
+        self.recent_hint.setProperty("dim", True)
+        self.use_recent_btn = QPushButton("Use latest output")
+        self.use_recent_btn.setEnabled(False)
+        self.use_recent_btn.clicked.connect(self._use_recent)
+        recent_row.addWidget(self.recent_hint, 1)
+        recent_row.addWidget(self.use_recent_btn)
+        source.add_layout(recent_row)
         layout.addWidget(source)
+        self._recent_output_dir: Path | None = None
 
         opts = PanelGroup("Squelch")
         grid = QGridLayout()
@@ -118,6 +131,22 @@ class AudioPostPage(QWidget):
     def _set_path(self, path: Path):
         self._path = path
         self.path_label.setText(str(path))
+
+    def update_recent_capture(
+        self, *, selected_path: Path | None, output_dir: Path | None
+    ) -> None:
+        """Remember the session's most recent capture outputs (called by the
+        main window after loads and session completions)."""
+        if output_dir is None and selected_path is not None:
+            output_dir = Path(selected_path).parent
+        self._recent_output_dir = output_dir
+        if output_dir is not None:
+            self.recent_hint.setText(f"Latest capture outputs: {output_dir}")
+            self.use_recent_btn.setEnabled(True)
+
+    def _use_recent(self):
+        if self._recent_output_dir is not None:
+            self._set_path(self._recent_output_dir)
 
     def _options(self) -> AudioPostOptions:
         config = SquelchConfig(
@@ -277,7 +306,14 @@ class DigitalPostPage(QWidget):
         row.addWidget(self.dir_label, 1)
         row.addWidget(pick)
         audio_panel.add_layout(row)
+        self.source_hint = QLabel(
+            "Select the directory of channelized audio for external decoders."
+        )
+        self.source_hint.setProperty("dim", True)
+        self.source_hint.setWordWrap(True)
+        audio_panel.add(self.source_hint)
         layout.addWidget(audio_panel)
+        self._recent_output_dir: Path | None = None
 
         docker_panel = PanelGroup("Docker backend")
         row2 = QHBoxLayout()
@@ -406,6 +442,18 @@ class DigitalPostPage(QWidget):
         if path:
             self._dir = Path(path)
             self.dir_label.setText(path)
+
+    def update_recent_capture(self, *, output_dir: Path | None) -> None:
+        """Default the decoder source to the latest capture outputs
+        (reference post.py:1023-1036)."""
+        self._recent_output_dir = output_dir
+        if output_dir is not None:
+            self.source_hint.setText(
+                f"Defaulting to latest capture outputs: {output_dir}"
+            )
+            if self._dir is None:
+                self._dir = output_dir
+                self.dir_label.setText(str(output_dir))
 
     def _backend(self):
         from ..post.docker_backend import DockerBackend

@@ -12,12 +12,24 @@ from pathlib import Path
 
 MAX_TARGETS = 5
 
+# Plot themes: the reference's five palettes (reference
+# interactive/state.py:11-52 — default/contrast/night/paper/aurora, same
+# color values and grid linestyles) plus two first-party extras.
 SPECTRUM_THEMES: dict[str, dict[str, str]] = {
-    "Night": {"bg": "#14171d", "fg": "#e8eaf0", "line": "#4f9dff", "grid": "#2d333f"},
-    "Classic": {"bg": "#ffffff", "fg": "#202020", "line": "#0050c8", "grid": "#d0d0d0"},
-    "Amber": {"bg": "#16130b", "fg": "#ffd37a", "line": "#ffb52e", "grid": "#3a3422"},
-    "Contrast": {"bg": "#000000", "fg": "#ffffff", "line": "#00ff88", "grid": "#333333"},
-    "Ice": {"bg": "#0c1420", "fg": "#d2e4f5", "line": "#6fd3ff", "grid": "#1e3148"},
+    "Default": {"bg": "white", "fg": "black", "line": "#1f77b4",
+                "grid": "#d0d0d0", "grid_style": ":"},
+    "Contrast": {"bg": "#101010", "fg": "white", "line": "#ff7600",
+                 "grid": "#444444", "grid_style": "--"},
+    "Night": {"bg": "#0b1a2a", "fg": "#f0f4ff", "line": "#7fffd4",
+              "grid": "#223347", "grid_style": ":"},
+    "Paper": {"bg": "#f6f1e1", "fg": "#2f2a1d", "line": "#b15d1c",
+              "grid": "#d7c9a0", "grid_style": ":"},
+    "Aurora": {"bg": "#061622", "fg": "#c3f1ff", "line": "#6cf584",
+               "grid": "#1b3646", "grid_style": "--"},
+    "Amber": {"bg": "#16130b", "fg": "#ffd37a", "line": "#ffb52e",
+              "grid": "#3a3422", "grid_style": ":"},
+    "Ice": {"bg": "#0c1420", "fg": "#d2e4f5", "line": "#6fd3ff",
+            "grid": "#1e3148", "grid_style": ":"},
 }
 
 WATERFALL_COLORMAPS = ["viridis", "magma", "inferno", "plasma", "turbo"]

@@ -7,9 +7,12 @@ and per-file plus batch summaries. Everything is plain vectorised
 NumPy — audio-rate gating is host-trivial compared to the IQ pipeline,
 so nothing here touches the accelerator.
 
-IO goes through the first-party WAV reader/writer rather than
-libsndfile, so this build accepts WAV containers only; other formats
-are filtered out of the batch rather than crashing it.
+IO: WAV containers go through the first-party reader/writer (primary
+path, no external dependency).  Anything else libsndfile handles
+(flac/ogg/aiff/..., reference ``squelch.py:272-289``) is read and
+written through the optional ``soundfile`` package when it is
+importable; without it such files are skipped with a LOUD per-file log
+line naming the missing dependency, never silently.
 """
 
 from __future__ import annotations
@@ -69,12 +72,36 @@ class SquelchConfig:
         return float(self.manual_noise_floor_db)
 
 
+# formats the optional soundfile (libsndfile) fallback can read
+_SOUNDFILE_SUFFIXES = (
+    ".flac", ".ogg", ".oga", ".opus", ".aiff", ".aif", ".aifc",
+    ".au", ".snd", ".caf", ".w64", ".rf64", ".voc", ".mp3",
+)
+
+
+def _soundfile():
+    """The optional ``soundfile`` module, or None when not installed."""
+    try:
+        import soundfile
+    except ImportError:
+        return None
+    return soundfile
+
+
+def supported_suffixes() -> tuple[str, ...]:
+    """Suffixes the current environment can actually process."""
+    if _soundfile() is not None:
+        return (".wav", *_SOUNDFILE_SUFFIXES)
+    return (".wav",)
+
+
 @dataclass(slots=True)
 class AudioPostOptions:
     config: SquelchConfig
     overwrite: bool = False
     cleaned_suffix: str = "-cleaned"
-    allowed_suffixes: Sequence[str] = (".wav",)
+    # empty = everything the environment supports (see supported_suffixes)
+    allowed_suffixes: Sequence[str] = ()
 
 
 @dataclass(slots=True)
@@ -275,23 +302,74 @@ def apply_squelch(
 
 
 def gather_audio_targets(path: Path, options: AudioPostOptions) -> list[Path]:
-    """Expand a file or directory into the list of processable inputs."""
+    """Expand a file or directory into the list of processable inputs.
+
+    Every file that is passed over gets a logged reason — in particular a
+    WARNING naming the missing optional ``soundfile`` dependency for
+    formats the reference would have processed via libsndfile."""
     if path.is_file():
         candidates: Iterable[Path] = [path]
     elif path.is_dir():
         candidates = sorted(path.iterdir())
     else:
         raise FileNotFoundError(f"No such file or directory: {path}")
-    allowed = tuple(s.lower() for s in options.allowed_suffixes)
-    return [
-        p
-        for p in candidates
-        if p.is_file() and (not allowed or p.suffix.lower() in allowed)
-    ]
+    allowed = tuple(s.lower() for s in options.allowed_suffixes) or supported_suffixes()
+    targets: list[Path] = []
+    for p in candidates:
+        if not p.is_file():
+            continue
+        suffix = p.suffix.lower()
+        if suffix in allowed:
+            targets.append(p)
+        elif suffix in _SOUNDFILE_SUFFIXES and _soundfile() is None:
+            LOG.warning(
+                "Skipping %s: reading %s needs the optional 'soundfile' "
+                "package (pip install soundfile).",
+                p,
+                suffix,
+            )
+        elif suffix in (".wav", *_SOUNDFILE_SUFFIXES):
+            LOG.warning("Skipping %s: %s not in the allowed set %s.", p, suffix, allowed)
+        else:
+            LOG.debug("Ignoring non-audio file %s", p)
+    return targets
+
+
+def _read_audio(path: Path) -> tuple[np.ndarray, float, str | None]:
+    """(frames, rate, wav_codec_or_None) via the first-party WAV path or
+    the optional soundfile fallback."""
+    if path.suffix.lower() == ".wav":
+        data, sample_rate = read_wav(path)
+        codec = parse_wav_header(path).codec or "pcm_s16le"
+        if codec not in {"pcm_u8", "pcm_s16le", "pcm_f32le"}:
+            codec = "pcm_s16le"
+        return data, float(sample_rate), codec
+    sf = _soundfile()
+    if sf is None:
+        raise RuntimeError(
+            f"Reading {path.suffix} requires the optional 'soundfile' package."
+        )
+    data, rate = sf.read(str(path), always_2d=True, dtype="float32")
+    return np.asarray(data), float(rate), None
+
+
+def _write_audio(path: Path, frames: np.ndarray, rate: float, codec: str | None) -> None:
+    if path.suffix.lower() == ".wav":
+        with WavStreamWriter(
+            path, int(rate), frames.shape[1], codec or "pcm_s16le"
+        ) as writer:
+            writer.write_float(frames)
+        return
+    sf = _soundfile()
+    if sf is None:
+        raise RuntimeError(
+            f"Writing {path.suffix} requires the optional 'soundfile' package."
+        )
+    sf.write(str(path), frames, int(round(rate)))
 
 
 def process_audio_file(path: Path, options: AudioPostOptions) -> SquelchFileResult:
-    data, sample_rate = read_wav(path)
+    data, sample_rate, codec = _read_audio(path)
     cleaned, floor_db, threshold_db = apply_squelch(
         data, float(sample_rate), options.config
     )
@@ -302,11 +380,7 @@ def process_audio_file(path: Path, options: AudioPostOptions) -> SquelchFileResu
         out_path = path.with_name(
             path.stem + (options.cleaned_suffix or "-cleaned") + path.suffix
         )
-    codec = parse_wav_header(path).codec or "pcm_s16le"
-    if codec not in {"pcm_u8", "pcm_s16le", "pcm_f32le"}:
-        codec = "pcm_s16le"
-    with WavStreamWriter(out_path, sample_rate, cleaned.shape[1], codec) as writer:
-        writer.write_float(cleaned)
+    _write_audio(out_path, cleaned, sample_rate, codec)
 
     n_in, n_out = int(data.shape[0]), int(cleaned.shape[0])
     return SquelchFileResult(

@@ -119,6 +119,25 @@ class TestWindowConstruction:
         opts._apply()
         assert window.state.spectrum_theme == "Amber"
 
+    def test_reference_theme_parity(self, window):
+        """The theme combo carries the reference's five palettes
+        (reference interactive/state.py:11-52) plus the extras."""
+        from iq_to_audio_tpu.interactive.state import SPECTRUM_THEMES
+
+        names = [
+            window.spectrum_options.theme_combo.itemText(i)
+            for i in range(window.spectrum_options.theme_combo.count())
+        ]
+        for required in ("Default", "Contrast", "Night", "Paper", "Aurora"):
+            assert required in names
+        assert len(names) >= 5
+        assert SPECTRUM_THEMES["Night"]["line"] == "#7fffd4"  # reference value
+        # every theme renders: switch + redraw with a loaded-less canvas
+        for name in names:
+            window.spectrum_options.theme_combo.setCurrentText(name)
+            window.spectrum_options._apply()
+            assert window.state.spectrum_theme == name
+
     def test_waterfall_options_apply(self, window):
         opts = window.waterfall_options
         opts.slices_spin.setValue(123)
@@ -136,6 +155,21 @@ class TestFileFlow:
             assert win.state.center_freq == 145_000_000.0
             assert win.state.center_freq_source == "filename:sdrpp"
             assert win._input_spec is not None
+        finally:
+            win.close()
+
+    def test_recent_capture_flows_to_post_pages(self, qapp, tmp_path):
+        """Loading a capture hands its output location to the audio-post
+        and digital pages (reference app.py:893-919): one click points the
+        batch at what was just demodulated."""
+        win, path = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_r.wav")
+        try:
+            assert win.audio_post_page.use_recent_btn.isEnabled()
+            assert str(path.parent) in win.audio_post_page.recent_hint.text()
+            win.audio_post_page._use_recent()
+            assert win.audio_post_page._path == path.parent
+            assert win.digital_post_page._dir == path.parent
+            assert "latest capture" in win.digital_post_page.source_hint.text()
         finally:
             win.close()
 

@@ -106,3 +106,45 @@ class TestBatch:
     def test_missing_path_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             gather_audio_targets(tmp_path / "nope", AudioPostOptions(config=SquelchConfig()))
+
+    def test_non_wav_skip_is_loud(self, tmp_path, caplog, monkeypatch):
+        """A flac in the batch without the optional soundfile dependency is
+        skipped with a WARNING naming the missing package — never silently
+        (VERDICT round-2 item 5; reference reads it via libsndfile,
+        squelch.py:272-289)."""
+        import logging as _logging
+
+        import iq_to_audio_tpu.post.squelch as sq
+
+        monkeypatch.setattr(sq, "_soundfile", lambda: None)
+        p = tmp_path / "rec.wav"
+        with WavStreamWriter(p, 16_000, 1, "pcm_s16le") as w:
+            w.write_float(make_burst_audio())
+        (tmp_path / "rec.flac").write_bytes(b"fLaC junk")
+        with caplog.at_level(_logging.WARNING, logger="iq_to_audio_tpu.post.squelch"):
+            targets = gather_audio_targets(tmp_path, AudioPostOptions(config=SquelchConfig()))
+        assert targets == [p]
+        assert any(
+            "soundfile" in r.getMessage() and "rec.flac" in r.getMessage()
+            for r in caplog.records
+        )
+
+    def test_flac_batch_roundtrip(self, tmp_path):
+        """With soundfile installed, non-WAV formats flow through the batch
+        end-to-end (reference parity: anything libsndfile reads)."""
+        sf = pytest.importorskip("soundfile")
+        import iq_to_audio_tpu.post.squelch as sq
+
+        p = tmp_path / "rec.flac"
+        sf.write(str(p), make_burst_audio(), 16_000)
+        assert ".flac" in sq.supported_suffixes()
+        options = AudioPostOptions(config=SquelchConfig())
+        targets = gather_audio_targets(tmp_path, options)
+        assert targets == [p]
+        summary = process_audio_batch(targets, options)
+        assert summary.failed == 0
+        out = summary.results[0].output_path
+        assert out.suffix == ".flac" and out.exists()
+        frames, rate = sf.read(str(out), always_2d=True)
+        assert rate == 16_000
+        assert frames.shape[0] == summary.results[0].samples_out
