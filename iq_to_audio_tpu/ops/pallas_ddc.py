@@ -98,11 +98,66 @@ def _ddc_matmul_kernel(
     o_ref[:, :] = acc
 
 
+def _ddc_matmul_kernel_tiled(
+    x_hbm, w_ref, o_ref, x_vmem, sem, *, k_block: int, tile_m: int, win_rows: int
+):
+    """Tap-axis-tiled variant: grid ``(grid_m, grid_k)`` with ``k`` as the
+    inner (reduction) dimension; only a ``k_block``-tap slice of the
+    polyphase tensor is VMEM-resident per step, so the kernel serves
+    arbitrarily large filters (the reference allows up to 32 768 taps,
+    reference ``processing.py:613``) without breaching VMEM.
+
+    out[m, o] += sum_{kk<k_block} X[m + kb*k_block + kk, :] @ W-block[kk]
+    — the output tile's index map ignores ``k``, so Mosaic keeps it
+    resident across the k-steps and the ``+=`` accumulates in place.
+    """
+    i = pl.program_id(0)
+    kb = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * tile_m + kb * k_block, win_rows), :], x_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    @pl.when(kb == 0)
+    def _init():
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+
+    xs = x_vmem[:, :]
+    acc = jnp.zeros(o_ref.shape, dtype=jnp.float32)
+    for k in range(k_block):
+        acc = acc + jnp.dot(
+            xs[:tile_m, :],
+            w_ref[k],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if k + 1 < k_block:
+            xs = pltpu.roll(xs, xs.shape[0] - 1, 0)
+    o_ref[:, :] += acc
+
+
+# resident tap-block budget: the W slice (x2 for Mosaic double-buffering)
+# should stay well under the ~16 MB of VMEM alongside the input scratch
+_W_BLOCK_BYTES = 4 << 20
+
+
+def choose_k_block(k_taps: int, f_pad: int, o_pad: int) -> int:
+    """Largest tap-block (multiple of 8) whose VMEM-resident W slice fits
+    the budget; the whole tensor when it already fits."""
+    fit = _W_BLOCK_BYTES // max(1, f_pad * o_pad * 4)
+    if fit >= k_taps:
+        return k_taps
+    return max(8, (fit // 8) * 8)
+
+
 def pallas_poly_fir_il(
     x_il: jnp.ndarray,
     poly_w: jnp.ndarray,
     decimation: int,
     out_size: int,
+    *,
+    k_block: int | None = None,
 ):
     """Decimating FIR via the Pallas kernel, fed the raw interleaved stream.
 
@@ -111,6 +166,11 @@ def pallas_poly_fir_il(
     variant's ``(2, T, D) -> (T, 2D)`` swapaxes compiles into
     chunk-length-proportional TPU code; see ``ddc.interleave_kernel``).
 
+    Large filters are handled by tiling the tap axis (``k_block`` taps
+    VMEM-resident per grid step, output tile accumulated in place), so any
+    filter length the planner allows (up to the reference's 32 768-tap
+    ceiling) runs through this kernel.
+
     Parameters
     ----------
     x_il: float32 ``(2(L-1) + 2N,)`` — scaled raw samples incl. carried tail.
@@ -118,6 +178,7 @@ def pallas_poly_fir_il(
         (the generic polyphase repack applied to the interleaved-domain
         kernel: window stride ``2D`` makes feature ``q`` of row ``t`` equal
         ``x_il[2Dt + q]``, which is exactly the contiguous reshape).
+    k_block: taps resident per grid step; default = auto from VMEM budget.
     Returns float32 ``(2C, out_size)`` matching the conv output layout.
     """
     if not _HAVE_PALLAS:
@@ -127,13 +188,18 @@ def pallas_poly_fir_il(
     m = out_size
     tile_m = min(_TILE_M, m)
     grid_m = -(-m // tile_m)
-    win_rows = tile_m + (-(-K // 8) * 8)
     f_pad = -(-F // 128) * 128
     o_pad = -(-out_ch // 128) * 128
-    w_p = jnp.zeros((K, f_pad, o_pad), jnp.float32)
-    w_p = w_p.at[:, :F, :out_ch].set(poly_w)
+    if k_block is None:
+        k_block = choose_k_block(K, f_pad, o_pad)
+    kb = max(1, min(K, k_block))
+    grid_k = -(-K // kb)
+    k_pad = grid_k * kb  # zero-padded taps contribute nothing
+    w_p = jnp.zeros((k_pad, f_pad, o_pad), jnp.float32)
+    w_p = w_p.at[:K, :F, :out_ch].set(poly_w)
+    win_rows = tile_m + (-(-kb // 8) * 8)
     total = x_il.shape[-1]
-    t_need = (grid_m - 1) * tile_m + win_rows
+    t_need = (grid_m - 1) * tile_m + (grid_k - 1) * kb + win_rows
     pad = t_need * D2 - total
     if pad > 0:
         x_il = jnp.pad(x_il, (0, pad))
@@ -143,26 +209,52 @@ def pallas_poly_fir_il(
     if f_pad > F:
         xf = jnp.pad(xf, ((0, 0), (0, f_pad - F)))
 
-    out = pl.pallas_call(
-        functools.partial(
-            _ddc_matmul_kernel, k_taps=K, tile_m=tile_m, win_rows=win_rows
-        ),
-        out_shape=jax.ShapeDtypeStruct((grid_m * tile_m, o_pad), jnp.float32),
-        grid=(grid_m,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # xf stays in HBM; DMA'd
-            pl.BlockSpec(
-                (K, f_pad, o_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    if grid_k == 1:
+        out = pl.pallas_call(
+            functools.partial(
+                _ddc_matmul_kernel, k_taps=K, tile_m=tile_m, win_rows=win_rows
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_m, o_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((win_rows, f_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(xf, w_p)
+            out_shape=jax.ShapeDtypeStruct((grid_m * tile_m, o_pad), jnp.float32),
+            grid=(grid_m,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # xf stays in HBM; DMA'd
+                pl.BlockSpec(
+                    (K, f_pad, o_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_m, o_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((win_rows, f_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(xf, w_p)
+    else:
+        out = pl.pallas_call(
+            functools.partial(
+                _ddc_matmul_kernel_tiled,
+                k_block=kb,
+                tile_m=tile_m,
+                win_rows=win_rows,
+            ),
+            out_shape=jax.ShapeDtypeStruct((grid_m * tile_m, o_pad), jnp.float32),
+            grid=(grid_m, grid_k),  # k innermost: output tile stays resident
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (kb, f_pad, o_pad), lambda i, k: (k, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_m, o_pad), lambda i, k: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((win_rows, f_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(xf, w_p)
     return out[:m, :out_ch].T  # (2C, m)
 
 

@@ -530,7 +530,8 @@ def build_chunk_step(
         kernel_dev = jnp.asarray(kernel_il_np)
 
     # hand-written Pallas FIR: ~4x the XLA conv on v5e at -130 dB agreement.
-    # Used when the tap tensor fits VMEM (big-L filters fall back to conv);
+    # Big-L filters run through the same kernel with the tap axis tiled
+    # (pallas_ddc.choose_k_block), so no VMEM ceiling applies;
     # IQ2A_PALLAS=0 disables.
     poly_w_arr = None
     if (
@@ -538,7 +539,11 @@ def build_chunk_step(
         and jax.default_backend() != "cpu"
         and os.environ.get("IQ2A_PALLAS", "1") != "0"
     ):
-        from ..ops.pallas_ddc import build_poly_kernel, pallas_available
+        from ..ops.pallas_ddc import (
+            build_poly_kernel,
+            choose_k_block,
+            pallas_available,
+        )
 
         if pallas_available():
             # generic polyphase repack of the INTERLEAVED kernel with window
@@ -548,9 +553,17 @@ def build_chunk_step(
             k_taps, feat, out_ch_n = poly_np.shape
             f_pad = -(-feat // 128) * 128
             o_pad = -(-out_ch_n // 128) * 128
-            vmem_bytes = k_taps * f_pad * o_pad * 4 + (256 + k_taps + 8) * f_pad * 4
-            if vmem_bytes < (8 << 20):
-                poly_w_arr = jnp.asarray(poly_np)
+            kb = choose_k_block(k_taps, f_pad, o_pad)
+            LOG.info(
+                "Pallas poly FIR: %d taps x %d features -> %d-tap resident "
+                "block (%.1f MiB VMEM%s)",
+                k_taps,
+                feat,
+                kb,
+                kb * f_pad * o_pad * 4 / 2**20,
+                ", tap axis tiled" if kb < k_taps else "",
+            )
+            poly_w_arr = jnp.asarray(poly_np)
     return ChunkStep(
         ddc_plan=ddc_plan,
         rs_plan=rs_plan,
