@@ -167,10 +167,11 @@ def main() -> int:
         "unit": "x realtime per chip",
         "vs_baseline": round(realtime / 20.0, 2),
     }
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and seconds >= 30.0:
         # secondary artifact: the CPU-backend result against the reference's
         # own 20x modern-CPU target (reference tests/BENCHMARKS.md:128-132),
-        # captured as a file so the claim is driver-verifiable
+        # captured as a file so the claim is driver-verifiable.  Gated on the
+        # full-size workload so smoke tests with tiny budgets never clobber it.
         (REPO / "BENCH_cpu.json").write_text(json.dumps(record) + "\n")
     print(json.dumps(record))
     return 0
