@@ -447,6 +447,48 @@ def test_cancellation_removes_partial_output(tmp_path):
     assert not out.exists()
 
 
+def test_cancellation_under_overlapped_schedule(tmp_path, monkeypatch):
+    """Cooperative cancel mid-run must clean partial outputs identically
+    under the overlapped hot-loop schedule (the drain point moves after
+    the dispatches, so the cleanup path crosses a pending flush)."""
+    monkeypatch.setenv("IQ2A_OVERLAP", "1")
+    monkeypatch.setenv("IQ2A_SUPER", "2")
+    monkeypatch.setenv("IQ2A_ACC", "4")
+    iq = make_nfm_iq(FS, 1.0, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    out = tmp_path / "c.wav"
+    cfg = ProcessingConfig(
+        in_path=path, target_freq=CENTER + OFFSET, output_path=out, chunk_size=32_768
+    )
+    pipeline = ProcessingPipeline(cfg)
+    with pytest.raises(ProcessingCancelled):
+        pipeline.run(_CancelOnFirstAdvance())
+    assert not out.exists()
+
+
+def test_preview_under_overlapped_schedule(tmp_path, monkeypatch):
+    """--preview (max_input_seconds) byte-identical across schedules."""
+    iq = make_nfm_iq(FS, 1.3, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    monkeypatch.setenv("IQ2A_SUPER", "2")
+    monkeypatch.setenv("IQ2A_ACC", "4")
+    outs = {}
+    for label, env in (("phased", "0"), ("overlap", "1")):
+        monkeypatch.setenv("IQ2A_OVERLAP", env)
+        out = tmp_path / f"p_{label}.wav"
+        cfg = ProcessingConfig(
+            in_path=path,
+            target_freq=CENTER + OFFSET,
+            output_path=out,
+            chunk_size=32_768,
+            max_input_seconds=0.6,
+            mix_sign_override=1,
+        )
+        ProcessingPipeline(cfg).run()
+        outs[label] = read_wav(out)[0][:, 0]
+    assert np.array_equal(outs["phased"], outs["overlap"])
+
+
 def test_agc_off_changes_ssb_output(tmp_path):
     iq = make_tone_iq(FS, 0.5, OFFSET + 1_000.0, amplitude=0.1)
     path = _write_capture(tmp_path, iq)
