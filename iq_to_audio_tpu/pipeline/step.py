@@ -529,15 +529,18 @@ def build_chunk_step(
         kernel_il_np = interleave_kernel(ddc_kernel_np, iq_order)
         kernel_dev = jnp.asarray(kernel_il_np)
 
-    # hand-written Pallas FIR: ~4x the XLA conv on v5e at -130 dB agreement.
-    # Big-L filters run through the same kernel with the tap axis tiled
-    # (pallas_ddc.choose_k_block), so no VMEM ceiling applies;
-    # IQ2A_PALLAS=0 disables.
+    # Hand-written Pallas FIR — OPT-IN (IQ2A_PALLAS=1).  A controlled A/B
+    # at the bench geometry (L=1601, D=26, 4Mi chunks, S=3 scan; round-3,
+    # docs/probes/perf_probe_r3b.py) measured the XLA conv 2.2x FASTER
+    # (459+ vs 211 Msps) with 0.03 MB of generated code versus the Pallas
+    # scan's 84 MB — and executable size is load-time poison on tunneled
+    # runtimes.  The kernel remains available (tap-axis tiled, so any
+    # filter length works) for backends where the conv lowering is weak.
     poly_w_arr = None
     if (
         channelizer == "conv"
         and jax.default_backend() != "cpu"
-        and os.environ.get("IQ2A_PALLAS", "1") != "0"
+        and os.environ.get("IQ2A_PALLAS", "0") == "1"
     ):
         from ..ops.pallas_ddc import (
             build_poly_kernel,
