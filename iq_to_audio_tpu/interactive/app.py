@@ -22,6 +22,7 @@ from ._qt import (
     Figure,
     QAction,
     QApplication,
+    QFileDialog,
     QKeySequence,
     QMainWindow,
     QObject,
@@ -194,6 +195,7 @@ class InteractiveWindow(QMainWindow):
         self.spectrum_options = SpectrumOptionsPanel(self.state)
         self.spectrum_options.changed.connect(self._render_snapshot)
         self.spectrum_options.full_psd_btn.clicked.connect(self._analyze_full)
+        self.spectrum_options.export_btn.clicked.connect(self._export_spectrum)
         self.waterfall_options = WaterfallOptionsPanel(self.state)
         self.waterfall_options.changed.connect(self._update_waterfall)
         self.waterfall_options.show_btn.clicked.connect(self._show_waterfall)
@@ -545,6 +547,19 @@ class InteractiveWindow(QMainWindow):
             self._snapshot_worker.cancel()
         self.status_panel.set_busy(False)
         self._status("Stopped.")
+
+    def _export_spectrum(self):
+        """Save the current spectrum figure to a PNG the user picks."""
+        if self._snapshot is None:
+            self._status("Load a recording first — nothing to export.")
+            return
+        path, _ = QFileDialog.getSaveFileName(
+            self, "Export spectrum", "spectrum.png", "PNG image (*.png)"
+        )
+        if not path:
+            return
+        self.figure.savefig(path, dpi=150)
+        self._status(f"Spectrum exported: {path}")
 
     def _status(self, message: str):
         self.status_panel.set_status(message)

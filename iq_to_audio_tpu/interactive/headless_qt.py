@@ -47,8 +47,9 @@ class Qt:
 
 
 class _BoundSignal:
-    def __init__(self, name: str):
+    def __init__(self, name: str, owner=None):
         self._name = name
+        self._owner = owner
         self._slots: list = []
 
     def connect(self, slot):
@@ -75,6 +76,8 @@ class _BoundSignal:
         return count
 
     def emit(self, *args):
+        if self._owner is not None and getattr(self._owner, "_signals_blocked", False):
+            return
         for slot in list(self._slots):
             arity = self._arity(slot)
             slot(*(args if arity is None else args[:arity]))
@@ -98,7 +101,7 @@ class Signal:
             return self
         bound = obj.__dict__.get(self._key)
         if bound is None:
-            bound = _BoundSignal(self._key)
+            bound = _BoundSignal(self._key, owner=obj)
             obj.__dict__[self._key] = bound
         return bound
 
@@ -118,6 +121,16 @@ class QObject:
 
     def parent(self):
         return self._parent
+
+    def blockSignals(self, blocked):  # noqa: N802
+        """Qt semantics: while blocked, the object's signals do not emit;
+        returns the previous state."""
+        prev = getattr(self, "_signals_blocked", False)
+        self._signals_blocked = bool(blocked)
+        return prev
+
+    def signalsBlocked(self):  # noqa: N802
+        return getattr(self, "_signals_blocked", False)
 
     def deleteLater(self):  # noqa: N802
         pass
@@ -522,6 +535,10 @@ class QComboBox(QWidget):
         self._items.append((label, data))
         if self._index < 0:
             self._index = 0
+
+    def clear(self):
+        self._items.clear()
+        self._index = -1
 
     def addItems(self, labels):  # noqa: N802
         for label in labels:

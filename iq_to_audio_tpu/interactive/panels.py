@@ -54,6 +54,18 @@ class RecordingPanel(PanelGroup):
         row.addWidget(browse)
         self.add_layout(row)
 
+        # persisted recent captures: one click reopens yesterday's file
+        from .recent import RecentFiles
+
+        self._recent = RecentFiles()
+        recent_row = QHBoxLayout()
+        recent_row.addWidget(QLabel("Recent"))
+        self.recent_combo = QComboBox()
+        self.recent_combo.currentIndexChanged.connect(self._recent_chosen)
+        recent_row.addWidget(self.recent_combo, 1)
+        self.add_layout(recent_row)
+        self._reload_recent()
+
         grid = QGridLayout()
         grid.addWidget(QLabel("Format"), 0, 0)
         self.format_combo = QComboBox()
@@ -105,6 +117,32 @@ class RecordingPanel(PanelGroup):
         self.state.input_path = path
         self.path_label.setText(path.name)
         self.path_label.setToolTip(str(path))
+        self._recent.add(path)
+        self._reload_recent()
+
+    def _reload_recent(self):
+        entries = self._recent.load()
+        self.recent_combo.blockSignals(True)
+        self.recent_combo.clear()
+        self.recent_combo.addItem(
+            "(recent captures)" if entries else "(none yet)", None
+        )
+        for p in entries:
+            self.recent_combo.addItem(p.name, p)
+        self.recent_combo.setCurrentIndex(0)
+        self.recent_combo.blockSignals(False)
+        self.recent_combo.setEnabled(bool(entries))
+
+    def _recent_chosen(self, index: int):
+        path = self.recent_combo.itemData(index)
+        if path is None:
+            return
+        self.recent_combo.blockSignals(True)
+        self.recent_combo.setCurrentIndex(0)
+        self.recent_combo.blockSignals(False)
+        if Path(path) != self.state.input_path:
+            self.set_path(Path(path))
+            self.file_selected.emit(Path(path))
 
     def show_center(self, freq: float | None, source: str):
         if freq:
@@ -354,6 +392,8 @@ class SpectrumOptionsPanel(PanelGroup):
         self.theme_combo.currentIndexChanged.connect(self._apply)
         grid.addWidget(self.theme_combo, 3, 1)
         self.add_layout(grid)
+        self.export_btn = QPushButton("Export spectrum PNG…")
+        self.add(self.export_btn)
         self.full_psd_btn = QPushButton("Analyze entire recording")
         self.full_psd_btn.setToolTip(
             "Average the full capture into the spectrum (maximum frequency resolution)."

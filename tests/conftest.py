@@ -23,6 +23,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # product auto-selects the faster FFT bank, but CI must keep exercising the
 # path the target hardware runs; dedicated tests opt into fft explicitly
 os.environ.setdefault("IQ2A_CHANNELIZER", "conv")
+# isolate the persistent recent-captures store from the user's real config
+import tempfile as _tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "IQ2A_CONFIG_DIR", _tempfile.mkdtemp(prefix="iq2a-test-config-")
+)
 
 import jax  # noqa: E402
 

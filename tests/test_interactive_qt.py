@@ -513,3 +513,62 @@ class TestDecoderOptionStacks:
             assert captured["command"] == ("dsd-fme", "-fa", "-custom")
         finally:
             win.close()
+
+
+class TestRecentAndExport:
+    def test_recent_files_store(self, tmp_path):
+        from iq_to_audio_tpu.interactive.recent import RecentFiles
+
+        store = RecentFiles(store=tmp_path / "r.json", limit=3)
+        files = []
+        for k in range(5):
+            p = tmp_path / f"c{k}.wav"
+            p.write_bytes(b"x")
+            files.append(p)
+            store.add(p)
+        got = store.load()
+        assert got == [files[4], files[3], files[2]]  # MRU order, limit 3
+        files[4].unlink()
+        assert store.load() == [files[3], files[2]]  # missing files pruned
+        store.add(files[3])  # re-adding moves to front without duplication
+        assert store.load() == [files[3], files[2]]
+
+    def test_recent_combo_tracks_loads(self, qapp, tmp_path, monkeypatch):
+        monkeypatch.setenv("IQ2A_CONFIG_DIR", str(tmp_path / "cfg"))
+        win, path = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_m.wav")
+        try:
+            combo = win.recording_panel.recent_combo
+            names = [combo.itemText(i) for i in range(combo.count())]
+            assert path.name in names
+            assert combo.isEnabled()
+        finally:
+            win.close()
+        # a fresh window sees the persisted entry and reloading from it
+        # emits the full load flow
+        win2 = InteractiveWindow()
+        try:
+            combo = win2.recording_panel.recent_combo
+            idx = next(
+                i for i in range(combo.count()) if combo.itemText(i) == path.name
+            )
+            combo.setCurrentIndex(idx)
+            assert win2.state.input_path == path
+            assert win2.state.sample_rate == 96_000.0  # load flow really ran
+        finally:
+            win2.close()
+
+    def test_export_spectrum_png(self, qapp, tmp_path, monkeypatch):
+        from iq_to_audio_tpu.interactive import _qt
+
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_e.wav")
+        try:
+            out = tmp_path / "spec.png"
+            monkeypatch.setattr(
+                _qt.QFileDialog,
+                "getSaveFileName",
+                staticmethod(lambda *a, **k: (str(out), "PNG image (*.png)")),
+            )
+            win._export_spectrum()
+            assert out.is_file() and out.stat().st_size > 1000
+        finally:
+            win.close()
