@@ -58,7 +58,11 @@ def main() -> int:
     fs = 2_500_000.0
     decim, fs_ch = compute_decimation(fs, 96_000.0)
     taps = design_channel_filter(fs, 12_500.0, decim)
-    ddc_plan = DDCPlan.create(len(taps), decim, target_chunk=1 << 22)
+    rate_plan = ResamplePlan.create(fs_ch, 48_000.0, 1)
+    ddc_plan = DDCPlan.create(
+        len(taps), decim, target_chunk=1 << 22,
+        out_align=rate_plan.down, max_chunk=1 << 22,
+    )
     rs_plan = ResamplePlan.create(fs_ch, 48_000.0, ddc_plan.out_size)
     inc = nco_increment_fixed(25_000.0, fs)
     N = ddc_plan.chunk_size
@@ -93,7 +97,11 @@ def main() -> int:
         )
 
     cases = []
-    for label, env in (("conv", "conv"), ("fft", "fft")):
+    # NOTE: the ("fft", "fft") variant was attempted and fails at upload
+    # time with UNIMPLEMENTED on this relay backend — complex64 arrays are
+    # not supported at all, confirming the conv-first design constraint
+    # (docs/architecture.md "Why convolutions").
+    for label, env in (("conv", "conv"),):
         step = build(env)
         raw_dev = jax.device_put(raw_np)
         state = step.init_state()

@@ -116,6 +116,48 @@ def test_sustained_performance(tmp_path):
     assert elapsed < 120.0
 
 
+def test_multi_channel_batching(tmp_path):
+    """Group: multi-channel (BASELINE.json config 4): five targets share
+    ONE channelizer pass over the capture, so 5 channels must cost far
+    less than 5 sequential single-channel runs."""
+    fs = 250_000.0
+    iq = make_nfm_iq(fs, 1.0, 25_000.0)
+    e1, _ = _run_case(tmp_path, "mc-1ch", iq, fs)
+
+    offsets = [10_000.0, 25_000.0, -30_000.0, 45_000.0, -60_000.0]
+    path = tmp_path / f"bench_mc5_fc-{int(CENTER)}Hz.wav"
+    write_stereo_wav(path, np.column_stack([iq.real, iq.imag]), int(fs))
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + offsets[0],
+        extra_target_freqs=[CENTER + o for o in offsets[1:]],
+        center_freq=CENTER,
+        demod_mode="nfm",
+        output_path=tmp_path / "bench_mc5.wav",
+        mix_sign_override=1,
+    )
+    ProcessingPipeline(cfg).run()  # warm
+    start = time.perf_counter()
+    ProcessingPipeline(cfg).run()
+    e5 = time.perf_counter() - start
+    seconds = iq.size / fs
+    RESULTS.append(
+        {
+            "case": "mc-5ch",
+            "signal_seconds": seconds,
+            "elapsed": e5,
+            "realtime_factor": seconds / e5,
+            "vs_single": e5 / max(e1, 1e-9),
+        }
+    )
+    for o in offsets:
+        out = tmp_path / f"bench_mc5_{int(CENTER + o)}.wav"
+        audio, rate = read_wav(out)
+        assert rate == 48_000 and audio.shape[0] > 0
+    # shared pass: far cheaper than 5 sequential runs (CI-lenient bound)
+    assert e5 < 3.5 * e1, (e5, e1)
+
+
 def test_zz_report(tmp_path):
     """Emit the collected timings as JSON (CI artifact, reference ci.yml
     benchmark-json export)."""
