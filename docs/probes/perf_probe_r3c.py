@@ -116,17 +116,46 @@ def main() -> int:
         LOG.info("waiting for toll...")
         toll_done.wait(timeout=2400)
 
+    # per-dispatch scheduling cost on THIS connection: a trivial jitted
+    # matmul chained the same way — if it costs what the superstep costs,
+    # the connection throttles dispatches, not compute
+    trivial = jax.jit(lambda a: (a @ a)[:2, :2])
+    t_in = jnp.ones((128, 128))
+    np.asarray(trivial(t_in))
+    for ch in (1, 8):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(ch):
+            r = trivial(t_in)
+        np.asarray(r)
+        LOG.info("trivial dispatch x%d: %.4f s (%.4f s each)",
+                 ch, time.perf_counter() - t0, (time.perf_counter() - t0) / ch)
+
     for label, step, raw_dev, state, accs in cases:
         np.asarray(accs["peak"])  # sync
+        # chain CH supersteps between syncs: on slow-connection regimes a
+        # single D2H round trip costs 0.1-0.9 s and would swamp exec time
+        CH = 8
         best = float("inf")
-        for _ in range(6):
+        fetch_floor = float("inf")
+        for _ in range(4):
             t0 = time.perf_counter()
-            state, accs = step.fn_super(state, accs, raw_dev, 0, 0)
+            np.asarray(accs["peak"])
+            fetch_floor = min(fetch_floor, time.perf_counter() - t0)
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(CH):
+                state, accs = step.fn_super(state, accs, raw_dev, 0, 0)
             np.asarray(accs["peak"])
             best = min(best, time.perf_counter() - t0)
-        msps = S * N / best / 1e6
-        LOG.info("%s full superstep: best %.4f s = %.0f Msps", label, best, msps)
-        print(f"{label}: {best:.4f} s, {msps:.0f} Msps")
+        per_step = max(1e-9, (best - fetch_floor) / CH)
+        msps = S * N / per_step / 1e6
+        LOG.info(
+            "%s full superstep: %.4f s for %d chained (+%.4f s fetch floor) "
+            "= %.4f s/superstep = %.0f Msps",
+            label, best, CH, fetch_floor, per_step, msps,
+        )
+        print(f"{label}: {per_step:.4f} s/superstep, {msps:.0f} Msps")
     return 0
 
 
