@@ -138,6 +138,32 @@ def interleave_kernel(kernel_np: np.ndarray, iq_order: str = "iq") -> np.ndarray
     return ki
 
 
+def j_lanes_kernel(
+    kernel_il: np.ndarray, decimation: int, j_lanes: int
+) -> np.ndarray:
+    """Output-channel-augmented interleaved conv kernel.
+
+    The plain interleaved kernel has only ``2C`` output channels (2 for a
+    single-target run) while the MXU pads the channel axis to 128 lanes —
+    measured ~0.6% lane efficiency, 0.21 s per 4Mi chunk
+    (docs/probes/perf_probe_r3f.py).  Packing ``J`` consecutive decimated
+    outputs into the channel axis (stride ``J*2D``, width
+    ``2L + (J-1)*2D``) fills the lanes: channel ``j*2C + o`` of output
+    block ``r`` is plain-conv output ``(o, r*J + j)``.
+    """
+    out_ch, in_ch, width = kernel_il.shape
+    assert in_ch == 1, kernel_il.shape
+    d2 = 2 * decimation
+    wj = np.zeros(
+        (j_lanes * out_ch, 1, width + (j_lanes - 1) * d2), np.float32
+    )
+    for j in range(j_lanes):
+        wj[j * out_ch : (j + 1) * out_ch, 0, j * d2 : j * d2 + width] = (
+            kernel_il[:, 0, :]
+        )
+    return wj
+
+
 def ddc_apply_il(
     plan: DDCPlan,
     kernel_il: jnp.ndarray,
@@ -147,6 +173,8 @@ def ddc_apply_il(
     inc_lo_fixed: jnp.ndarray,
     *,
     poly_w: jnp.ndarray | None = None,
+    j_kernel: jnp.ndarray | None = None,
+    j_lanes: int = 1,
 ):
     """Interleaved-domain DDC: mix+filter+decimate straight off the scaled
     raw stream — no de-interleave, no transpose (see
@@ -160,6 +188,8 @@ def ddc_apply_il(
     poly_w: optional ``(K, 2D, 2C)`` polyphase tensor built from the
         interleaved kernel (``build_poly_kernel(kernel_il, 2*D)``) — selects
         the Pallas MXU kernel.
+    j_kernel/j_lanes: optional output-channel-augmented kernel from
+        :func:`j_lanes_kernel` — the lane-filling XLA conv formulation.
 
     Returns ``(yr, yi, new_itail, phase_next)``; ``yr/yi`` shaped ``(C, m)``
     exactly as :func:`ddc_apply`.
@@ -172,6 +202,32 @@ def ddc_apply_il(
         from .pallas_ddc import pallas_poly_fir_il
 
         bb = pallas_poly_fir_il(x, poly_w, D, m).reshape(-1, 2, m)
+    elif j_kernel is not None and j_lanes > 1:
+        # lane-filling formulation: J consecutive decimated outputs ride
+        # the output-channel axis; real outputs never read the zero pad
+        # (output i reads x[i*2D : i*2D + 2L] and (m-1)*2D + 2L <= need)
+        d2 = 2 * D
+        r_blocks = -(-m // j_lanes)
+        need = (r_blocks * j_lanes - 1) * d2 + 2 * L
+        pad = need - x.shape[-1]
+        xj = jnp.pad(x, (0, pad)) if pad > 0 else x[:need]
+        out = lax.conv_general_dilated(
+            xj[None, None],
+            j_kernel,
+            window_strides=(j_lanes * d2,),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (1, J*2C, R)
+        yj = out[0]
+        cdim = yj.shape[0] // j_lanes
+        y = (
+            yj.reshape(j_lanes, cdim, r_blocks)
+            .transpose(1, 2, 0)
+            .reshape(cdim, r_blocks * j_lanes)
+        )
+        bb = y[:, :m].reshape(-1, 2, m)
     else:
         out = lax.conv_general_dilated(
             x[None, None],

@@ -59,6 +59,7 @@ _STATIC_ARGNAMES = (
     "acc_chunks",
     "channelizer",
     "os_plan",
+    "j_lanes",
 )
 
 
@@ -73,6 +74,7 @@ def chunk_step_impl(
     rs_kernel,
     poly_w,
     ddc_kernel_pair=None,
+    j_kernel=None,
     *,
     ddc_plan: DDCPlan,
     rs_plan: ResamplePlan | None,
@@ -86,6 +88,7 @@ def chunk_step_impl(
     acc_chunks: int,
     channelizer: str = "conv",
     os_plan=None,
+    j_lanes: int = 1,
 ):
     """One chunk.
 
@@ -125,7 +128,7 @@ def chunk_step_impl(
         f = _device_scale(raw, codec)
         yr, yi, fir_tail, phase_next = ddc_apply_il(
             ddc_plan, ddc_kernel, f, state["fir_tail"], state["phase"], inc_lo,
-            poly_w=poly_w,
+            poly_w=poly_w, j_kernel=j_kernel, j_lanes=j_lanes,
         )
     new_state = {"phase": phase_next, "fir_tail": fir_tail}
     new_accs = {}
@@ -197,6 +200,7 @@ def superstep_impl(
     rs_kernel,
     poly_w,
     ddc_kernel_pair=None,
+    j_kernel=None,
     **static,
 ):
     """Process ``S`` chunks in ONE dispatch: ``lax.scan`` over the stacked
@@ -227,7 +231,7 @@ def superstep_impl(
         st, ac, k = carry
         st, ac, _ = chunk_step_impl(
             st, ac, raw, rs_offset, slot_base + k, incs, ddc_kernel, rs_kernel,
-            poly_w, ddc_kernel_pair, **static
+            poly_w, ddc_kernel_pair, j_kernel, **static
         )
         return (st, ac, k + jnp.int32(1)), None
 
@@ -296,6 +300,8 @@ class ChunkStep:
     _ddc_kernel_pair: jnp.ndarray | None = None  # stage-snapshot path only
     channelizer: str = "conv"
     os_plan: object = None
+    _j_kernel: jnp.ndarray | None = None  # lane-filling conv (j_lanes > 1)
+    j_lanes: int = 1
 
     @property
     def chunk_size(self) -> int:
@@ -365,6 +371,7 @@ class ChunkStep:
             self._rs_kernel,
             self._poly_w,
             self._ddc_kernel_pair if with_stages else None,
+            self._j_kernel,
             ddc_plan=self.ddc_plan,
             rs_plan=self.rs_plan,
             decoder=self.decoder,
@@ -377,6 +384,7 @@ class ChunkStep:
             acc_chunks=self.acc_chunks,
             channelizer=self.channelizer,
             os_plan=self.os_plan,
+            j_lanes=self.j_lanes,
         )
 
     def fn(self, state, accs, raw, rs_offset, slot):
@@ -398,6 +406,7 @@ class ChunkStep:
             self._rs_kernel,
             self._poly_w,
             None,
+            self._j_kernel,
             ddc_plan=self.ddc_plan,
             rs_plan=self.rs_plan,
             decoder=self.decoder,
@@ -410,6 +419,7 @@ class ChunkStep:
             acc_chunks=self.acc_chunks,
             channelizer=self.channelizer,
             os_plan=self.os_plan,
+            j_lanes=self.j_lanes,
         )
 
 
@@ -567,6 +577,37 @@ def build_chunk_step(
                 ", tap axis tiled" if kb < k_taps else "",
             )
             poly_w_arr = jnp.asarray(poly_np)
+
+    # Lane-filling J-conv (ops/ddc.py::j_lanes_kernel): the plain conv's
+    # 2C-wide output-channel axis uses ~0.6% of the MXU's 128 lanes
+    # (measured 0.21 s per 4Mi chunk, docs/probes/perf_probe_r3f.py);
+    # packing J = 128//2C consecutive decimated outputs into the channel
+    # axis fills them.  Default on accelerators; IQ2A_CONVJ=0 disables.
+    j_kernel_arr = None
+    j_lanes = 1
+    if (
+        channelizer == "conv"
+        and poly_w_arr is None
+        and jax.default_backend() != "cpu"
+        and os.environ.get("IQ2A_CONVJ", "1") != "0"
+    ):
+        from ..ops.ddc import j_lanes_kernel
+
+        out_rows = kernel_il_np.shape[0]  # 2C
+        j = max(1, 128 // out_rows)
+        j = min(j, ddc_plan.out_size)
+        if j > 1:
+            j_kernel_arr = jnp.asarray(
+                j_lanes_kernel(kernel_il_np, ddc_plan.decimation, j)
+            )
+            j_lanes = j
+            LOG.info(
+                "Channelizer: lane-filling J-conv (J=%d, %d output lanes, "
+                "kernel width %d)",
+                j,
+                j * out_rows,
+                j_kernel_arr.shape[-1],
+            )
     return ChunkStep(
         ddc_plan=ddc_plan,
         rs_plan=rs_plan,
@@ -586,6 +627,8 @@ def build_chunk_step(
         ),
         _incs=jnp.asarray(np.asarray(incs_fixed, dtype=np.uint32)),
         _poly_w=poly_w_arr,
+        _j_kernel=j_kernel_arr,
+        j_lanes=j_lanes,
         _ddc_kernel_pair=pair_kernel_dev,
         channelizer=channelizer,
         os_plan=os_plan,
