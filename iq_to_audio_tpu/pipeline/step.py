@@ -539,12 +539,12 @@ def build_chunk_step(
         kernel_il_np = interleave_kernel(ddc_kernel_np, iq_order)
         kernel_dev = jnp.asarray(kernel_il_np)
 
-    # Hand-written Pallas FIR — OPT-IN (IQ2A_PALLAS=1).  A controlled A/B
-    # at the bench geometry (L=1601, D=26, 4Mi chunks, S=3 scan; round-3,
-    # docs/probes/perf_probe_r3b.py) measured the XLA conv 2.2x FASTER
-    # (459+ vs 211 Msps) with 0.03 MB of generated code versus the Pallas
-    # scan's 84 MB — and executable size is load-time poison on tunneled
-    # runtimes.  The kernel remains available (tap-axis tiled, so any
+    # Hand-written Pallas FIR — OPT-IN (IQ2A_PALLAS=1).  The honest A/B at
+    # the bench geometry (loop-VARYING inputs; docs/probes/perf_probe_r3g.py)
+    # measured it fastest (332 Msps) but only 13% ahead of the lane-filling
+    # J-conv below (293 Msps) at 2500x the generated-code size (84 MB vs
+    # 0.03 MB, 505 s compile) — and executable size is load-time poison on
+    # tunneled runtimes.  It remains available (tap-axis tiled, so any
     # filter length works) for backends where the conv lowering is weak.
     poly_w_arr = None
     if (
