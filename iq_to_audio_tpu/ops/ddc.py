@@ -148,19 +148,22 @@ def j_lanes_kernel(
     measured ~0.6% lane efficiency, 0.21 s per 4Mi chunk
     (docs/probes/perf_probe_r3f.py).  Packing ``J`` consecutive decimated
     outputs into the channel axis (stride ``J*2D``, width
-    ``2L + (J-1)*2D``) fills the lanes: channel ``j*2C + o`` of output
+    ``2L + (J-1)*2D``) fills the lanes: channel ``o*J + j`` of output
     block ``r`` is plain-conv output ``(o, r*J + j)``.
+
+    Channel-major row layout (``o * J + j``) so a multi-channel kernel
+    still shards cleanly over a ``dp`` mesh axis: each channel's J block
+    stays contiguous.
     """
     out_ch, in_ch, width = kernel_il.shape
     assert in_ch == 1, kernel_il.shape
     d2 = 2 * decimation
     wj = np.zeros(
-        (j_lanes * out_ch, 1, width + (j_lanes - 1) * d2), np.float32
+        (out_ch * j_lanes, 1, width + (j_lanes - 1) * d2), np.float32
     )
-    for j in range(j_lanes):
-        wj[j * out_ch : (j + 1) * out_ch, 0, j * d2 : j * d2 + width] = (
-            kernel_il[:, 0, :]
-        )
+    for o in range(out_ch):
+        for j in range(j_lanes):
+            wj[o * j_lanes + j, 0, j * d2 : j * d2 + width] = kernel_il[o, 0, :]
     return wj
 
 
@@ -220,11 +223,11 @@ def ddc_apply_il(
             precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (1, J*2C, R)
-        yj = out[0]
+        yj = out[0]  # (2C*J, R), channel-major rows (o*J + j)
         cdim = yj.shape[0] // j_lanes
         y = (
-            yj.reshape(j_lanes, cdim, r_blocks)
-            .transpose(1, 2, 0)
+            yj.reshape(cdim, j_lanes, r_blocks)
+            .transpose(0, 2, 1)
             .reshape(cdim, r_blocks * j_lanes)
         )
         bb = y[:, :m].reshape(-1, 2, m)

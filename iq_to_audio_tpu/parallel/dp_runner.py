@@ -192,6 +192,16 @@ def run_captures_dp(
     rs_kernel = (
         None if rs_plan.identity else design_resampler_kernel(rs_plan.up, rs_plan.down)
     )
+    # lane-filling J-conv per dp shard (same rationale as the single-device
+    # default — ops/ddc.py::j_lanes_kernel); the channel-major layout keeps
+    # each capture's J blocks on its dp row
+    dp = mesh.devices.shape[0]
+    local_rows = max(1, (2 * G * K) // dp)
+    j_lanes = max(1, 128 // local_rows)
+    if j_lanes > 1:
+        from ..ops.ddc import j_lanes_kernel
+
+        ddc_kernel = j_lanes_kernel(ddc_kernel, ddc_plan.decimation, j_lanes)
 
     fn, init_state = build_sharded_step(
         mesh,
@@ -204,6 +214,7 @@ def run_captures_dp(
         deemph_alpha=math.exp(-1.0 / (fs_channel * deemph_us * 1e-6)),
         agc_enabled=agc_enabled,
         captures=G if G > 1 else 1,
+        j_lanes=j_lanes,
     )
     state = init_state()
     incs_sh = jax.device_put(

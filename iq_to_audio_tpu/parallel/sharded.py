@@ -144,6 +144,7 @@ def build_sharded_step(
     agc_target: float = 0.2511886431509580,
     agc_decay: float = 0.001,
     captures: int = 1,
+    j_lanes: int = 1,
 ):
     """Build a pjit-compiled full pipeline step sharded over ``mesh``.
 
@@ -155,6 +156,13 @@ def build_sharded_step(
     (``ddc.interleave_kernel(bandpass_kernel(...), iq_order)``) — the
     ``iq_order`` argument here only documents the convention the caller
     folded into those taps; ``codec`` alone drives the on-device scaling.
+
+    ``j_lanes > 1`` selects the lane-filling J-conv (the production
+    single-device default — ops/ddc.py::j_lanes_kernel): the caller must
+    then pass ``j_lanes_kernel(interleaved_kernel, D, j_lanes)`` as
+    ``ddc_kernel``; its channel-major row layout shards over ``dp``
+    exactly like the plain kernel.  Pick
+    ``j_lanes = max(1, 128 // (2C // dp))`` to fill each shard's lanes.
 
     ``captures > 1`` runs **data-parallel multi-capture** mode: each ``dp``
     row processes its own independent recording (SURVEY §2d DP row —
@@ -195,7 +203,11 @@ def build_sharded_step(
         inc_lo = incs * jnp.uint32(D)
         phase0 = state["phase"] + inc_lo * (sidx * jnp.uint32(m_local))
         halo = _left_halo(f, 2 * (L - 1), tail_state, "seq")
-        yr, yi, _, _ = ddc_apply_il(local_plan, ddc_kernel, f, halo, phase0, inc_lo)
+        yr, yi, _, _ = ddc_apply_il(
+            local_plan, ddc_kernel, f, halo, phase0, inc_lo,
+            j_kernel=ddc_kernel if j_lanes > 1 else None,
+            j_lanes=j_lanes,
+        )
         nseq = lax.axis_size("seq")
         phase_next = state["phase"] + inc_lo * jnp.uint32(N // D)
         fir_tail_next = lax.all_gather(f[..., -2 * (L - 1) :], "seq", axis=0)[nseq - 1]

@@ -147,6 +147,9 @@ def test_sharded_flagship_geometry():
     num_channels = 2 * dp
     offsets = [25_000.0, -40_000.0, 60_000.0, -80_000.0]
     alpha = math.exp(-1.0 / (fs_channel * 300e-6))
+    # production channelizer: lane-filling J-conv per dp shard
+    j_lanes = max(1, 128 // max(1, (2 * num_channels) // dp))
+    assert j_lanes > 1
     sharded_fn, sharded_init = build_sharded_step(
         mesh,
         ddc_plan=ddc_plan,
@@ -155,6 +158,7 @@ def test_sharded_flagship_geometry():
         codec="pcm_s16le",
         mode="nfm",
         deemph_alpha=alpha,
+        j_lanes=j_lanes,
     )
     decoder = create_decoder("nfm", deemph_us=300.0, agc_enabled=True)
     decoder.setup(fs_channel)
@@ -186,8 +190,11 @@ def test_sharded_flagship_geometry():
     incs_sh = jax.device_put(
         np.asarray(incs_list, np.uint32), NamedSharding(mesh, P("dp"))
     )
+    from iq_to_audio_tpu.ops.ddc import j_lanes_kernel
+
     ddc_k_sh = jax.device_put(
-        interleave_kernel(ddc_k_np, "iq"), NamedSharding(mesh, P("dp", None, None))
+        j_lanes_kernel(interleave_kernel(ddc_k_np, "iq"), decim, j_lanes),
+        NamedSharding(mesh, P("dp", None, None)),
     )
     rs_k_sh = jax.device_put(rs_k_np, NamedSharding(mesh, P()))
 
