@@ -56,7 +56,15 @@ ProcessingPipeline(cfg).run(None)
 
 
 def main() -> int:
+    # conftest pins JAX to CPU at import (it is the test-suite bootstrap);
+    # keep its signal generators but restore this process's real backend
+    prev_platforms = jax.config.jax_platforms
     from conftest import make_am_iq, make_nfm_iq, make_tone_iq
+
+    jax.config.update("jax_platforms", prev_platforms)
+    import os as _os
+
+    _os.environ.pop("JAX_PLATFORMS", None)
 
     from iq_to_audio_tpu.io.writer import write_stereo_wav
     from iq_to_audio_tpu.pipeline.config import ProcessingConfig
