@@ -582,14 +582,18 @@ def build_chunk_step(
     # 2C-wide output-channel axis uses ~0.6% of the MXU's 128 lanes
     # (measured 0.21 s per 4Mi chunk, docs/probes/perf_probe_r3f.py);
     # packing J = 128//2C consecutive decimated outputs into the channel
-    # axis fills them.  Default on accelerators; IQ2A_CONVJ=0 disables.
+    # axis fills them.  Default on accelerators; IQ2A_CONVJ=0 disables,
+    # and an *explicit* IQ2A_CONVJ=1 forces it even on CPU (where the plain
+    # conv is the default) so cross-backend determinism can be checked with
+    # matching kernels on both sides (docs/probes/perf_probe_r3d.py).
+    convj_env = os.environ.get("IQ2A_CONVJ", "")
     j_kernel_arr = None
     j_lanes = 1
     if (
         channelizer == "conv"
         and poly_w_arr is None
-        and jax.default_backend() != "cpu"
-        and os.environ.get("IQ2A_CONVJ", "1") != "0"
+        and (jax.default_backend() != "cpu" or convj_env == "1")
+        and convj_env != "0"
     ):
         from ..ops.ddc import j_lanes_kernel
 

@@ -305,6 +305,47 @@ def test_build_chunk_step_explicit_super_on_accelerator(monkeypatch):
     assert step.super_chunks == 1
 
 
+def test_convj_env_forces_j_conv_on_cpu(monkeypatch):
+    """An explicit ``IQ2A_CONVJ=1`` selects the lane-filling J-conv even on
+    the CPU backend (where the plain conv is the default) so cross-backend
+    determinism probes can pin matching kernels on both sides."""
+    from iq_to_audio_tpu.demod import create_decoder
+    from iq_to_audio_tpu.ops.ddc import DDCPlan, bandpass_kernel
+    from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+    from iq_to_audio_tpu.ops.resample import design_resampler_kernel
+    from iq_to_audio_tpu.pipeline.step import build_chunk_step
+
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    taps = design_channel_filter(FS, 12_500.0, decim)
+    ddc_plan = DDCPlan.create(len(taps), decim, target_chunk=32_768)
+    rs_plan = ResamplePlan.create(fs_ch, 48_000.0, ddc_plan.out_size)
+    inc = nco_increment_fixed(OFFSET, FS)
+
+    def build():
+        decoder = create_decoder("nfm", deemph_us=300.0, agc_enabled=True)
+        decoder.setup(fs_ch)
+        return build_chunk_step(
+            ddc_plan=ddc_plan,
+            rs_plan=rs_plan,
+            ddc_kernel_np=bandpass_kernel(taps, [inc]),
+            rs_kernel_np=design_resampler_kernel(rs_plan.up, rs_plan.down),
+            incs_fixed=[inc],
+            codec="pcm_s16le",
+            iq_order="iq",
+            decoder=decoder,
+            pass_through=False,
+            dump_iq=False,
+        )
+
+    monkeypatch.setenv("IQ2A_CHANNELIZER", "conv")
+    monkeypatch.delenv("IQ2A_CONVJ", raising=False)
+    assert build().j_lanes == 1  # CPU default: plain conv
+    monkeypatch.setenv("IQ2A_CONVJ", "1")
+    assert build().j_lanes > 1  # explicit force
+    monkeypatch.setenv("IQ2A_CONVJ", "0")
+    assert build().j_lanes == 1
+
+
 def test_chunk_size_invariance(tmp_path):
     """Chunked streaming must be invariant to the chunk size choice."""
     iq = make_nfm_iq(FS, 0.8, OFFSET)
