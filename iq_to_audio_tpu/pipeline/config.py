@@ -59,6 +59,16 @@ class ProcessingConfig:
     checkpoint_secs: float | None = None
     #: resume from a checkpoint written by an earlier interrupted run
     resume: bool = False
+    #: process only the input window starting at this absolute complex-sample
+    #: index (segmented/burst mode — :mod:`.segmented`).  The caller must
+    #: align it to a "frame" (``decimation * resampler_down`` samples) so a
+    #: fresh decimator/resampler state is stream-position-exact; the NCO is
+    #: phase-seeded from the absolute index.  None = start of capture.
+    input_start_sample: int | None = None
+    #: process at most this many complex samples from ``input_start_sample``
+    #: (sample-precise counterpart of ``max_input_seconds``; both may be set,
+    #: the tighter bound wins).  None = to EOF.
+    input_num_samples: int | None = None
 
     def all_target_freqs(self) -> list[float]:
         return [self.target_freq, *self.extra_target_freqs]

@@ -254,6 +254,15 @@ class ProcessingPipeline:
             max_input_samples: int | None = None
             if preview_seconds is not None and sample_rate > 0:
                 max_input_samples = max(1, int(math.floor(preview_seconds * sample_rate)))
+            # segmented/burst mode: a sample-precise input window
+            # (:mod:`.segmented` plans frame-aligned windows per worker)
+            seg_start = int(cfg.input_start_sample or 0)
+            if cfg.input_num_samples is not None:
+                seg_n = max(1, int(cfg.input_num_samples))
+                max_input_samples = (
+                    seg_n if max_input_samples is None
+                    else min(max_input_samples, seg_n)
+                )
 
             if cfg.target_freq <= 0 and not cfg.probe_only:
                 raise ValueError(
@@ -367,7 +376,7 @@ class ProcessingPipeline:
                 cfg.iq_order,
                 input_spec,
                 sample_rate=sample_rate if input_spec.container == "raw" else None,
-                start_frame=resume_frames,
+                start_frame=seg_start + resume_frames,
                 # synchronous reads: page-cache reads are cheap and a busy
                 # Python thread interferes with accelerator dispatch latency
                 prefetch_depth=0 if jax.default_backend() != "cpu" else 2,
@@ -588,7 +597,7 @@ class ProcessingPipeline:
                     est_total_chunks=estimated_chunks or None,
                     want_stages=cfg.plot_stages_path is not None,
                 )
-                state = step.init_state()
+                state = step.init_state(seg_start)
                 accs = step.init_accs()
 
                 import hashlib

@@ -1,0 +1,154 @@
+"""Segmented (burst-mode) capture processing: frame-aligned time windows.
+
+Splits one capture into per-worker input windows that independent pipeline
+streams can process concurrently, then splices the audio segments back
+into one output.  The point is **host->device wire parallelism**: on
+tunneled accelerator runtimes a single connection's upload bandwidth is
+the end-to-end bottleneck for wire-bound captures (docs/performance.md
+"Measured status"), and segment workers each own a connection, so
+aggregate wire bandwidth scales with the worker count
+(measured: docs/probes/perf_probe_r3h.py).  This is the framework's
+scaled-up analogue of the reference's multi-process decode / DSP / encode
+pipeline (reference ``processing.py:190-195``) — more processes on the
+wire, one device.
+
+Exactness model
+---------------
+Segment boundaries sit on *frames* of ``decimation x resampler_down``
+input samples.  At a frame boundary a **fresh** decimator/resampler state
+is stream-position-correct by construction (offset 0, polyphase phase 0),
+and the NCO is phase-seeded from the absolute sample index in uint32
+arithmetic (bit-exact at any start — ``ChunkStep.init_state``).  The
+remaining carried state converges exponentially:
+
+* channel FIR tail — exact after ``taps - 1`` input samples (~0.6 ms),
+* de-emphasis IIR (pole ``exp(-1/(fs_ch*tau))`` ~ 0.966/sample),
+* DC blocker (pole 0.995/sample),
+* feedback AGC gain (pole ~0.999/sample — the slowest),
+* audio-resampler FIR tail (a few hundred channel samples).
+
+Every segment after the first therefore processes a *lead-in* window
+whose audio is discarded: the default 0.5 s puts the slowest pole at
+``0.999^48000 ~ e^-48`` — far below the -60 dB golden contract
+(validated segment-vs-serial in ``tests/test_segmented.py``).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+LOG = logging.getLogger(__name__)
+
+#: default lead-in; see the exactness model above
+WARM_SECONDS = 0.5
+
+
+@dataclass(frozen=True)
+class Segment:
+    """One worker's input window and output splice instructions."""
+
+    index: int
+    #: absolute first input sample of the OWNED region (frame-aligned)
+    start: int
+    #: owned input samples (frame-aligned except for the final segment)
+    length: int
+    #: lead-in input samples processed before ``start`` and discarded
+    lead: int
+    #: audio samples to drop from the head of this worker's output
+    audio_skip: int
+
+    @property
+    def read_start(self) -> int:
+        return self.start - self.lead
+
+    @property
+    def read_samples(self) -> int:
+        return self.lead + self.length
+
+
+def plan_segments(
+    total_samples: int,
+    sample_rate: float,
+    decimation: int,
+    rs_up: int,
+    rs_down: int,
+    n_workers: int,
+    warm_seconds: float = WARM_SECONDS,
+) -> list[Segment]:
+    """Frame-aligned, equal-length (except the tail) segment plan.
+
+    ``rs_up``/``rs_down`` are the audio resampler's rational ratio (1/1
+    when the channel rate already equals the output rate).  Workers get
+    equal owned lengths so they compile and run ONE common executable
+    geometry; the final segment absorbs the capture's unaligned tail.
+    """
+    if total_samples <= 0:
+        raise ValueError("total_samples must be positive")
+    frame = decimation * rs_down
+    audio_per_frame = rs_up if rs_down > 1 or rs_up > 1 else 1
+    lead_frames = max(1, math.ceil(warm_seconds * sample_rate / frame))
+    total_frames = total_samples // frame
+    # a segment shorter than its lead-in is pointless overhead: bound the
+    # worker count so each owned region is at least 4 lead-ins long
+    max_workers = max(1, total_frames // (4 * lead_frames))
+    k = max(1, min(n_workers, max_workers))
+    per = total_frames // k  # owned frames per worker (tail extra on last)
+    segments: list[Segment] = []
+    for i in range(k):
+        start = i * per * frame
+        if i == k - 1:
+            length = total_samples - start
+        else:
+            length = per * frame
+        lead = min(lead_frames * frame, start) if i else 0
+        segments.append(
+            Segment(
+                index=i,
+                start=start,
+                length=length,
+                lead=lead,
+                audio_skip=(lead // frame) * audio_per_frame,
+            )
+        )
+    return segments
+
+
+def splice_audio(
+    segment_paths: list[Path],
+    audio_skips: list[int],
+    out_path: Path,
+    output_rate: int = 48_000,
+) -> tuple[float, int]:
+    """Concatenate segment WAVs (dropping each lead-in) into ``out_path``.
+
+    Returns ``(peak, total_samples)`` where ``peak`` is the exact peak of
+    the written (already clipped+quantised) sample stream, matching the
+    writers' written-sample peak semantics.
+    """
+    from ..io.riff import WavStreamWriter, parse_wav_header
+
+    out_path = Path(out_path)
+    peak_q = 0
+    total = 0
+    writer = WavStreamWriter(out_path, int(output_rate), 1, "pcm_s16le")
+    try:
+        for path, skip in zip(segment_paths, audio_skips):
+            info = parse_wav_header(path)
+            with Path(path).open("rb") as f:
+                f.seek(info.data_offset + 2 * skip)
+                payload = f.read(info.data_size - 2 * skip)
+            if len(payload) % 2:
+                payload = payload[:-1]
+            if payload:
+                samples = np.frombuffer(payload, dtype="<i2")
+                peak_q = max(peak_q, int(np.max(np.abs(samples.astype(np.int32)))))
+                total += samples.size
+                writer.write_raw(payload)
+    finally:
+        writer.close()
+    return peak_q / 32767.0, total

@@ -316,7 +316,16 @@ class ChunkStep:
             return self.ddc_plan.out_size
         return self.rs_plan.out_capacity
 
-    def init_state(self):
+    def init_state(self, start_sample: int = 0):
+        """Fresh stream state, optionally seeded for an absolute position.
+
+        ``start_sample`` is the absolute complex-sample index of the first
+        input sample this stream will see (segmented/burst mode).  The NCO
+        phase at input sample ``n`` is exactly ``inc * n mod 2**32`` (uint32
+        arithmetic, so every stream computes bit-identical oscillator values
+        regardless of where it starts); all other carries start fresh and the
+        caller discards a lead-in while they converge (:mod:`.segmented`).
+        """
         plan = self.ddc_plan
         c = self.num_channels
         if self.channelizer == "fft":
@@ -324,8 +333,10 @@ class ChunkStep:
         else:
             # conv path carries the RAW-domain interleaved tail (ddc_apply_il)
             tail = jnp.zeros((2 * plan.overlap,), dtype=jnp.float32)
+        incs_np = np.asarray(self._incs, dtype=np.uint64)
+        phase0 = (incs_np * np.uint64(start_sample % (1 << 32))) % (1 << 32)
         state = {
-            "phase": jnp.zeros((c,), dtype=jnp.uint32),
+            "phase": jnp.asarray(phase0.astype(np.uint32)),
             "fir_tail": tail,
         }
         if not self.pass_through:

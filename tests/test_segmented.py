@@ -1,0 +1,180 @@
+"""Segmented (burst-mode) processing: plan properties and segment-vs-serial
+equivalence.
+
+The segmented mode (:mod:`iq_to_audio_tpu.pipeline.segmented`) splits one
+capture into frame-aligned windows that independent pipeline streams
+process, each with a discarded lead-in while the exponentially-convergent
+carries (FIR tails, IIRs, AGC gain) settle; the NCO is phase-seeded
+exactly from the absolute sample index.  The spliced result must match a
+serial run of the same pipeline to far below the -60 dB golden contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from conftest import error_db, make_nfm_iq, make_tone_iq
+
+from iq_to_audio_tpu import ProcessingConfig, ProcessingPipeline
+from iq_to_audio_tpu.io.writer import read_wav, write_stereo_wav
+from iq_to_audio_tpu.ops.resample import ResamplePlan
+from iq_to_audio_tpu.pipeline.filters import compute_decimation
+from iq_to_audio_tpu.pipeline.segmented import (
+    Segment,
+    plan_segments,
+    splice_audio,
+)
+
+FS = 250_000.0
+CENTER = 145_000_000.0
+OFFSET = 25_000.0
+
+
+def test_plan_segments_tiles_the_capture():
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    plan = ResamplePlan.create(fs_ch, 48_000.0, 1)
+    total = 1_234_567
+    segs = plan_segments(total, FS, decim, plan.up, plan.down, 4,
+                         warm_seconds=0.1)
+    frame = decim * plan.down
+    assert segs[0].start == 0 and segs[0].lead == 0
+    assert segs[-1].start + segs[-1].length == total
+    for a, b in zip(segs, segs[1:]):
+        assert a.start + a.length == b.start  # gapless, non-overlapping
+    for s in segs:
+        assert s.start % frame == 0
+        assert s.lead % frame == 0
+        if s.index:
+            assert s.lead >= 0.1 * FS  # at least the requested warm-up
+            assert s.read_start == s.start - s.lead
+        assert s.audio_skip == (s.lead // frame) * plan.up
+
+
+def test_plan_segments_clamps_worker_count():
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    plan = ResamplePlan.create(fs_ch, 48_000.0, 1)
+    # a capture only ~6 lead-ins long cannot productively use 8 workers
+    total = int(0.6 * FS)
+    segs = plan_segments(total, FS, decim, plan.up, plan.down, 8,
+                         warm_seconds=0.1)
+    assert len(segs) < 8
+    assert segs[-1].start + segs[-1].length == total
+
+
+@pytest.mark.parametrize(
+    "mode,agc,limit_db",
+    [
+        ("nfm", True, -70.0),
+        # the feedback AGC amplifies f32 summation ulps at its
+        # zero-crossing gain spikes (docs/performance.md "Cross-backend
+        # determinism"), so ssb+AGC sits near -69 dB — still inside the
+        # -60 dB golden contract
+        ("usb", True, -60.0),
+    ],
+)
+def test_segmented_matches_serial(tmp_path, mode, agc, limit_db):
+    """Segment runs spliced together == the serial run of the same engine,
+    inside the -60 dB contract (the residual is the lead-in's
+    exponentially-decayed state mismatch plus s16 rounding ties)."""
+    seconds = 4.0
+    if mode == "nfm":
+        iq = make_nfm_iq(FS, seconds, OFFSET)
+    else:
+        iq = make_tone_iq(FS, seconds, OFFSET + 1_000.0)
+    cap = tmp_path / f"baseband_{int(CENTER)}Hz_cap.wav"
+    write_stereo_wav(cap, np.column_stack([iq.real, iq.imag]), int(FS))
+
+    def config(out, **kw):
+        return ProcessingConfig(
+            in_path=cap,
+            target_freq=CENTER + OFFSET,
+            demod_mode=mode,
+            agc_enabled=agc,
+            output_path=out,
+            mix_sign_override=1,
+            chunk_size=65_536,
+            **kw,
+        )
+
+    serial_out = tmp_path / "serial.wav"
+    ProcessingPipeline(config(serial_out)).run(None)
+
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    plan = ResamplePlan.create(fs_ch, 48_000.0, 1)
+    total = len(iq)
+    segs = plan_segments(total, FS, decim, plan.up, plan.down, 3,
+                         warm_seconds=0.25)
+    assert len(segs) == 3
+    seg_paths = []
+    for s in segs:
+        out = tmp_path / f"seg_{s.index}.wav"
+        ProcessingPipeline(
+            config(
+                out,
+                input_start_sample=s.read_start,
+                input_num_samples=s.read_samples,
+            )
+        ).run(None)
+        seg_paths.append(out)
+
+    spliced_out = tmp_path / "spliced.wav"
+    peak, n = splice_audio(seg_paths, [s.audio_skip for s in segs],
+                           spliced_out)
+
+    a, sr_a = read_wav(serial_out)
+    b, sr_b = read_wav(spliced_out)
+    assert sr_a == sr_b == 48_000
+    assert a.shape == b.shape
+    assert n == len(b)
+    err = error_db(b[:, 0], a[:, 0])
+    assert err < limit_db, f"segmented-vs-serial error {err:.1f} dB"
+    # the splice's written-sample peak matches the stream peak (within the
+    # 1/32767-vs-1/32768 scaling conventions of writer and reader)
+    assert peak == pytest.approx(float(np.max(np.abs(b))), abs=1.0 / 32000)
+
+
+def test_segment_read_window_is_exact(tmp_path):
+    """input_start_sample/input_num_samples consume exactly the requested
+    window: a windowed pass-through run equals the matching slice of a
+    full-capture run once the FIR tail has converged (lead-in >= taps)."""
+    from iq_to_audio_tpu.pipeline.filters import design_channel_filter
+
+    iq = make_tone_iq(FS, 0.4, OFFSET)
+    cap = tmp_path / f"baseband_{int(CENTER)}Hz_win.wav"
+    write_stereo_wav(cap, np.column_stack([iq.real, iq.imag]), int(FS),
+                     codec="pcm_f32le")
+
+    def config(out, **kw):
+        return ProcessingConfig(
+            in_path=cap,
+            target_freq=CENTER + OFFSET,
+            demod_mode="none",
+            output_path=out,
+            mix_sign_override=1,
+            chunk_size=8_192,
+            fs_ch_target=FS,  # decimation 1: output index == input index
+            **kw,
+        )
+
+    full_out = tmp_path / "full.wav"
+    ProcessingPipeline(config(full_out)).run(None)
+
+    taps = design_channel_filter(FS, 12_500.0, 1)
+    lead = len(taps)
+    start, num = 40_000, 30_000
+    win_out = tmp_path / "win.wav"
+    result = ProcessingPipeline(
+        config(win_out, input_start_sample=start - lead,
+               input_num_samples=num + lead)
+    ).run(None)
+    assert result.input_samples == num + lead
+
+    full, _ = read_wav(full_out)
+    win, _ = read_wav(win_out)
+    assert len(win) == num + lead
+    err = error_db(
+        win[lead:, 0] + 1j * win[lead:, 1],
+        full[start : start + num, 0] + 1j * full[start : start + num, 1],
+    )
+    assert err < -80.0, f"windowed-vs-full slice error {err:.1f} dB"
