@@ -68,7 +68,11 @@ def main() -> int:
     seconds = float(os.environ.get("IQ2A_BENCH_SECONDS", "30"))
     offset = 25_000.0
     center = 400_000_000.0
-    passes = int(os.environ.get("IQ2A_BENCH_PASSES", "8"))
+    passes = int(os.environ.get("IQ2A_BENCH_PASSES", "12"))
+    # wall budget for the measured passes (the relay's wire bandwidth has
+    # fast components on top of its hour-scale oscillation — sampling more
+    # passes costs little and occasionally lands a fast-regime pass)
+    measure_budget = float(os.environ.get("IQ2A_BENCH_MEASURE_SECS", "240"))
     # bounded wait for the per-connection session toll (3-18 min measured);
     # if it outlasts the budget, pass 1's fetch simply absorbs the rest
     warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "540"))
@@ -133,6 +137,7 @@ def main() -> int:
         # wire is in today.  Both schedules share one compiled executable.
         elapsed = float("inf")
         loop_seconds = float("inf")
+        measure_start = time.perf_counter()
         for i in range(passes):
             sched = "1" if i % 2 == 0 else "0"
             os.environ["IQ2A_OVERLAP"] = sched
@@ -151,6 +156,10 @@ def main() -> int:
             if i >= 1 and elapsed < seconds / 50.0:
                 break
             if i >= 3 and elapsed < seconds / 15.0:
+                break
+            if time.perf_counter() - measure_start > measure_budget:
+                logging.info("measure budget (%.0f s) exhausted after "
+                             "pass %d", measure_budget, i + 1)
                 break
         os.environ.pop("IQ2A_OVERLAP", None)
 
