@@ -46,8 +46,39 @@ def _build() -> bool:
         return False
 
 
+_ABI_VERSION = 2
+
+
+def _load() -> ctypes.CDLL | None:
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.iqio_abi_version.restype = ctypes.c_int32
+        if lib.iqio_abi_version() != _ABI_VERSION:
+            return None
+        lib.iqio_convert_deinterleave.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.iqio_encode_s16.restype = ctypes.c_float
+        lib.iqio_encode_s16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_void_p,
+        ]
+        lib.iqio_interleave_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        return lib
+    except (OSError, AttributeError) as exc:
+        LOG.debug("native iqio load failed: %s", exc)
+        return None
+
+
 def get_lib() -> ctypes.CDLL | None:
-    """Load (building on demand) the native library, or None."""
+    """Load (building on demand) the native library, or None.
+
+    A stale .so from an older source revision (ABI mismatch) is rebuilt
+    once; if the rebuild fails too, everything stays on the NumPy paths.
+    """
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
@@ -55,30 +86,13 @@ def get_lib() -> ctypes.CDLL | None:
         _tried = True
         if not _LIB_PATH.exists() and not _build():
             return None
-        try:
-            lib = ctypes.CDLL(str(_LIB_PATH))
-            lib.iqio_abi_version.restype = ctypes.c_int32
-            if lib.iqio_abi_version() != 1:
-                LOG.warning("native iqio ABI mismatch; using NumPy fallback")
-                return None
-            lib.iqio_convert_deinterleave.argtypes = [
-                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_void_p,
-            ]
-            lib.iqio_encode_s16.restype = ctypes.c_float
-            lib.iqio_encode_s16.argtypes = [
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_void_p,
-            ]
-            lib.iqio_interleave_encode.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
-                ctypes.c_void_p,
-            ]
-            lib.iqio_peak_abs.restype = ctypes.c_float
-            lib.iqio_peak_abs.argtypes = [ctypes.c_void_p, ctypes.c_int64]
-            _lib = lib
-        except OSError as exc:
-            LOG.debug("native iqio load failed: %s", exc)
-            _lib = None
+        lib = _load()
+        if lib is None and _build():
+            lib = _load()
+        if lib is None:
+            LOG.warning("native iqio unusable (stale ABI and rebuild "
+                        "failed); using NumPy fallback")
+        _lib = lib
         return _lib
 
 
@@ -117,3 +131,29 @@ def encode_s16(samples: np.ndarray, clip: float = 0.99):
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out, float(peak)
+
+
+def interleave_encode(samples: np.ndarray, codec: str):
+    """Raw interleaved payload bytes for complex64 IQ, or None.
+
+    Semantics match ``io.writer._encode_iq_raw`` exactly (s16 truncates
+    after the asymmetric clip, u8 rounds half-to-even — reference
+    ``processing.py:527-539``).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    i = np.ascontiguousarray(samples.real, dtype=np.float32)
+    q = np.ascontiguousarray(samples.imag, dtype=np.float32)
+    frames = i.size
+    dtype = {"pcm_u8": np.uint8, "pcm_s16le": np.int16,
+             "pcm_f32le": np.float32}[codec]
+    out = np.empty(2 * frames, dtype=dtype)
+    lib.iqio_interleave_encode(
+        i.ctypes.data_as(ctypes.c_void_p),
+        q.ctypes.data_as(ctypes.c_void_p),
+        frames,
+        _CODEC_IDS[codec],
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out.tobytes()

@@ -167,6 +167,11 @@ class IQDebugWriter:
 
 def _encode_iq_raw(samples: np.ndarray, codec: str) -> bytes:
     """Raw IQ encoding rules (reference ``processing.py:527-539``)."""
+    from .native import interleave_encode
+
+    payload = interleave_encode(samples, codec)
+    if payload is not None:
+        return payload
     interleaved = np.empty(samples.size * 2, dtype=np.float32)
     interleaved[0::2] = samples.real
     interleaved[1::2] = samples.imag

@@ -54,6 +54,8 @@ void iqio_convert_deinterleave(const void* src, int32_t codec, int32_t order,
 
 // Encode float32 mono audio to s16le with clipping (AudioWriter hot path,
 // reference processing.py:449-452 clip to +-0.99 then ffmpeg s16 encode).
+// Rounds half-to-even (nearbyintf under the default FE_TONEAREST mode) to
+// match np.round / the device-side jnp.round encode exactly.
 // Returns the peak |x| BEFORE clipping.
 float iqio_encode_s16(const float* in, int64_t n, float clip, int16_t* out) {
     float peak = 0.0f;
@@ -63,14 +65,16 @@ float iqio_encode_s16(const float* in, int64_t n, float clip, int16_t* out) {
         if (av > peak) peak = av;
         if (v > clip) v = clip;
         if (v < -clip) v = -clip;
-        float scaled = v * 32767.0f;
-        out[k] = static_cast<int16_t>(scaled >= 0 ? scaled + 0.5f : scaled - 0.5f);
+        out[k] = static_cast<int16_t>(nearbyintf(v * 32767.0f));
     }
     return peak;
 }
 
 // Interleave split I/Q floats and encode to the requested raw codec
-// (IQ slice writer, reference processing.py:527-539).
+// (IQ slice writer pass-through hot path, reference processing.py:527-539).
+// Semantics pinned to io/writer.py::_encode_iq_raw: s16 clips to
+// [-1.0, 0.999969] then TRUNCATES toward zero (numpy astype), u8 clips to
+// [-1, 1] then rounds (np.round, half-to-even) after the (x+1)*127.5 map.
 void iqio_interleave_encode(const float* i_in, const float* q_in, int64_t frames,
                             int32_t codec, void* dst) {
     if (codec == CODEC_F32) {
@@ -86,9 +90,7 @@ void iqio_interleave_encode(const float* i_in, const float* q_in, int64_t frames
                 float v = c == 0 ? i_in[n] : q_in[n];
                 if (v > 0.999969f) v = 0.999969f;
                 if (v < -1.0f) v = -1.0f;
-                float scaled = v * 32767.0f;
-                d[2 * n + c] = static_cast<int16_t>(
-                    scaled >= 0 ? scaled + 0.5f : scaled - 0.5f);
+                d[2 * n + c] = static_cast<int16_t>(v * 32767.0f);
             }
         }
     } else {  // u8
@@ -98,22 +100,12 @@ void iqio_interleave_encode(const float* i_in, const float* q_in, int64_t frames
                 float v = c == 0 ? i_in[n] : q_in[n];
                 if (v > 1.0f) v = 1.0f;
                 if (v < -1.0f) v = -1.0f;
-                d[2 * n + c] = static_cast<uint8_t>(std::lround((v + 1.0f) * 127.5f));
+                d[2 * n + c] = static_cast<uint8_t>(nearbyintf((v + 1.0f) * 127.5f));
             }
         }
     }
 }
 
-// Peak |x| over a float32 buffer.
-float iqio_peak_abs(const float* x, int64_t n) {
-    float peak = 0.0f;
-    for (int64_t k = 0; k < n; ++k) {
-        float av = x[k] < 0 ? -x[k] : x[k];
-        if (av > peak) peak = av;
-    }
-    return peak;
-}
-
-int32_t iqio_abi_version() { return 1; }
+int32_t iqio_abi_version() { return 2; }
 
 }  // extern "C"
