@@ -390,7 +390,10 @@ def main(argv: list[str] | None = None) -> int:
     if len(frequencies) > 5:
         parser.error("At most five target frequencies are supported per run.")
     for n, freq in enumerate(frequencies):
-        if any(math.isclose(freq, prior, abs_tol=0.5) for prior in frequencies[:n]):
+        if any(
+            math.isclose(freq, prior, rel_tol=0.0, abs_tol=0.5)
+            for prior in frequencies[:n]
+        ):
             parser.error("Duplicate target frequencies are not allowed.")
 
     # flags whose dest already IS the ProcessingConfig field name pass

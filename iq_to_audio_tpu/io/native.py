@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -32,17 +33,24 @@ def _build() -> bool:
     src = _NATIVE_DIR / "iqio.cpp"
     if not src.exists():
         return False
+    # build to a temp name and rename: glibc dlopen dedups by (dev, ino), so
+    # rewriting an already-mapped .so in place would make the stale-ABI
+    # reload return the OLD mapping (and in-place truncation of a mapped
+    # object is hazardous anyway) — a fresh inode guarantees a fresh load
+    tmp = _LIB_PATH.with_suffix(f".so.build{os.getpid()}")
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
-             "-o", str(_LIB_PATH), str(src)],
+             "-o", str(tmp), str(src)],
             check=True,
             capture_output=True,
             timeout=120,
         )
-        return _LIB_PATH.exists()
+        os.replace(tmp, _LIB_PATH)
+        return True
     except (OSError, subprocess.SubprocessError) as exc:
         LOG.debug("native iqio build failed: %s", exc)
+        tmp.unlink(missing_ok=True)
         return False
 
 

@@ -368,6 +368,11 @@ class ProcessingPipeline:
             resume_frames = (
                 resume_data["counters"]["processed_samples"] if resume_data else 0
             )
+            if max_input_samples is not None and resume_frames:
+                # the reader seeks past the already-processed samples, so the
+                # remaining window budget shrinks by the same amount (else a
+                # resumed preview/segment run would overread its window)
+                max_input_samples = max(0, max_input_samples - resume_frames)
 
             # --- totals for progress ----------------------------------------
             reader = IQReader(

@@ -139,6 +139,12 @@ def splice_audio(
     try:
         for path, skip in zip(segment_paths, audio_skips):
             info = parse_wav_header(path)
+            if info.data_size < 2 * skip:
+                raise ValueError(
+                    f"Segment {path} holds {info.data_size // 2} samples — "
+                    f"fewer than its {skip}-sample lead-in; the worker run "
+                    "was truncated."
+                )
             with Path(path).open("rb") as f:
                 f.seek(info.data_offset + 2 * skip)
                 payload = f.read(info.data_size - 2 * skip)

@@ -92,6 +92,38 @@ def test_resume_produces_identical_audio(tmp_path, capture):
     assert result.audio_peak > 0.01
 
 
+def test_resume_respects_input_window(tmp_path, capture):
+    """A resumed run with a sample-precise input window must stop at the
+    window end, not overread by the resumed amount (segmented workers
+    interrupted mid-segment)."""
+    start, num = 93_750, 375_000  # frame-aligned; window ends inside the file
+    ref_out = tmp_path / "win_ref.wav"
+    base = dict(
+        in_path=capture,
+        target_freq=TARGET,
+        chunk_size=32_768,
+        mix_sign_override=1,
+        input_start_sample=start,
+        input_num_samples=num,
+    )
+    ProcessingPipeline(
+        ProcessingConfig(**base, output_path=ref_out)
+    ).run()
+    ref, _ = read_wav(ref_out)
+
+    out = tmp_path / "win_res.wav"
+    cfg = dict(base, output_path=out, checkpoint_secs=0.4)
+    with pytest.raises(ProcessingCancelled):
+        ProcessingPipeline(ProcessingConfig(**cfg)).run(_CancelAfter(FS * 0.6))
+    assert (tmp_path / "win_res.wav.ckpt").exists()
+    result = ProcessingPipeline(ProcessingConfig(**cfg, resume=True)).run()
+    got, _ = read_wav(out)
+    assert got.shape == ref.shape, "resumed window overran the segment end"
+    # input_samples is cumulative across resume: exactly the window, no overread
+    assert result.input_samples == num
+    np.testing.assert_array_equal(got[:, 0], ref[:, 0])
+
+
 def test_resume_rejects_mismatched_config(tmp_path, capture):
     out = tmp_path / "a.wav"
     cfg = dict(
