@@ -16,15 +16,24 @@ behavior (docs/performance.md):
     per-connection "session toll" (measured 3-18 minutes, independent of
     the program — a 128x128 matmul pays the same), and it cannot be
     observed without fetching (is_ready()/block_until_ready return early),
-  * AFTER the toll, the connection is fast in both directions: 128 MiB
-    uploads in ~0.05 s, sub-second fetches, the full 30 s pass in ~1 s —
-    with occasional multi-second scheduling hiccups.
+  * AFTER the toll, the wire oscillates campaign-to-campaign between a
+    fast regime (128 MiB uploads in ~0.05 s, full 30 s pass in ~1 s) and a
+    slow regime (~30 MB/s globally — the 300 MB capture upload alone is
+    ~10 s, flooring a device-only pass at ~3-4x realtime).
 
 So: pay the toll up front with a trivial fetch on a background thread,
 compile + dispatch every device program meanwhile (fetch-free warm pass;
 client compile cache under .jax_cache makes reruns fast), give the toll a
-bounded wait, then run several measured passes and report the best (the
-hiccups make individual passes vary ~1-11 s).
+bounded wait, then run several measured passes and report the best.
+
+On accelerator backends the measured passes use the heterogeneous
+burst-mode executor (iq_to_audio_tpu/pipeline/hetero.py): the capture's
+frame-aligned segments are processed concurrently by the device stream
+and a host-CPU worker subprocess via a work-stealing queue, so the
+end-to-end wall time tracks the SUM of both sides' throughputs — robust
+to whichever wire regime the relay is in (device-only passes are floored
+by the wire in the slow regime; the host CPU alone sustains ~20x —
+BENCH_cpu.json).  IQ2A_HETERO=0 restores device-only passes.
 """
 
 from __future__ import annotations
@@ -62,6 +71,7 @@ def main() -> int:
 
     from iq_to_audio_tpu.pipeline.benchmark import generate_synthetic_iq
     from iq_to_audio_tpu.pipeline.config import ProcessingConfig
+    from iq_to_audio_tpu.pipeline.hetero import HeteroExecutor
     from iq_to_audio_tpu.pipeline.pipeline import ProcessingPipeline
 
     sample_rate = 2_500_000.0
@@ -74,8 +84,16 @@ def main() -> int:
     # passes costs little and occasionally lands a fast-regime pass)
     measure_budget = float(os.environ.get("IQ2A_BENCH_MEASURE_SECS", "240"))
     # bounded wait for the per-connection session toll (3-18 min measured);
-    # if it outlasts the budget, pass 1's fetch simply absorbs the rest
+    # if it outlasts the budget, the full warm pass's fetch absorbs the rest
     warm_budget = float(os.environ.get("IQ2A_BENCH_WARM_SECS", "540"))
+    # heterogeneous burst mode on accelerator backends (see module docstring)
+    hetero = (
+        jax.default_backend() != "cpu"
+        and os.environ.get("IQ2A_HETERO", "1") != "0"
+        and seconds >= 8.0  # shorter captures cannot productively segment
+    )
+    n_segments = int(os.environ.get("IQ2A_SEGMENTS", "8"))
+    cpu_workers = int(os.environ.get("IQ2A_HETERO_CPU", "1"))
 
     # -- pay the session toll on a background thread ----------------------
     toll_done = threading.Event()
@@ -92,84 +110,120 @@ def main() -> int:
     toll_start = time.perf_counter()
     threading.Thread(target=_pay_toll, daemon=True).start()
 
-    with tempfile.TemporaryDirectory() as tmp:
-        tmpdir = Path(tmp)
+    executor = (
+        HeteroExecutor(
+            cpu_workers=cpu_workers,
+            n_segments=n_segments,
+            child_env={"JAX_COMPILATION_CACHE_DIR": str(REPO / ".jax_cache")},
+        )
+        if hetero
+        else None
+    )
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            tmpdir = Path(tmp)
 
-        def make_config(path: Path, tag: str) -> ProcessingConfig:
-            return ProcessingConfig(
-                in_path=path,
-                target_freq=center + offset,
-                center_freq=center,
-                center_freq_source="benchmark",
-                demod_mode="nfm",
-                output_path=tmpdir / f"audio_{tag}.wav",
-            )
+            def make_config(path: Path, tag: str) -> ProcessingConfig:
+                return ProcessingConfig(
+                    in_path=path,
+                    target_freq=center + offset,
+                    center_freq=center,
+                    center_freq_source="benchmark",
+                    demod_mode="nfm",
+                    output_path=tmpdir / f"audio_{tag}.wav",
+                )
 
-        # -- warm pass: compile + dispatch everything, never fetch ---------
-        # same duration as the measured passes: the accumulator-window size
-        # is quantised from the capture length, so a different duration
-        # would compile (and load) a different executable
-        capture = tmpdir / f"benchmark_fc-{int(center)}Hz.wav"
-        generate_synthetic_iq(capture, sample_rate=sample_rate, seconds=seconds,
-                              freq_offset=offset)
-        warm_start = time.perf_counter()
-        warm_pipe = ProcessingPipeline(make_config(capture, "warm"))
-        warm_pipe.warm_no_fetch = True
-        warm_pipe.run(None)
-        warm_elapsed = time.perf_counter() - warm_start
-        logging.info("fetch-free warm pass (compile-inclusive): %.2f s", warm_elapsed)
+            # -- warm pass: compile + dispatch everything, never fetch ------
+            # same duration as the measured passes: the accumulator-window
+            # size is quantised from the window length, so a different
+            # duration would compile (and load) a different executable
+            capture = tmpdir / f"benchmark_fc-{int(center)}Hz.wav"
+            generate_synthetic_iq(capture, sample_rate=sample_rate,
+                                  seconds=seconds, freq_offset=offset)
+            warm_start = time.perf_counter()
+            if executor is not None:
+                executor.run(make_config(capture, "warm"),
+                             device_warm_no_fetch=True)
+            else:
+                warm_pipe = ProcessingPipeline(make_config(capture, "warm"))
+                warm_pipe.warm_no_fetch = True
+                warm_pipe.run(None)
+            warm_elapsed = time.perf_counter() - warm_start
+            logging.info("fetch-free warm pass (compile-inclusive): %.2f s",
+                         warm_elapsed)
 
-        # -- bounded wait for the toll thread --------------------------------
-        remaining = warm_budget - (time.perf_counter() - toll_start)
-        if remaining > 0 and not toll_done.is_set():
-            logging.info("waiting up to %.0f s more for the session toll "
-                         "(IQ2A_BENCH_WARM_SECS=%.0f)", remaining, warm_budget)
-            toll_done.wait(timeout=remaining)
-        if not toll_done.is_set():
-            logging.info("toll still pending — pass 1 will absorb it")
+            # -- bounded wait for the toll thread ---------------------------
+            remaining = warm_budget - (time.perf_counter() - toll_start)
+            if remaining > 0 and not toll_done.is_set():
+                logging.info("waiting up to %.0f s more for the session toll "
+                             "(IQ2A_BENCH_WARM_SECS=%.0f)", remaining, warm_budget)
+                toll_done.wait(timeout=remaining)
+            if not toll_done.is_set():
+                logging.info("toll still pending — the full warm pass will "
+                             "absorb it")
+            if executor is not None:
+                # full warm pass: first device fetch absorbs any residual
+                # toll, the CPU worker compiles its segment geometry, and
+                # the device fetch path warms — all off the measured clock
+                t0 = time.perf_counter()
+                executor.run(make_config(capture, "warm2"))
+                logging.info("full warm pass: %.2f s (%s)",
+                             time.perf_counter() - t0, executor.last_stats)
 
-        # -- measured passes -------------------------------------------------
-        # Alternate the hot-loop schedule pass-to-pass: overlapped (H2D of
-        # group k+1 rides behind group k's compute) vs phased (strict
-        # upload->dispatch->fetch).  The relay's upload-behind-dispatch
-        # behavior has flipped between campaigns (docs/performance.md), so
-        # the bench itself is the A/B — best pass wins whichever regime the
-        # wire is in today.  Both schedules share one compiled executable.
-        elapsed = float("inf")
-        loop_seconds = float("inf")
-        measure_start = time.perf_counter()
-        clean_passes = 0  # passes that started after the toll had landed
-        for i in range(passes):
-            sched = "1" if i % 2 == 0 else "0"
-            os.environ["IQ2A_OVERLAP"] = sched
-            cfg = make_config(capture, f"p{i}")
-            toll_was_paid = toll_done.is_set()
-            start = time.perf_counter()
-            result = ProcessingPipeline(cfg).run(None)
-            e = time.perf_counter() - start
-            clean_passes += int(toll_was_paid)
-            logging.info("pass %d/%d (%s): %.3f s wall (%.1fx realtime)",
-                         i + 1, passes,
-                         "overlapped" if sched == "1" else "phased",
-                         e, seconds / e)
-            if e < elapsed:
-                elapsed, loop_seconds = e, result.loop_seconds
-            # relay hiccups make passes vary ~1-21 s; once both schedules
-            # have run and a pass hits the fast regime, stop
-            if i >= 1 and elapsed < seconds / 50.0:
-                break
-            if i >= 3 and elapsed < seconds / 15.0:
-                break
-            # never let the budget stop us before two toll-clean passes:
-            # a pass that absorbed the session toll (bounded but up to
-            # tens of minutes on this relay) measures the toll, not the
-            # pipeline, and must not be the only sample in the record
-            if (clean_passes >= 2
-                    and time.perf_counter() - measure_start > measure_budget):
-                logging.info("measure budget (%.0f s) exhausted after "
-                             "pass %d", measure_budget, i + 1)
-                break
-        os.environ.pop("IQ2A_OVERLAP", None)
+            # -- measured passes --------------------------------------------
+            # Alternate the device stream's hot-loop schedule pass-to-pass:
+            # overlapped (H2D of group k+1 rides behind group k's compute)
+            # vs phased (strict upload->dispatch->fetch).  The relay's
+            # upload-behind-dispatch behavior has flipped between campaigns
+            # (docs/performance.md), so the bench itself is the A/B — best
+            # pass wins whichever regime the wire is in today.  Both
+            # schedules share one compiled executable.
+            elapsed = float("inf")
+            loop_seconds = float("inf")
+            measure_start = time.perf_counter()
+            clean_passes = 0  # passes that started after the toll had landed
+            for i in range(passes):
+                sched = "1" if i % 2 == 0 else "0"
+                os.environ["IQ2A_OVERLAP"] = sched
+                cfg = make_config(capture, f"p{i}")
+                toll_was_paid = toll_done.is_set()
+                start = time.perf_counter()
+                if executor is not None:
+                    result = executor.run(cfg)
+                    detail = " [dev %d/cpu %d segs]" % (
+                        executor.last_stats.get("device_segments", 0),
+                        executor.last_stats.get("cpu_segments", 0),
+                    )
+                else:
+                    result = ProcessingPipeline(cfg).run(None)
+                    detail = ""
+                e = time.perf_counter() - start
+                clean_passes += int(toll_was_paid)
+                logging.info("pass %d/%d (%s): %.3f s wall (%.1fx realtime)%s",
+                             i + 1, passes,
+                             "overlapped" if sched == "1" else "phased",
+                             e, seconds / e, detail)
+                if e < elapsed:
+                    elapsed, loop_seconds = e, result.loop_seconds
+                # relay hiccups make passes vary ~1-21 s; once both schedules
+                # have run and a pass hits the fast regime, stop
+                if i >= 1 and elapsed < seconds / 50.0:
+                    break
+                if i >= 3 and elapsed < seconds / 15.0:
+                    break
+                # never let the budget stop us before two toll-clean passes:
+                # a pass that absorbed the session toll (bounded but up to
+                # tens of minutes on this relay) measures the toll, not the
+                # pipeline, and must not be the only sample in the record
+                if (clean_passes >= 2
+                        and time.perf_counter() - measure_start > measure_budget):
+                    logging.info("measure budget (%.0f s) exhausted after "
+                                 "pass %d", measure_budget, i + 1)
+                    break
+            os.environ.pop("IQ2A_OVERLAP", None)
+    finally:
+        if executor is not None:
+            executor.close()
 
     realtime = seconds / elapsed
     msps = sample_rate * seconds / elapsed / 1e6
@@ -178,10 +232,16 @@ def main() -> int:
         "%.1fx realtime, %.1f Msps",
         passes, seconds, elapsed, loop_seconds, realtime, msps,
     )
+    unit = "x realtime per chip"
+    if hetero:
+        # honest labeling: burst-mode passes use the chip AND the host CPU
+        # concurrently (work-stealing segments); the reference's 20x
+        # baseline is likewise a whole-machine number
+        unit = "x realtime (1 chip + host CPU, work-stealing burst mode)"
     record = {
         "metric": "NFM demod realtime factor (2.5 MS/s synthetic capture -> 48 kHz WAV, end-to-end incl. file IO)",
         "value": round(realtime, 2),
-        "unit": "x realtime per chip",
+        "unit": unit,
         "vs_baseline": round(realtime / 20.0, 2),
     }
     if jax.default_backend() == "cpu" and seconds >= 30.0:

@@ -254,6 +254,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Checkpoint the stream state every N seconds of input for --resume.")
     parser.add_argument("--resume", dest="resume", action="store_true",
                         help="Resume an interrupted run from its checkpoint (requires --checkpoint-secs on the original run).")
+    parser.add_argument("--burst-segments", dest="burst_segments", type=int, default=0,
+                        help="Burst mode: split the capture into N frame-aligned segments processed "
+                             "concurrently by the device stream and host-CPU workers, then splice "
+                             "the audio (see docs/performance.md; 0 = off).")
+    parser.add_argument("--burst-cpu-workers", dest="burst_cpu_workers", type=int, default=1,
+                        help="Host-CPU worker subprocesses for --burst-segments (0 = device stream only).")
     parser.add_argument("--verbose", dest="verbose", action="store_true",
                         help="Enable debug logging.")
     parser.add_argument("--version", action="version", version=__version__,
@@ -526,29 +532,45 @@ def main(argv: list[str] | None = None) -> int:
         LOG.info("No target frequencies to process.")
         return 0
 
-    results: list[tuple[ProcessingConfig, ProcessingResult]] = []
-    for index, config in enumerate(configs, start=1):
-        freq_list = [f for f in config.all_target_freqs() if f > 0]
-        LOG.info(
-            "=== Processing %d target(s): %s (%d/%d) ===",
-            max(1, len(freq_list)),
-            "/".join(f"{f:.0f}" for f in freq_list) or "(probe)",
-            index,
-            len(configs),
+    hetero_ex = None
+    if args.burst_segments and args.burst_segments > 1:
+        from .pipeline.hetero import HeteroExecutor
+
+        hetero_ex = HeteroExecutor(
+            cpu_workers=max(0, args.burst_cpu_workers),
+            n_segments=args.burst_segments,
         )
-        pipeline = ProcessingPipeline(config)
-        sink = progress_sink if (index == 1 and progress_sink is not None) else _make_sink()
-        try:
-            result = pipeline.run(progress_sink=sink)
-        except ProcessingCancelled:
-            LOG.info("Processing cancelled by user.")
-            return 0
-        except Exception as exc:
-            LOG.error("Processing failed: %s", exc)
-            if args.verbose:
-                LOG.exception("Debug traceback")
-            return 1
-        results.append((config, result))
+
+    results: list[tuple[ProcessingConfig, ProcessingResult]] = []
+    try:
+        for index, config in enumerate(configs, start=1):
+            freq_list = [f for f in config.all_target_freqs() if f > 0]
+            LOG.info(
+                "=== Processing %d target(s): %s (%d/%d) ===",
+                max(1, len(freq_list)),
+                "/".join(f"{f:.0f}" for f in freq_list) or "(probe)",
+                index,
+                len(configs),
+            )
+            sink = progress_sink if (index == 1 and progress_sink is not None) else _make_sink()
+            try:
+                if hetero_ex is not None:
+                    result = hetero_ex.run(config, progress_sink=sink)
+                    assert result is not None  # not a warm-only pass
+                else:
+                    result = ProcessingPipeline(config).run(progress_sink=sink)
+            except ProcessingCancelled:
+                LOG.info("Processing cancelled by user.")
+                return 0
+            except Exception as exc:
+                LOG.error("Processing failed: %s", exc)
+                if args.verbose:
+                    LOG.exception("Debug traceback")
+                return 1
+            results.append((config, result))
+    finally:
+        if hetero_ex is not None:
+            hetero_ex.close()
 
     if args.probe_only:
         for config, result in results:

@@ -1,0 +1,528 @@
+"""Heterogeneous segmented execution: accelerator stream + host-CPU workers.
+
+Runs one capture's frame-aligned segment plan (:mod:`.segmented`) across
+*both* available compute resources at once: the in-process pipeline on the
+default JAX backend (the accelerator), and one or more persistent host-CPU
+worker subprocesses (:mod:`.seg_worker`, pinned to ``JAX_PLATFORMS=cpu``).
+A shared work queue self-balances: the device stream takes segments from
+the front, CPU workers steal from the back, so whichever side is faster
+today processes more of the capture — no calibration pass needed.
+
+Why this exists: on tunneled accelerator runtimes the host->device wire is
+sometimes the end-to-end bottleneck (oscillating between ~30 MB/s and
+GB/s campaign-to-campaign — docs/performance.md "Measured status"), while
+the host's own CPU backend sustains ~20x realtime on the same pipeline
+(BENCH_cpu.json).  Work-stealing makes the end-to-end wall time robust to
+the wire regime: the capture finishes at roughly the *sum* of both sides'
+throughputs instead of whichever single side the scheduler guessed.  This
+is the framework's scaled-up analogue of the reference's 3-stage
+process-parallel pipeline (ffmpeg decode / Python DSP / encode thread,
+reference ``processing.py:190-195,430-476``) — heterogeneous executors
+over segments instead of stages over chunks.
+
+Exactness: identical to segmented/burst mode — frame-aligned windows,
+uint32 phase-seeded NCO, discarded lead-ins for the exponentially
+convergent carries; segment-vs-serial agreement is validated at -60 dB
+in ``tests/test_segmented.py`` and cross-backend behavior is specified in
+docs/performance.md "Cross-backend determinism" (the CPU and accelerator
+conv lowerings agree within 1 LSB of s16 except feedback-AGC SSB, whose
+recurrence amplifies ulp-level input differences; heterogeneous splits of
+SSB+AGC captures carry the same caveat).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import json
+import logging
+import math
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from ..io.formats import resolve_input_format
+from ..io.probe import SampleRateProbe, probe_sample_rate
+from ..io.reader import IQReader, convert_to_complex
+from ..ref.chain import choose_mix_sign
+from ..utils.freq import detect_center_frequency
+from .config import ProcessingConfig
+from .filters import compute_decimation, design_channel_filter
+from .pipeline import ProcessingPipeline, ProcessingResult
+from .progress import PhaseState, ProgressSink, ProgressTracker
+from .segmented import WARM_SECONDS, Segment, plan_segments, splice_audio
+from .seg_worker import config_to_wire
+
+LOG = logging.getLogger(__name__)
+
+_OUTPUT_RATE = 48_000
+
+
+@dataclass
+class HeteroPlan:
+    """Resolved capture facts + the segment plan for one run."""
+
+    segments: list[Segment]
+    probe: SampleRateProbe
+    sample_rate: float
+    center_freq: float
+    center_freq_source: str
+    target_freq: float
+    freq_offset: float
+    decimation: int
+    fs_channel: float
+    mix_sign: int
+    total_samples: int
+    input_container: str
+    input_format: str
+
+
+def _plan(config: ProcessingConfig, n_segments: int,
+          warm_seconds: float) -> HeteroPlan:
+    """Probe the capture on the host and plan its segments (no device work)."""
+    spec, _source = resolve_input_format(
+        config.in_path,
+        requested=config.input_format,
+        container_hint=config.input_container,
+    )
+    if spec.container == "raw":
+        if not config.input_sample_rate or config.input_sample_rate <= 0:
+            raise ValueError("Raw IQ inputs require an input sample rate.")
+        sample_rate = float(config.input_sample_rate)
+        probe = SampleRateProbe(override=sample_rate)
+    else:
+        probe = probe_sample_rate(config.in_path)
+        if config.input_sample_rate:
+            sample_rate = float(config.input_sample_rate)
+            probe = dataclasses.replace(probe, override=sample_rate)
+        else:
+            sample_rate = probe.value
+
+    center = config.center_freq
+    center_source = config.center_freq_source or (
+        "config" if center is not None else "unavailable"
+    )
+    if center is None:
+        detection = detect_center_frequency(config.in_path)
+        if detection.value is None:
+            raise ValueError(
+                "Center frequency not supplied and could not be determined "
+                "from metadata or filename. Use --fc to provide it explicitly."
+            )
+        center, center_source = detection.value, detection.source
+    target = config.target_freq
+    offset = target - center
+
+    decimation, fs_channel = compute_decimation(sample_rate, config.fs_ch_target)
+    from ..ops.resample import ResamplePlan
+
+    rate_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, 1)
+    taps = design_channel_filter(sample_rate, config.bandwidth, decimation)
+
+    probe_len = max(int(sample_rate * 0.05), len(taps) * 4, 131_072)
+    with IQReader(
+        config.in_path,
+        probe_len,
+        config.iq_order,
+        spec,
+        sample_rate=sample_rate if spec.container == "raw" else None,
+        prefetch_depth=0,
+    ) as reader:
+        total = int(reader.total_frames)
+        if config.max_input_seconds and config.max_input_seconds > 0:
+            cap = max(1, int(math.floor(config.max_input_seconds * sample_rate)))
+            total = min(total, cap) if total > 0 else cap
+        if config.mix_sign_override in (1, -1):
+            mix_sign = int(config.mix_sign_override)
+        else:
+            raw = reader.read_block_raw()
+            if raw is None:
+                raise ValueError(f"Input {config.in_path} contains no samples.")
+            warm = convert_to_complex(raw, spec.codec, config.iq_order)
+            mix_sign = choose_mix_sign(warm, sample_rate, offset, taps, decimation)
+
+    segments = plan_segments(
+        total,
+        sample_rate,
+        decimation,
+        rate_plan.up,
+        rate_plan.down,
+        n_segments,
+        warm_seconds=warm_seconds,
+    )
+    return HeteroPlan(
+        segments=segments,
+        probe=probe,
+        sample_rate=sample_rate,
+        center_freq=center,
+        center_freq_source=center_source,
+        target_freq=target,
+        freq_offset=offset,
+        decimation=decimation,
+        fs_channel=fs_channel,
+        mix_sign=mix_sign,
+        total_samples=total,
+        input_container=spec.container,
+        input_format=spec.codec,
+    )
+
+
+def hetero_eligible(config: ProcessingConfig) -> bool:
+    """True when the heterogeneous runner supports this configuration.
+
+    Diagnostic/stateful modes stay on the serial pipeline: probe-only and
+    stage plots are single-stream by meaning, dump-iq and pass-through
+    write non-audio streams the splicer does not reassemble, checkpointed
+    or resumed runs carry one serial state, multi-target batches fan out
+    per-channel outputs, and explicit input windows are already segments.
+    """
+    mode = (config.demod_mode or "").lower()
+    return not (
+        config.probe_only
+        or mode in {"none", "pass", "iq"}
+        or config.dump_iq_path is not None
+        or config.plot_stages_path is not None
+        or config.checkpoint_secs
+        or config.resume
+        or config.extra_target_freqs
+        or config.input_start_sample
+        or config.input_num_samples is not None
+    )
+
+
+class HeteroExecutor:
+    """Persistent heterogeneous segment executor.
+
+    Owns ``cpu_workers`` :mod:`.seg_worker` subprocesses (kept warm across
+    ``run`` calls so jit compiles amortise) plus the in-process device
+    stream.  Use as a context manager, or call :meth:`close` explicitly.
+    """
+
+    def __init__(
+        self,
+        *,
+        cpu_workers: int = 1,
+        n_segments: int = 8,
+        warm_seconds: float = WARM_SECONDS,
+        child_env: dict[str, str] | None = None,
+    ):
+        self.cpu_workers = max(0, int(cpu_workers))
+        self.n_segments = max(1, int(n_segments))
+        self.warm_seconds = float(warm_seconds)
+        self._child_env = dict(child_env or {})
+        self._procs: list[subprocess.Popen] = []
+        self._cancel = threading.Event()
+        self._active_pipeline: ProcessingPipeline | None = None
+        #: per-run scheduling telemetry, for logs and benches
+        self.last_stats: dict = {}
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def __enter__(self) -> "HeteroExecutor":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        for proc in self._procs:
+            with contextlib.suppress(Exception):
+                if proc.poll() is None:
+                    proc.stdin.write(json.dumps({"cmd": "exit"}) + "\n")
+                    proc.stdin.flush()
+                    proc.wait(timeout=10)
+        for proc in self._procs:
+            with contextlib.suppress(Exception):
+                if proc.poll() is None:
+                    proc.terminate()
+                    proc.wait(timeout=10)
+        self._procs.clear()
+
+    def cancel(self) -> None:
+        """Cooperative cancel: stops after the in-flight segments."""
+        self._cancel.set()
+        pipe = self._active_pipeline
+        if pipe is not None:
+            pipe.cancel()
+
+    def _ensure_workers(self) -> None:
+        self._procs = [p for p in self._procs if p.poll() is None]
+        repo_root = str(Path(__file__).resolve().parents[2])
+        while len(self._procs) < self.cpu_workers:
+            env = dict(os.environ)
+            env.update(self._child_env)
+            env.setdefault("IQ2A_WORKER_PLATFORM", "cpu")
+            env["PYTHONPATH"] = os.pathsep.join(
+                [repo_root, env.get("PYTHONPATH", "")]
+            ).rstrip(os.pathsep)
+            # the subprocess must not inherit the parent's overlap pin:
+            # CPU streams self-select their schedule
+            env.pop("IQ2A_OVERLAP", None)
+            proc = subprocess.Popen(
+                [sys.executable, "-m", "iq_to_audio_tpu.pipeline.seg_worker"],
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                env=env,
+                cwd=repo_root,
+            )
+            ready = proc.stdout.readline()
+            try:
+                handshake = json.loads(ready) if ready else {}
+            except json.JSONDecodeError:
+                handshake = {}
+            if not handshake.get("ready"):
+                proc.terminate()
+                raise RuntimeError(
+                    "segment worker failed to start (no ready handshake)"
+                )
+            LOG.info("segment worker up (backend=%s)", handshake.get("backend"))
+            self._procs.append(proc)
+
+    # -- execution ---------------------------------------------------------
+
+    def run(
+        self,
+        config: ProcessingConfig,
+        progress_sink: ProgressSink | None = None,
+        *,
+        device_warm_no_fetch: bool = False,
+    ) -> ProcessingResult | None:
+        """Process ``config`` heterogeneously; fall back to the serial
+        pipeline when the config is ineligible or the plan is degenerate.
+
+        With ``device_warm_no_fetch`` the device stream compiles+dispatches
+        its segments without fetching and nothing is spliced (bench warm
+        passes); returns None in that mode.
+        """
+        self._cancel.clear()
+        if not hetero_eligible(config):
+            LOG.info("hetero: config not segmentable; running serial pipeline")
+            return ProcessingPipeline(config).run(progress_sink)
+
+        plan = self._plan_or_none(config)
+        if plan is None or len(plan.segments) < 2:
+            LOG.info("hetero: capture too short to segment; running serial")
+            return ProcessingPipeline(config).run(progress_sink)
+
+        out_path = config.output_path
+        if out_path is None:
+            out_path = ProcessingPipeline(config)._default_output_path(
+                config.target_freq
+            )
+        out_path = Path(out_path)
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+
+        tracker = ProgressTracker(progress_sink)
+        tracker.start(
+            [
+                PhaseState(
+                    "segments", "Process segments", float(len(plan.segments)),
+                    unit="segments",
+                )
+            ]
+        )
+        with contextlib.suppress(AttributeError):
+            if progress_sink is not None:
+                progress_sink.set_cancel_callback(self.cancel)
+
+        if self.cpu_workers:
+            self._ensure_workers()
+
+        queue: deque[Segment] = deque(plan.segments)
+        lock = threading.Lock()
+        errors: list[BaseException] = []
+        seg_paths: dict[int, Path] = {}
+        stats = {
+            "device_segments": 0,
+            "cpu_segments": 0,
+            "device_seconds": 0.0,
+            "cpu_seconds": 0.0,
+        }
+
+        def _segment_config(seg: Segment, seg_path: Path) -> ProcessingConfig:
+            return dataclasses.replace(
+                config,
+                output_path=seg_path,
+                center_freq=plan.center_freq,
+                center_freq_source=plan.center_freq_source,
+                mix_sign_override=plan.mix_sign,
+                input_start_sample=seg.read_start,
+                input_num_samples=seg.read_samples,
+                max_input_seconds=None,
+                input_container=plan.input_container,
+                input_format=plan.input_format,
+            )
+
+        def _device_worker(tmpdir: Path) -> None:
+            while not self._cancel.is_set():
+                with lock:
+                    if not queue:
+                        return
+                    seg = queue.popleft()
+                seg_path = tmpdir / f"seg{seg.index:03d}.wav"
+                pipe = ProcessingPipeline(_segment_config(seg, seg_path))
+                pipe.warm_no_fetch = device_warm_no_fetch
+                self._active_pipeline = pipe
+                start = time.perf_counter()
+                try:
+                    pipe.run(None)
+                except BaseException as exc:
+                    with lock:
+                        errors.append(exc)
+                    self._cancel.set()
+                    return
+                finally:
+                    self._active_pipeline = None
+                with lock:
+                    seg_paths[seg.index] = seg_path
+                    stats["device_segments"] += 1
+                    stats["device_seconds"] += time.perf_counter() - start
+                tracker.advance("segments", 1.0)
+                tracker.status(f"segment {seg.index} done (device)")
+
+        def _cpu_worker(proc: subprocess.Popen, tmpdir: Path) -> None:
+            while not self._cancel.is_set():
+                with lock:
+                    if not queue:
+                        return
+                    seg = queue.pop()
+                seg_path = tmpdir / f"seg{seg.index:03d}.wav"
+                req = {
+                    "idx": seg.index,
+                    "config": config_to_wire(_segment_config(seg, seg_path)),
+                }
+                start = time.perf_counter()
+                try:
+                    proc.stdin.write(json.dumps(req) + "\n")
+                    proc.stdin.flush()
+                    line = proc.stdout.readline()
+                    reply = json.loads(line) if line else {}
+                except (OSError, json.JSONDecodeError) as exc:
+                    with lock:
+                        errors.append(
+                            RuntimeError(f"segment worker pipe failed: {exc}")
+                        )
+                    self._cancel.set()
+                    return
+                if not reply.get("ok"):
+                    with lock:
+                        errors.append(
+                            RuntimeError(
+                                "segment worker failed on segment "
+                                f"{seg.index}: {reply.get('error', 'no reply')}"
+                            )
+                        )
+                    self._cancel.set()
+                    return
+                with lock:
+                    seg_paths[seg.index] = seg_path
+                    stats["cpu_segments"] += 1
+                    stats["cpu_seconds"] += time.perf_counter() - start
+                tracker.advance("segments", 1.0)
+                tracker.status(f"segment {seg.index} done (cpu)")
+
+        loop_start = time.perf_counter()
+        with tempfile.TemporaryDirectory(dir=out_path.parent) as tmp:
+            tmpdir = Path(tmp)
+            threads = [
+                threading.Thread(
+                    target=_device_worker, args=(tmpdir,), daemon=True,
+                    name="hetero-device",
+                )
+            ]
+            if not device_warm_no_fetch:
+                threads += [
+                    threading.Thread(
+                        target=_cpu_worker, args=(proc, tmpdir), daemon=True,
+                        name=f"hetero-cpu{i}",
+                    )
+                    for i, proc in enumerate(self._procs)
+                ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            loop_seconds = time.perf_counter() - loop_start
+            self.last_stats = dict(stats, loop_seconds=loop_seconds)
+
+            if errors:
+                raise errors[0]
+            if self._cancel.is_set():
+                from .pipeline import ProcessingCancelled
+
+                raise ProcessingCancelled("Processing cancelled by request.")
+            if device_warm_no_fetch:
+                return None
+
+            ordered = sorted(seg_paths)
+            if ordered != [s.index for s in plan.segments]:
+                missing = sorted(
+                    {s.index for s in plan.segments} - set(ordered)
+                )
+                raise RuntimeError(f"hetero: segments {missing} never completed")
+            peak, total_audio = splice_audio(
+                [seg_paths[i] for i in ordered],
+                [plan.segments[i].audio_skip for i in ordered],
+                out_path,
+            )
+
+        LOG.info(
+            "hetero: %d segments (device %d in %.2f s, cpu %d in %.2f s), "
+            "%.3f s wall",
+            len(plan.segments),
+            stats["device_segments"],
+            stats["device_seconds"],
+            stats["cpu_segments"],
+            stats["cpu_seconds"],
+            loop_seconds,
+        )
+        LOG.info("[%.0f] Audio peak level %.2f dBFS.", plan.target_freq,
+                 20.0 * math.log10(peak) if peak > 0 else -120.0)
+        tracker.close()
+        return ProcessingResult(
+            sample_rate_probe=plan.probe,
+            center_freq=plan.center_freq,
+            target_freq=plan.target_freq,
+            freq_offset=plan.freq_offset,
+            decimation=plan.decimation,
+            fs_channel=plan.fs_channel,
+            mix_sign=plan.mix_sign,
+            audio_peak=peak,
+            audio_peaks=[peak],
+            output_paths=[out_path],
+            loop_seconds=loop_seconds,
+            input_samples=plan.total_samples,
+        )
+
+    def _plan_or_none(self, config: ProcessingConfig) -> HeteroPlan | None:
+        try:
+            return _plan(config, self.n_segments, self.warm_seconds)
+        except ValueError:
+            raise
+        except Exception as exc:  # malformed/missing input surfaces serially
+            LOG.debug("hetero planning failed (%s); falling back", exc)
+            return None
+
+
+def run_hetero(
+    config: ProcessingConfig,
+    progress_sink: ProgressSink | None = None,
+    *,
+    cpu_workers: int = 1,
+    n_segments: int = 8,
+) -> ProcessingResult:
+    """One-shot convenience wrapper around :class:`HeteroExecutor`."""
+    with HeteroExecutor(cpu_workers=cpu_workers, n_segments=n_segments) as ex:
+        result = ex.run(config, progress_sink)
+    assert result is not None
+    return result

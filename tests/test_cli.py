@@ -286,3 +286,28 @@ def test_cli_multi_capture_dp_path(tmp_path):
     a1, _ = read_wav(outs[0])
     a2, _ = read_wav(outs[1])
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_cli_burst_mode(tmp_path):
+    """--burst-segments routes through the heterogeneous executor and the
+    spliced output matches the serial run (device stream only here)."""
+    iq = make_nfm_iq(FS, 5.0, 25_000.0)
+    cap = tmp_path / f"baseband_{int(CENTER)}Hz_burst.wav"
+    write_stereo_wav(cap, np.column_stack([iq.real, iq.imag]), int(FS))
+
+    serial_out = tmp_path / "serial.wav"
+    rc = main(["--cli", "--in", str(cap), "--ft", str(int(TARGET)),
+               "--out", str(serial_out)])
+    assert rc == 0
+    burst_out = tmp_path / "burst.wav"
+    rc = main(["--cli", "--in", str(cap), "--ft", str(int(TARGET)),
+               "--out", str(burst_out),
+               "--burst-segments", "2", "--burst-cpu-workers", "0"])
+    assert rc == 0
+    a, _ = read_wav(serial_out)
+    b, _ = read_wav(burst_out)
+    assert a.shape == b.shape
+    err = 20.0 * np.log10(
+        np.linalg.norm(b[:, 0] - a[:, 0]) / max(np.linalg.norm(a[:, 0]), 1e-30)
+    )
+    assert err < -60.0, f"burst-vs-serial error {err:.1f} dB"

@@ -1,0 +1,226 @@
+"""Heterogeneous segmented execution (:mod:`iq_to_audio_tpu.pipeline.hetero`).
+
+The executor splits one capture across the in-process device stream and
+persistent host-CPU worker subprocesses via a work-stealing deque, then
+splices the segment audio.  These tests run everything on the CPU backend
+(the subprocess pins ``JAX_PLATFORMS=cpu`` itself) and check: spliced
+output equals the serial pipeline, the subprocess protocol round-trips,
+and ineligible configs fall back to the serial path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from conftest import error_db, make_nfm_iq
+
+from iq_to_audio_tpu import ProcessingConfig, ProcessingPipeline
+from iq_to_audio_tpu.io.writer import read_wav, write_stereo_wav
+from iq_to_audio_tpu.pipeline.hetero import (
+    HeteroExecutor,
+    hetero_eligible,
+    run_hetero,
+)
+from iq_to_audio_tpu.pipeline.seg_worker import (
+    config_from_wire,
+    config_to_wire,
+)
+
+FS = 250_000.0
+CENTER = 145_000_000.0
+OFFSET = 25_000.0
+
+
+def _capture(tmp_path: Path, seconds: float = 4.0) -> Path:
+    iq = make_nfm_iq(FS, seconds, OFFSET)
+    cap = tmp_path / f"baseband_{int(CENTER)}Hz_cap.wav"
+    write_stereo_wav(cap, np.column_stack([iq.real, iq.imag]), int(FS))
+    return cap
+
+
+def _config(cap: Path, out: Path, **kw) -> ProcessingConfig:
+    return ProcessingConfig(
+        in_path=cap,
+        target_freq=CENTER + OFFSET,
+        demod_mode="nfm",
+        output_path=out,
+        mix_sign_override=1,
+        chunk_size=65_536,
+        **kw,
+    )
+
+
+def test_hetero_matches_serial(tmp_path):
+    cap = _capture(tmp_path)
+    serial_out = tmp_path / "serial.wav"
+    ProcessingPipeline(_config(cap, serial_out)).run(None)
+
+    het_out = tmp_path / "het.wav"
+    with HeteroExecutor(cpu_workers=1, n_segments=4, warm_seconds=0.25) as ex:
+        result = ex.run(_config(cap, het_out))
+        stats = ex.last_stats
+    assert result is not None
+    done = stats["device_segments"] + stats["cpu_segments"]
+    assert done >= 3  # the plan segmented (not a serial fallback)
+
+    a, sr_a = read_wav(serial_out)
+    b, sr_b = read_wav(het_out)
+    assert sr_a == sr_b == 48_000
+    assert a.shape == b.shape
+    err = error_db(b[:, 0], a[:, 0])
+    assert err < -60.0, f"hetero-vs-serial error {err:.1f} dB"
+    assert result.output_paths == [het_out]
+    assert result.input_samples == int(FS * 4.0)
+    assert result.mix_sign == 1
+
+
+def test_hetero_executor_reuse_and_auto_sign(tmp_path):
+    """A second run on the same executor reuses the warm worker, and the
+    mixer sign is resolved once by the host probe when not overridden."""
+    cap = _capture(tmp_path, seconds=3.0)
+    with HeteroExecutor(cpu_workers=1, n_segments=3, warm_seconds=0.25) as ex:
+        out1 = tmp_path / "a.wav"
+        cfg = _config(cap, out1)
+        cfg.mix_sign_override = None
+        r1 = ex.run(cfg)
+        procs = list(ex._procs)
+        out2 = tmp_path / "b.wav"
+        r2 = ex.run(_config(cap, out2))
+        assert ex._procs == procs  # same persistent worker
+    assert r1.mix_sign in (1, -1)
+    a, _ = read_wav(out1)
+    b, _ = read_wav(out2)
+    assert a.shape == b.shape
+    assert error_db(b[:, 0], a[:, 0]) < -100.0  # identical engine, same plan
+
+
+def test_hetero_ineligible_configs_fall_back():
+    base = dict(in_path=Path("x.wav"), target_freq=1e6)
+    assert hetero_eligible(ProcessingConfig(**base))
+    assert not hetero_eligible(ProcessingConfig(**base, demod_mode="none"))
+    assert not hetero_eligible(ProcessingConfig(**base, probe_only=True))
+    assert not hetero_eligible(
+        ProcessingConfig(**base, dump_iq_path=Path("d.cf32"))
+    )
+    assert not hetero_eligible(
+        ProcessingConfig(**base, plot_stages_path=Path("p.png"))
+    )
+    assert not hetero_eligible(ProcessingConfig(**base, checkpoint_secs=5.0))
+    assert not hetero_eligible(ProcessingConfig(**base, resume=True))
+    assert not hetero_eligible(
+        ProcessingConfig(**base, extra_target_freqs=[2e6])
+    )
+    assert not hetero_eligible(
+        ProcessingConfig(**base, input_start_sample=100)
+    )
+    assert not hetero_eligible(
+        ProcessingConfig(**base, input_num_samples=100)
+    )
+
+
+def test_hetero_short_capture_runs_serial(tmp_path):
+    """A capture too short to segment still produces correct output through
+    the serial fallback (cpu_workers=0 also exercises the no-subprocess
+    path)."""
+    cap = _capture(tmp_path, seconds=0.5)
+    out = tmp_path / "short.wav"
+    with HeteroExecutor(cpu_workers=0, n_segments=8) as ex:
+        result = ex.run(_config(cap, out))
+    assert result is not None
+    audio, sr = read_wav(out)
+    assert sr == 48_000
+    assert abs(len(audio) - int(0.5 * 48_000)) <= 2
+
+
+def test_run_hetero_wrapper(tmp_path):
+    cap = _capture(tmp_path, seconds=2.0)
+    out = tmp_path / "wrap.wav"
+    result = run_hetero(_config(cap, out), cpu_workers=0, n_segments=2)
+    assert out.exists()
+    assert result.audio_peak > 0
+
+
+def test_config_wire_round_trip(tmp_path):
+    cfg = _config(tmp_path / "in.wav", tmp_path / "out.wav")
+    cfg.dump_iq_path = tmp_path / "dump.cf32"
+    cfg.extra_target_freqs = [1e6, 2e6]
+    cfg.extra_output_paths = [tmp_path / "a.wav", None]
+    wire = json.loads(json.dumps(config_to_wire(cfg)))  # through real JSON
+    back = config_from_wire(wire)
+    assert back == cfg
+
+
+def test_seg_worker_subprocess_protocol(tmp_path):
+    """Drive the worker subprocess directly: handshake, one segment
+    request, error surfacing for a bad config, clean exit."""
+    cap = _capture(tmp_path, seconds=1.0)
+    out = tmp_path / "seg.wav"
+    repo_root = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["IQ2A_WORKER_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(repo_root), env.get("PYTHONPATH", "")]
+    ).rstrip(os.pathsep)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "iq_to_audio_tpu.pipeline.seg_worker"],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+        cwd=repo_root,
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert ready["ready"] and ready["backend"] == "cpu"
+
+        req = {"idx": 7, "config": config_to_wire(_config(cap, out))}
+        proc.stdin.write(json.dumps(req) + "\n")
+        proc.stdin.flush()
+        reply = json.loads(proc.stdout.readline())
+        assert reply["idx"] == 7 and reply["ok"], reply
+        assert reply["samples"] == int(FS * 1.0)
+        assert out.exists()
+
+        bad = {"idx": 8, "config": config_to_wire(
+            _config(tmp_path / "missing.wav", tmp_path / "bad.wav"))}
+        proc.stdin.write(json.dumps(bad) + "\n")
+        proc.stdin.flush()
+        reply = json.loads(proc.stdout.readline())
+        assert reply["idx"] == 8 and not reply["ok"]
+        assert "error" in reply
+
+        proc.stdin.write(json.dumps({"cmd": "exit"}) + "\n")
+        proc.stdin.flush()
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(timeout=10)
+
+
+def test_hetero_worker_failure_surfaces(tmp_path, monkeypatch):
+    """A crashed CPU worker turns into a parent-side error, not a hang."""
+    cap = _capture(tmp_path, seconds=3.0)
+    out = tmp_path / "fail.wav"
+    ex = HeteroExecutor(cpu_workers=1, n_segments=3, warm_seconds=0.25)
+    try:
+        ex._ensure_workers()
+        # kill the worker behind the executor's back and pin the worker
+        # list (ensure_workers would otherwise respawn): the next request
+        # hits a broken pipe or empty reply and must surface as an error
+        ex._procs[0].kill()
+        ex._procs[0].wait(timeout=10)
+        monkeypatch.setattr(ex, "_ensure_workers", lambda: None)
+        with pytest.raises(RuntimeError):
+            ex.run(_config(cap, out))
+    finally:
+        ex.close()
+    assert not out.exists()
