@@ -69,6 +69,12 @@ class ProcessingConfig:
     #: (sample-precise counterpart of ``max_input_seconds``; both may be set,
     #: the tighter bound wins).  None = to EOF.
     input_num_samples: int | None = None
+    #: size the device accumulator/superstep as for an unbounded capture so
+    #: every input-window length shares one compiled executable (set by the
+    #: burst-mode executor, whose work-stealing claims vary in length;
+    #: slightly more per-window fetch for short windows in exchange for
+    #: zero executable churn)
+    fixed_device_geometry: bool = False
 
     def all_target_freqs(self) -> list[float]:
         return [self.target_freq, *self.extra_target_freqs]

@@ -221,6 +221,12 @@ class HeteroExecutor:
         self._procs: list[subprocess.Popen] = []
         self._cancel = threading.Event()
         self._active_pipeline: ProcessingPipeline | None = None
+        self._plan_cache: dict[tuple, HeteroPlan] = {}
+        #: observed throughputs (seconds-of-signal per wall second) per
+        #: side, persisted across runs — the wire regime is stable on the
+        #: minutes scale, so later runs size their first device claim from
+        #: the previous run's measurement instead of re-probing
+        self._rates: dict = {"device": None, "cpu": None}
         #: per-run scheduling telemetry, for logs and benches
         self.last_stats: dict = {}
 
@@ -266,6 +272,17 @@ class HeteroExecutor:
             # the subprocess must not inherit the parent's overlap pin:
             # CPU streams self-select their schedule
             env.pop("IQ2A_OVERLAP", None)
+
+            def _boost_priority() -> None:
+                # The device stream's client spends its time polling the
+                # wire; on few-core hosts that polling can starve the CPU
+                # worker's XLA threads (measured: warm segments 5x slower
+                # under an active relay stream).  Raise the worker's
+                # scheduling priority when permitted (root); otherwise run
+                # at the inherited niceness.
+                with contextlib.suppress(OSError):
+                    os.nice(-10)
+
             proc = subprocess.Popen(
                 [sys.executable, "-m", "iq_to_audio_tpu.pipeline.seg_worker"],
                 stdin=subprocess.PIPE,
@@ -274,6 +291,7 @@ class HeteroExecutor:
                 text=True,
                 env=env,
                 cwd=repo_root,
+                preexec_fn=_boost_priority,
             )
             ready = proc.stdout.readline()
             try:
@@ -341,13 +359,52 @@ class HeteroExecutor:
         queue: deque[Segment] = deque(plan.segments)
         lock = threading.Lock()
         errors: list[BaseException] = []
-        seg_paths: dict[int, Path] = {}
+        #: finished spans: {"first": idx, "span": n_segments, "path": ...,
+        #: "skip": audio_skip}
+        completed: list[dict] = []
         stats = {
             "device_segments": 0,
             "cpu_segments": 0,
+            "device_runs": 0,
             "device_seconds": 0.0,
             "cpu_seconds": 0.0,
         }
+        rates = self._rates
+
+        def _device_claim_size(remaining: int) -> int:
+            """Contiguous segments the device should claim.
+
+            Per-run device cost on tunneled runtimes is seconds (dispatch
+            ramp, kernel uploads, fetch latency), so the device stream
+            claims a contiguous RUN of segments sized to its observed
+            share of throughput — one pipeline run, one lead-in.  Until
+            both sides have a measurement it probes with a single segment;
+            with no CPU side (or in a warm pass) it takes everything.
+            """
+            if not self.cpu_workers or device_warm_no_fetch:
+                return remaining
+            r_d, r_c = rates["device"], rates["cpu"]
+            if r_d is None or r_c is None:
+                return 1
+            total_cpu = r_c * max(1, len(self._procs))
+            share = r_d / max(r_d + total_cpu, 1e-9)
+            take = int(round(remaining * share))
+            # keep at least one segment per CPU worker in the pool so the
+            # fast side never idles behind a mis-estimated device claim
+            return max(1, min(take, remaining - min(remaining - 1,
+                                                    len(self._procs))))
+
+        def _merge(claims: list[Segment]) -> Segment:
+            """One contiguous run of segments as a single window (claims
+            are adjacent front-of-queue segments, so owned regions tile)."""
+            first = claims[0]
+            return Segment(
+                index=first.index,
+                start=first.start,
+                length=sum(c.length for c in claims),
+                lead=first.lead,
+                audio_skip=first.audio_skip,
+            )
 
         def _segment_config(seg: Segment, seg_path: Path) -> ProcessingConfig:
             return dataclasses.replace(
@@ -361,6 +418,8 @@ class HeteroExecutor:
                 max_input_seconds=None,
                 input_container=plan.input_container,
                 input_format=plan.input_format,
+                # claims vary in length; share one executable per backend
+                fixed_device_geometry=True,
             )
 
         def _device_worker(tmpdir: Path) -> None:
@@ -368,7 +427,9 @@ class HeteroExecutor:
                 with lock:
                     if not queue:
                         return
-                    seg = queue.popleft()
+                    take = _device_claim_size(len(queue))
+                    claims = [queue.popleft() for _ in range(take)]
+                seg = _merge(claims)
                 seg_path = tmpdir / f"seg{seg.index:03d}.wav"
                 pipe = ProcessingPipeline(_segment_config(seg, seg_path))
                 pipe.warm_no_fetch = device_warm_no_fetch
@@ -383,12 +444,26 @@ class HeteroExecutor:
                     return
                 finally:
                     self._active_pipeline = None
+                elapsed = time.perf_counter() - start
                 with lock:
-                    seg_paths[seg.index] = seg_path
-                    stats["device_segments"] += 1
-                    stats["device_seconds"] += time.perf_counter() - start
-                tracker.advance("segments", 1.0)
-                tracker.status(f"segment {seg.index} done (device)")
+                    completed.append(
+                        {"first": seg.index, "span": len(claims),
+                         "path": seg_path, "skip": seg.audio_skip}
+                    )
+                    stats["device_segments"] += len(claims)
+                    stats["device_runs"] += 1
+                    stats["device_seconds"] += elapsed
+                    if not device_warm_no_fetch:
+                        # fetch-free warm runs are artificially fast; they
+                        # must not seed the claim-sizing rate estimate
+                        rates["device"] = (
+                            seg.length / plan.sample_rate / max(elapsed, 1e-9)
+                        )
+                tracker.advance("segments", float(len(claims)))
+                tracker.status(
+                    f"segments {seg.index}..{seg.index + len(claims) - 1} "
+                    "done (device)"
+                )
 
         def _cpu_worker(proc: subprocess.Popen, tmpdir: Path) -> None:
             while not self._cancel.is_set():
@@ -424,10 +499,17 @@ class HeteroExecutor:
                         )
                     self._cancel.set()
                     return
+                elapsed = time.perf_counter() - start
                 with lock:
-                    seg_paths[seg.index] = seg_path
+                    completed.append(
+                        {"first": seg.index, "span": 1, "path": seg_path,
+                         "skip": seg.audio_skip}
+                    )
                     stats["cpu_segments"] += 1
-                    stats["cpu_seconds"] += time.perf_counter() - start
+                    stats["cpu_seconds"] += elapsed
+                    rate = seg.length / plan.sample_rate / max(elapsed, 1e-9)
+                    prev = rates["cpu"]
+                    rates["cpu"] = rate if prev is None else 0.5 * (prev + rate)
                 tracker.advance("segments", 1.0)
                 tracker.status(f"segment {seg.index} done (cpu)")
 
@@ -464,23 +546,32 @@ class HeteroExecutor:
             if device_warm_no_fetch:
                 return None
 
-            ordered = sorted(seg_paths)
-            if ordered != [s.index for s in plan.segments]:
-                missing = sorted(
-                    {s.index for s in plan.segments} - set(ordered)
+            ordered = sorted(completed, key=lambda c: c["first"])
+            expect = 0
+            for item in ordered:
+                if item["first"] != expect:
+                    raise RuntimeError(
+                        f"hetero: segment {expect} never completed "
+                        f"(next finished span starts at {item['first']})"
+                    )
+                expect += item["span"]
+            if expect != len(plan.segments):
+                raise RuntimeError(
+                    f"hetero: segments {expect}..{len(plan.segments) - 1} "
+                    "never completed"
                 )
-                raise RuntimeError(f"hetero: segments {missing} never completed")
             peak, total_audio = splice_audio(
-                [seg_paths[i] for i in ordered],
-                [plan.segments[i].audio_skip for i in ordered],
+                [item["path"] for item in ordered],
+                [item["skip"] for item in ordered],
                 out_path,
             )
 
         LOG.info(
-            "hetero: %d segments (device %d in %.2f s, cpu %d in %.2f s), "
-            "%.3f s wall",
+            "hetero: %d segments (device %d in %d run(s), %.2f s; "
+            "cpu %d in %.2f s), %.3f s wall",
             len(plan.segments),
             stats["device_segments"],
+            stats["device_runs"],
             stats["device_seconds"],
             stats["cpu_segments"],
             stats["cpu_seconds"],
@@ -506,7 +597,20 @@ class HeteroExecutor:
 
     def _plan_or_none(self, config: ProcessingConfig) -> HeteroPlan | None:
         try:
-            return _plan(config, self.n_segments, self.warm_seconds)
+            stat = os.stat(config.in_path)
+            key = (
+                str(config.in_path), stat.st_mtime_ns, stat.st_size,
+                config.target_freq, config.bandwidth, config.demod_mode,
+                config.fs_ch_target, config.iq_order, config.input_format,
+                config.input_container, config.input_sample_rate,
+                config.center_freq, config.mix_sign_override,
+                config.max_input_seconds, self.n_segments, self.warm_seconds,
+            )
+            plan = self._plan_cache.get(key)
+            if plan is None:
+                plan = _plan(config, self.n_segments, self.warm_seconds)
+                self._plan_cache[key] = plan
+            return plan
         except ValueError:
             raise
         except Exception as exc:  # malformed/missing input surfaces serially

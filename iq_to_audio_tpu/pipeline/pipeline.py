@@ -599,7 +599,15 @@ class ProcessingPipeline:
                     dump_iq=cfg.dump_iq_path is not None,
                     acc_chunks_cap=acc_cap,
                     super_chunks=super_req,
-                    est_total_chunks=estimated_chunks or None,
+                    # fixed geometry: size the accumulator/superstep as for
+                    # an unbounded capture so every input-window length
+                    # shares ONE compiled executable (segmented/burst runs
+                    # claim variable-length windows; executable churn is
+                    # expensive on tunneled runtimes)
+                    est_total_chunks=(
+                        None if cfg.fixed_device_geometry
+                        else (estimated_chunks or None)
+                    ),
                     want_stages=cfg.plot_stages_path is not None,
                 )
                 state = step.init_state(seg_start)
