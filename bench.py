@@ -169,6 +169,10 @@ def main() -> int:
                 executor.run(make_config(capture, "warm2"))
                 logging.info("full warm pass: %.2f s (%s)",
                              time.perf_counter() - t0, executor.last_stats)
+                # the warm pass's device timing may include the absorbed
+                # toll and its CPU timing the compile — neither reflects
+                # the steady wire/core state the claim sizing needs
+                executor.reset_rates()
 
             # -- measured passes --------------------------------------------
             # Alternate the device stream's hot-loop schedule pass-to-pass:

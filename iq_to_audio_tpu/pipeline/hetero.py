@@ -222,13 +222,23 @@ class HeteroExecutor:
         self._cancel = threading.Event()
         self._active_pipeline: ProcessingPipeline | None = None
         self._plan_cache: dict[tuple, HeteroPlan] = {}
-        #: observed throughputs (seconds-of-signal per wall second) per
-        #: side, persisted across runs — the wire regime is stable on the
-        #: minutes scale, so later runs size their first device claim from
-        #: the previous run's measurement instead of re-probing
+        #: observed throughputs (seconds-of-signal per wall second, with
+        #: their measurement timestamps) per side, persisted across runs —
+        #: the wire regime is stable on the minutes scale, so later runs
+        #: size their first device claim from the previous run's
+        #: measurement instead of re-probing
         self._rates: dict = {"device": None, "cpu": None}
+        #: device-rate measurements older than this re-probe (the wire
+        #: regime can recover); a probe claim is a single segment
+        self.rate_ttl_seconds = float(os.environ.get("IQ2A_RATE_TTL", "180"))
         #: per-run scheduling telemetry, for logs and benches
         self.last_stats: dict = {}
+
+    def reset_rates(self) -> None:
+        """Forget observed side throughputs (e.g. after a run whose device
+        timing absorbed a one-off cost such as a connection toll)."""
+        self._rates["device"] = None
+        self._rates["cpu"] = None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -368,11 +378,16 @@ class HeteroExecutor:
             "device_runs": 0,
             "device_seconds": 0.0,
             "cpu_seconds": 0.0,
+            "device_abstained": False,
         }
         rates = self._rates
+        seg_seconds = (
+            plan.segments[-1].length / plan.sample_rate
+            if plan.sample_rate > 0 else 1.0
+        )
 
         def _device_claim_size(remaining: int) -> int:
-            """Contiguous segments the device should claim.
+            """Contiguous segments the device should claim; 0 = abstain.
 
             Per-run device cost on tunneled runtimes is seconds (dispatch
             ramp, kernel uploads, fetch latency), so the device stream
@@ -380,13 +395,31 @@ class HeteroExecutor:
             share of throughput — one pipeline run, one lead-in.  Until
             both sides have a measurement it probes with a single segment;
             with no CPU side (or in a warm pass) it takes everything.
+
+            When the wire regime is so degraded that even ONE device
+            segment would outlast the CPU side draining the whole queue
+            (measured here: pathological relay states where a single
+            claim took 57-157 s while the CPU finished 7 segments in
+            10 s), the device ABSTAINS and lets the CPU side process the
+            capture; its stale rate expires after ``rate_ttl_seconds`` so
+            a later run re-probes the recovered wire.
             """
             if not self.cpu_workers or device_warm_no_fetch:
                 return remaining
-            r_d, r_c = rates["device"], rates["cpu"]
-            if r_d is None or r_c is None:
+            now = time.monotonic()
+            dev = rates["device"]
+            if dev is not None and now - dev[1] > self.rate_ttl_seconds:
+                dev = None  # stale — re-probe with a single segment
+            cpu = rates["cpu"]
+            if dev is None or cpu is None:
                 return 1
+            r_d, r_c = dev[0], cpu[0]
             total_cpu = r_c * max(1, len(self._procs))
+            # abstain when one device segment costs more than the CPU side
+            # needs for everything left (with slack for estimate error)
+            if (seg_seconds / max(r_d, 1e-9)
+                    > 1.25 * remaining * seg_seconds / max(total_cpu, 1e-9)):
+                return 0
             share = r_d / max(r_d + total_cpu, 1e-9)
             take = int(round(remaining * share))
             # keep at least one segment per CPU worker in the pool so the
@@ -428,6 +461,16 @@ class HeteroExecutor:
                     if not queue:
                         return
                     take = _device_claim_size(len(queue))
+                    if take == 0:
+                        stats["device_abstained"] = True
+                        LOG.info(
+                            "hetero: device stream abstains (measured "
+                            "%.2fx vs cpu-side %.2fx x%d) — CPU workers "
+                            "drain the remaining %d segment(s)",
+                            rates["device"][0], rates["cpu"][0],
+                            max(1, len(self._procs)), len(queue),
+                        )
+                        return
                     claims = [queue.popleft() for _ in range(take)]
                 seg = _merge(claims)
                 seg_path = tmpdir / f"seg{seg.index:03d}.wav"
@@ -457,7 +500,8 @@ class HeteroExecutor:
                         # fetch-free warm runs are artificially fast; they
                         # must not seed the claim-sizing rate estimate
                         rates["device"] = (
-                            seg.length / plan.sample_rate / max(elapsed, 1e-9)
+                            seg.length / plan.sample_rate / max(elapsed, 1e-9),
+                            time.monotonic(),
                         )
                 tracker.advance("segments", float(len(claims)))
                 tracker.status(
@@ -509,7 +553,10 @@ class HeteroExecutor:
                     stats["cpu_seconds"] += elapsed
                     rate = seg.length / plan.sample_rate / max(elapsed, 1e-9)
                     prev = rates["cpu"]
-                    rates["cpu"] = rate if prev is None else 0.5 * (prev + rate)
+                    rates["cpu"] = (
+                        rate if prev is None else 0.5 * (prev[0] + rate),
+                        time.monotonic(),
+                    )
                 tracker.advance("segments", 1.0)
                 tracker.status(f"segment {seg.index} done (cpu)")
 

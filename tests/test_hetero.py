@@ -224,3 +224,42 @@ def test_hetero_worker_failure_surfaces(tmp_path, monkeypatch):
     finally:
         ex.close()
     assert not out.exists()
+
+
+def test_hetero_device_abstains_when_pathological(tmp_path):
+    """A device side measured far slower than the CPU side draining the
+    whole queue must abstain: the CPU workers process every segment and
+    the output is still spliced correctly."""
+    import time as _time
+
+    cap = _capture(tmp_path, seconds=4.0)
+    out = tmp_path / "abstain.wav"
+    with HeteroExecutor(cpu_workers=1, n_segments=4, warm_seconds=0.25) as ex:
+        now = _time.monotonic()
+        ex._rates["device"] = (0.001, now)  # pathological wire
+        ex._rates["cpu"] = (20.0, now)
+        result = ex.run(_config(cap, out))
+        assert ex.last_stats["device_abstained"]
+        assert ex.last_stats["device_segments"] == 0
+        assert ex.last_stats["cpu_segments"] >= 3
+    assert result is not None
+    audio, sr = read_wav(out)
+    assert sr == 48_000
+    assert abs(len(audio) - 4 * 48_000) <= 2
+
+
+def test_hetero_stale_device_rate_reprobes(tmp_path):
+    """A device-rate measurement older than the TTL is discarded: the
+    device stream probes with a single segment instead of abstaining."""
+    import time as _time
+
+    cap = _capture(tmp_path, seconds=4.0)
+    out = tmp_path / "reprobe.wav"
+    with HeteroExecutor(cpu_workers=0, n_segments=4, warm_seconds=0.25) as ex:
+        ex.rate_ttl_seconds = 0.0
+        ex._rates["device"] = (0.001, _time.monotonic() - 10.0)  # stale
+        result = ex.run(_config(cap, out))
+        # no CPU side: the device drains everything regardless
+        assert ex.last_stats["device_segments"] >= 3
+        assert not ex.last_stats["device_abstained"]
+    assert result is not None
