@@ -455,7 +455,17 @@ class HeteroExecutor:
                 fixed_device_geometry=True,
             )
 
+        #: True while the device stream is still taking/processing claims;
+        #: a lone CPU worker claims the whole remaining queue once False
+        device_active = [True]
+
         def _device_worker(tmpdir: Path) -> None:
+            try:
+                _device_loop(tmpdir)
+            finally:
+                device_active[0] = False
+
+        def _device_loop(tmpdir: Path) -> None:
             while not self._cancel.is_set():
                 with lock:
                     if not queue:
@@ -509,12 +519,28 @@ class HeteroExecutor:
                     "done (device)"
                 )
 
+        def _cpu_claim_size(remaining: int) -> int:
+            """Contiguous segments one CPU worker should claim (back of
+            the queue).  While other workers are still in the pool the
+            claim halves the per-worker share so stealing can rebalance;
+            once this worker is effectively alone (device abstained or
+            finished, no sibling CPU workers) it takes everything — one
+            pipeline run, one lead-in."""
+            others = max(0, len(self._procs) - 1) + int(device_active[0])
+            if others == 0:
+                return remaining
+            return max(1, remaining // (2 * (others + 1)))
+
         def _cpu_worker(proc: subprocess.Popen, tmpdir: Path) -> None:
             while not self._cancel.is_set():
                 with lock:
                     if not queue:
                         return
-                    seg = queue.pop()
+                    take = _cpu_claim_size(len(queue))
+                    # back of the queue: pop the LAST `take` segments,
+                    # which are contiguous, then restore ascending order
+                    claims = [queue.pop() for _ in range(take)][::-1]
+                seg = _merge(claims)
                 seg_path = tmpdir / f"seg{seg.index:03d}.wav"
                 req = {
                     "idx": seg.index,
@@ -546,10 +572,10 @@ class HeteroExecutor:
                 elapsed = time.perf_counter() - start
                 with lock:
                     completed.append(
-                        {"first": seg.index, "span": 1, "path": seg_path,
-                         "skip": seg.audio_skip}
+                        {"first": seg.index, "span": len(claims),
+                         "path": seg_path, "skip": seg.audio_skip}
                     )
-                    stats["cpu_segments"] += 1
+                    stats["cpu_segments"] += len(claims)
                     stats["cpu_seconds"] += elapsed
                     rate = seg.length / plan.sample_rate / max(elapsed, 1e-9)
                     prev = rates["cpu"]
@@ -557,8 +583,11 @@ class HeteroExecutor:
                         rate if prev is None else 0.5 * (prev[0] + rate),
                         time.monotonic(),
                     )
-                tracker.advance("segments", 1.0)
-                tracker.status(f"segment {seg.index} done (cpu)")
+                tracker.advance("segments", float(len(claims)))
+                tracker.status(
+                    f"segments {seg.index}..{seg.index + len(claims) - 1} "
+                    "done (cpu)"
+                )
 
         loop_start = time.perf_counter()
         with tempfile.TemporaryDirectory(dir=out_path.parent) as tmp:
