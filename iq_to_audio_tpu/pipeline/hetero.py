@@ -231,6 +231,12 @@ class HeteroExecutor:
         #: device-rate measurements older than this re-probe (the wire
         #: regime can recover); a probe claim is a single segment
         self.rate_ttl_seconds = float(os.environ.get("IQ2A_RATE_TTL", "180"))
+        #: slow-start device claim size: rates measured on tiny claims
+        #: UNDERESTIMATE the device's marginal throughput (the per-run
+        #: fixed cost dominates), so the claim doubles while the device is
+        #: not the straggler and halves when it is — the measured rate on
+        #: ever-larger claims then converges to the true marginal rate
+        self._device_take = 1
         #: per-run scheduling telemetry, for logs and benches
         self.last_stats: dict = {}
 
@@ -421,7 +427,7 @@ class HeteroExecutor:
                     > 1.25 * remaining * seg_seconds / max(total_cpu, 1e-9)):
                 return 0
             share = r_d / max(r_d + total_cpu, 1e-9)
-            take = int(round(remaining * share))
+            take = max(int(round(remaining * share)), self._device_take)
             # keep at least one segment per CPU worker in the pool so the
             # fast side never idles behind a mis-estimated device claim
             return max(1, min(take, remaining - min(remaining - 1,
@@ -458,6 +464,9 @@ class HeteroExecutor:
         #: True while the device stream is still taking/processing claims;
         #: a lone CPU worker claims the whole remaining queue once False
         device_active = [True]
+        #: CPU requests currently in flight (straggler detection: a device
+        #: claim that finishes while work remains anywhere wasn't the tail)
+        cpu_busy = [0]
 
         def _device_worker(tmpdir: Path) -> None:
             try:
@@ -506,6 +515,7 @@ class HeteroExecutor:
                     stats["device_segments"] += len(claims)
                     stats["device_runs"] += 1
                     stats["device_seconds"] += elapsed
+                    more_work = bool(queue) or cpu_busy[0] > 0
                     if not device_warm_no_fetch:
                         # fetch-free warm runs are artificially fast; they
                         # must not seed the claim-sizing rate estimate
@@ -513,6 +523,15 @@ class HeteroExecutor:
                             seg.length / plan.sample_rate / max(elapsed, 1e-9),
                             time.monotonic(),
                         )
+                        # slow-start: grow while not the straggler (the
+                        # next, larger claim measures a better-amortised
+                        # rate), shrink when we were the tail
+                        if more_work:
+                            self._device_take = min(
+                                len(claims) * 2, max(1, self.n_segments)
+                            )
+                        else:
+                            self._device_take = max(1, len(claims) // 2)
                 tracker.advance("segments", float(len(claims)))
                 tracker.status(
                     f"segments {seg.index}..{seg.index + len(claims) - 1} "
@@ -540,6 +559,7 @@ class HeteroExecutor:
                     # back of the queue: pop the LAST `take` segments,
                     # which are contiguous, then restore ascending order
                     claims = [queue.pop() for _ in range(take)][::-1]
+                    cpu_busy[0] += 1
                 seg = _merge(claims)
                 seg_path = tmpdir / f"seg{seg.index:03d}.wav"
                 req = {
@@ -554,6 +574,7 @@ class HeteroExecutor:
                     reply = json.loads(line) if line else {}
                 except (OSError, json.JSONDecodeError) as exc:
                     with lock:
+                        cpu_busy[0] -= 1
                         errors.append(
                             RuntimeError(f"segment worker pipe failed: {exc}")
                         )
@@ -561,6 +582,7 @@ class HeteroExecutor:
                     return
                 if not reply.get("ok"):
                     with lock:
+                        cpu_busy[0] -= 1
                         errors.append(
                             RuntimeError(
                                 "segment worker failed on segment "
@@ -571,6 +593,7 @@ class HeteroExecutor:
                     return
                 elapsed = time.perf_counter() - start
                 with lock:
+                    cpu_busy[0] -= 1
                     completed.append(
                         {"first": seg.index, "span": len(claims),
                          "path": seg_path, "skip": seg.audio_skip}
