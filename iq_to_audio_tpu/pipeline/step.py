@@ -503,6 +503,18 @@ def build_chunk_step(
                 super_chunks = min(
                     super_chunks, max(1, -(-est_total_chunks // groups_target))
                 )
+            else:
+                # unbounded length (fixed-geometry burst claims, unknown-
+                # length streams): the final group zero-pads to the
+                # superstep, so a window-sized superstep would make a short
+                # claim pay a FULL accumulator of upload+compute (measured:
+                # a 3-chunk probe padded to a ~49-chunk group — hundreds of
+                # MB of padding on the wire).  Keep dispatch groups small;
+                # padding waste is then <= super-1 chunks per claim.
+                super_chunks = min(
+                    super_chunks,
+                    max(1, int(os.environ.get("IQ2A_SUPER_UNBOUNDED", "2"))),
+                )
         else:
             super_chunks = 1
     if (
