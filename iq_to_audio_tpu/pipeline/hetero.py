@@ -421,10 +421,15 @@ class HeteroExecutor:
                 return 1
             r_d, r_c = dev[0], cpu[0]
             total_cpu = r_c * max(1, len(self._procs))
-            # abstain when one device segment costs more than the CPU side
-            # needs for everything left (with slack for estimate error)
+            # participation helps only when max(T_dev(claim), T_cpu(rest))
+            # beats the CPU-only wall T_cpu(all); since T_cpu(rest) always
+            # does, the device must clear T_dev(one segment) < T_cpu(all)
+            # - and CLEARLY so (0.8 slack), because a marginal device
+            # claim that misses its estimate straggles the whole run
+            # (measured: a 2-4x device "helping" a 19x CPU side turned
+            # 1.6 s CPU-only passes into 2.2-4.9 s mixed passes)
             if (seg_seconds / max(r_d, 1e-9)
-                    > 1.25 * remaining * seg_seconds / max(total_cpu, 1e-9)):
+                    > 0.8 * remaining * seg_seconds / max(total_cpu, 1e-9)):
                 return 0
             share = r_d / max(r_d + total_cpu, 1e-9)
             take = max(int(round(remaining * share)), self._device_take)
