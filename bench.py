@@ -171,7 +171,11 @@ def main() -> int:
                 # toll, the CPU worker compiles its segment geometry, and
                 # the device fetch path warms — all off the measured clock
                 t0 = time.perf_counter()
-                executor.run(make_config(capture, "warm2"))
+                try:
+                    executor.run(make_config(capture, "warm2"))
+                except Exception:
+                    logging.exception("full warm pass failed; measured "
+                                      "passes will warm as they go")
                 logging.info("full warm pass: %.2f s (%s)",
                              time.perf_counter() - t0, executor.last_stats)
                 # the warm pass's device timing may include the absorbed
@@ -197,15 +201,21 @@ def main() -> int:
                 cfg = make_config(capture, f"p{i}")
                 toll_was_paid = toll_done.is_set()
                 start = time.perf_counter()
-                if executor is not None:
-                    result = executor.run(cfg)
-                    detail = " [dev %d/cpu %d segs]" % (
-                        executor.last_stats.get("device_segments", 0),
-                        executor.last_stats.get("cpu_segments", 0),
-                    )
-                else:
-                    result = ProcessingPipeline(cfg).run(None)
-                    detail = ""
+                try:
+                    if executor is not None:
+                        result = executor.run(cfg)
+                        detail = " [dev %d/cpu %d segs]" % (
+                            executor.last_stats.get("device_segments", 0),
+                            executor.last_stats.get("cpu_segments", 0),
+                        )
+                    else:
+                        result = ProcessingPipeline(cfg).run(None)
+                        detail = ""
+                except Exception:
+                    # one bad pass (worker crash, relay error) must not
+                    # void the whole record — keep sampling
+                    logging.exception("pass %d failed; continuing", i + 1)
+                    continue
                 e = time.perf_counter() - start
                 clean_passes += int(toll_was_paid)
                 logging.info("pass %d/%d (%s): %.3f s wall (%.1fx realtime)%s",
@@ -236,6 +246,9 @@ def main() -> int:
         if executor is not None:
             executor.close()
 
+    if not (elapsed < float("inf")):
+        logging.error("no measured pass completed — no record to report")
+        return 1
     realtime = seconds / elapsed
     msps = sample_rate * seconds / elapsed / 1e6
     logging.info(
