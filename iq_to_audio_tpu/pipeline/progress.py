@@ -19,6 +19,7 @@ GUI front ends implement :class:`ProgressSink` themselves (see
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass, replace
 
@@ -197,6 +198,12 @@ class ProgressTracker:
         self._live = False
         self._cancelled = False
         self._cancel_sent = False
+        # burst-mode workers advance concurrently from several threads;
+        # the read-modify-write of phase.completed/_sum_done (and the
+        # sink's own rendering) must not interleave.  Reentrant: a sink's
+        # advance may invoke the cancel callback, which legitimately calls
+        # back into status()/cancel() on this same tracker
+        self._lock = threading.RLock()
 
     @property
     def cancelled(self) -> bool:
@@ -214,27 +221,29 @@ class ProgressTracker:
         self._live = True
 
     def advance(self, key: str, amount: float) -> None:
-        if not self._live or self._cancelled or amount <= 0:
-            return
-        phase = self._table.get(key)
-        if phase is None:
-            return
-        before = phase.completed
-        phase.completed = min(before + amount, phase.total)
-        clamped = phase.completed - before
-        if clamped <= 0:
-            return
-        self._sum_done = min(self._sum_done + clamped, self._sum_total)
-        self._sink.advance(
-            phase,
-            clamped,
-            overall_completed=self._sum_done,
-            overall_total=max(self._sum_total, 1e-9),
-        )
+        with self._lock:
+            if not self._live or self._cancelled or amount <= 0:
+                return
+            phase = self._table.get(key)
+            if phase is None:
+                return
+            before = phase.completed
+            phase.completed = min(before + amount, phase.total)
+            clamped = phase.completed - before
+            if clamped <= 0:
+                return
+            self._sum_done = min(self._sum_done + clamped, self._sum_total)
+            self._sink.advance(
+                phase,
+                clamped,
+                overall_completed=self._sum_done,
+                overall_total=max(self._sum_total, 1e-9),
+            )
 
     def status(self, message: str) -> None:
-        if self._live:
-            self._sink.status(_squash_status(message))
+        with self._lock:
+            if self._live:
+                self._sink.status(_squash_status(message))
 
     def cancel(self) -> None:
         if self._cancelled:

@@ -74,6 +74,17 @@ def main() -> int:
         stream=sys.stderr,
         format="seg-worker %(levelname)s %(message)s",
     )
+    # raise scheduling priority when permitted (root): the parent's device
+    # stream polls its wire hard enough to starve this worker's XLA
+    # threads on few-core hosts.  Done here, child-side, because
+    # preexec_fn is fork-unsafe in threaded parents.
+    nice_req = os.environ.get("IQ2A_WORKER_NICE")
+    if nice_req:
+        try:
+            os.nice(int(nice_req))
+        except (OSError, ValueError):
+            pass
+
     import jax
 
     # sitecustomize may pin the platform programmatically (outranking the

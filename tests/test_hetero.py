@@ -249,17 +249,64 @@ def test_hetero_device_abstains_when_pathological(tmp_path):
 
 
 def test_hetero_stale_device_rate_reprobes(tmp_path):
-    """A device-rate measurement older than the TTL is discarded: the
-    device stream probes with a single segment instead of abstaining."""
+    """A pathological device rate older than the TTL is discarded: the
+    device stream PROBES with a single segment instead of abstaining
+    (same rates with a fresh timestamp abstain — the paired test above)."""
     import time as _time
 
     cap = _capture(tmp_path, seconds=4.0)
     out = tmp_path / "reprobe.wav"
-    with HeteroExecutor(cpu_workers=0, n_segments=4, warm_seconds=0.25) as ex:
-        ex.rate_ttl_seconds = 0.0
-        ex._rates["device"] = (0.001, _time.monotonic() - 10.0)  # stale
+    with HeteroExecutor(cpu_workers=1, n_segments=4, warm_seconds=0.25) as ex:
+        ex.rate_ttl_seconds = 5.0
+        now = _time.monotonic()
+        ex._rates["device"] = (0.001, now - 60.0)  # pathological AND stale
+        ex._rates["cpu"] = (20.0, now)
         result = ex.run(_config(cap, out))
-        # no CPU side: the device drains everything regardless
-        assert ex.last_stats["device_segments"] >= 3
-        assert not ex.last_stats["device_abstained"]
+        # the stale pathological rate must not trigger an IMMEDIATE
+        # abstention: the device's probe claim processes at least one
+        # segment (it may legitimately abstain on a later claim once the
+        # probe has measured a fresh rate)
+        assert ex.last_stats["device_segments"] >= 1
     assert result is not None
+
+
+def test_hetero_cancel_discards_output(tmp_path):
+    """Cancelling after the first finished segment stops the run with
+    ProcessingCancelled and writes no final output."""
+    from iq_to_audio_tpu.pipeline.pipeline import ProcessingCancelled
+    from iq_to_audio_tpu.pipeline.progress import ProgressSink
+
+    cap = _capture(tmp_path, seconds=8.0)
+    out = tmp_path / "cancelled.wav"
+    ex = HeteroExecutor(cpu_workers=0, n_segments=4, warm_seconds=0.25)
+
+    class CancelOnFirstAdvance(ProgressSink):
+        def __init__(self):
+            self.fired = False
+
+        def start(self, phases, *, overall_total):
+            pass
+
+        def advance(self, phase, delta, *, overall_completed, overall_total):
+            if not self.fired:
+                self.fired = True
+                ex.cancel()
+
+        def status(self, message):
+            pass
+
+        def close(self):
+            pass
+
+        def cancel(self):
+            pass
+
+        def set_cancel_callback(self, callback):
+            pass
+
+    try:
+        with pytest.raises(ProcessingCancelled):
+            ex.run(_config(cap, out), progress_sink=CancelOnFirstAdvance())
+    finally:
+        ex.close()
+    assert not out.exists()
