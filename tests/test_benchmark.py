@@ -158,6 +158,60 @@ def test_multi_channel_batching(tmp_path):
     assert e5 < 3.5 * e1, (e5, e1)
 
 
+def test_burst_mode(tmp_path):
+    """Group: burst-mode (heterogeneous executor, framework extension).
+
+    One capture through the work-stealing segment executor vs the serial
+    pipeline: the spliced output must match and the wall time must stay
+    within a sane multiple of serial (on multi-resource hosts it drops
+    below serial; this box may be single-core, so the bound is lenient)."""
+    from iq_to_audio_tpu.pipeline.hetero import HeteroExecutor
+
+    fs = 250_000.0
+    iq = make_nfm_iq(fs, 4.0, 25_000.0)
+    e_serial, seconds = _run_case(tmp_path, "burst-serial", iq, fs)
+
+    path = tmp_path / f"bench_burst_fc-{int(CENTER)}Hz.wav"
+    write_stereo_wav(path, np.column_stack([iq.real, iq.imag]), int(fs))
+    out = tmp_path / "bench_burst.wav"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + 25_000.0,
+        center_freq=CENTER,
+        demod_mode="nfm",
+        output_path=out,
+        mix_sign_override=1,
+    )
+    with HeteroExecutor(cpu_workers=1, n_segments=4,
+                        warm_seconds=0.25) as ex:
+        ex.run(cfg)  # warm (worker spawn + compiles)
+        start = time.perf_counter()
+        ex.run(cfg)
+        e_burst = time.perf_counter() - start
+        stats = dict(ex.last_stats)
+    RESULTS.append(
+        {
+            "case": "burst-4seg",
+            "signal_seconds": seconds,
+            "elapsed": e_burst,
+            "realtime_factor": seconds / e_burst,
+            "vs_serial": e_burst / max(e_serial, 1e-9),
+            "device_segments": stats["device_segments"],
+            "cpu_segments": stats["cpu_segments"],
+        }
+    )
+    serial_audio, _ = read_wav(tmp_path / "bench_burst-serial.wav")
+    burst_audio, rate = read_wav(out)
+    assert rate == 48_000
+    assert burst_audio.shape == serial_audio.shape
+    err = np.linalg.norm(
+        burst_audio[:, 0] - serial_audio[:, 0]
+    ) / max(np.linalg.norm(serial_audio[:, 0]), 1e-30)
+    assert 20.0 * np.log10(max(err, 1e-30)) < -60.0
+    # lenient wall bound: splicing + scheduling must not blow up the cost
+    assert e_burst < 4.0 * e_serial + 5.0, (e_burst, e_serial)
+
+
 def test_zz_report(tmp_path):
     """Emit the collected timings as JSON (CI artifact, reference ci.yml
     benchmark-json export)."""
