@@ -482,6 +482,10 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 configs = list(session.configs)
                 progress_sink = session.progress_sink
+                if getattr(session, "burst_segments", 0) and not args.burst_segments:
+                    # the GUI's Channel-panel burst setting applies unless
+                    # the command line already pinned one
+                    args.burst_segments = session.burst_segments
             except KeyboardInterrupt:
                 LOG.info("Interactive session cancelled.")
                 return 0

@@ -538,6 +538,7 @@ class InteractiveWindow(QMainWindow):
             return
         self.result.configs = configs
         self.result.progress_sink = StatusProgressSink()
+        self.result.burst_segments = self.state.burst_segments
         self.close()
 
     def _stop_workers(self):

@@ -637,6 +637,10 @@ class _SpinBase(QWidget):
     def setSuffix(self, suffix):  # noqa: N802
         self._suffix = suffix
 
+    def setSpecialValueText(self, text):  # noqa: N802
+        # display-only in real Qt (shown when value == minimum)
+        self._special_value_text = text
+
     def setValue(self, value):  # noqa: N802
         self._assign(min(max(value, self._min), self._max))
 

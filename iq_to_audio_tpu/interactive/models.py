@@ -35,6 +35,9 @@ class InteractiveSessionResult:
 
     configs: list[ProcessingConfig] = field(default_factory=list)
     progress_sink: ProgressSink | None = None
+    #: burst mode chosen in the Channel panel: segment count for the
+    #: heterogeneous executor (0 = serial streaming)
+    burst_segments: int = 0
 
 
 class StatusProgressSink(ProgressSink):

@@ -245,6 +245,20 @@ class ChannelPanel(PanelGroup):
         self.bw_spin.setValue(state.bandwidth)
         self.bw_spin.valueChanged.connect(self._bw_changed)
         grid.addWidget(self.bw_spin, 2, 1)
+        # burst mode: split the confirmed run into N concurrent segments
+        # (device stream + host-CPU workers — pipeline/hetero.py); 0 = off
+        grid.addWidget(QLabel("Burst segments"), 3, 0)
+        self.burst_spin = QSpinBox()
+        self.burst_spin.setRange(0, 64)
+        self.burst_spin.setSpecialValueText("off")
+        self.burst_spin.setValue(state.burst_segments)
+        self.burst_spin.setToolTip(
+            "Split the confirmed run into this many frame-aligned segments "
+            "processed concurrently by the device stream and host-CPU "
+            "workers (burst mode); 0 = serial streaming."
+        )
+        self.burst_spin.valueChanged.connect(self._burst_changed)
+        grid.addWidget(self.burst_spin, 3, 1)
         self.add_layout(grid)
 
     def show_rate(self, rate: float | None):
@@ -263,6 +277,10 @@ class ChannelPanel(PanelGroup):
 
     def _bw_changed(self, value: float):
         self.state.bandwidth = float(value)
+        self.changed.emit()
+
+    def _burst_changed(self, value: int):
+        self.state.burst_segments = int(value)
         self.changed.emit()
 
 

@@ -54,6 +54,9 @@ class InteractiveState:
     demod_mode: str = "nfm"
     agc_enabled: bool = True
     _agc_preferred: bool = True
+    #: burst mode for the confirmed run: split the capture into this many
+    #: concurrently-processed segments (0 = serial; pipeline/hetero.py)
+    burst_segments: int = 0
 
     # spectrum display knobs
     spectrum_nfft: int = 262_144

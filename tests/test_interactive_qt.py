@@ -183,6 +183,20 @@ class TestFileFlow:
             assert cfg.target_freq == 145_010_000.0
             assert cfg.center_freq == 145_000_000.0
             assert win.result.progress_sink is not None
+            assert win.result.burst_segments == 0  # spin defaults to off
+        finally:
+            win.close()
+
+    def test_burst_segments_spin_flows_to_result(self, qapp, tmp_path):
+        """The Channel panel's burst-segments spinner reaches the session
+        result the CLI loop consumes (pipeline/hetero.py routing)."""
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_b.wav")
+        try:
+            win.channel_panel.burst_spin.setValue(6)
+            assert win.state.burst_segments == 6
+            win.state.add_target(145_010_000.0)
+            win._confirm_run()
+            assert win.result.burst_segments == 6
         finally:
             win.close()
 
