@@ -14,8 +14,11 @@ GB/s campaign-to-campaign — docs/performance.md "Measured status"), while
 the host's own CPU backend sustains ~20x realtime on the same pipeline
 (BENCH_cpu.json).  Work-stealing makes the end-to-end wall time robust to
 the wire regime: the capture finishes at roughly the *sum* of both sides'
-throughputs instead of whichever single side the scheduler guessed.  This
-is the framework's scaled-up analogue of the reference's 3-stage
+throughputs when both help, and degrades to the BETTER single side when
+one cannot (rate-sized contiguous claims with slow-start growth; device
+abstention when even one segment would outlast the CPU side — see
+docs/architecture.md "Heterogeneous burst execution").  This is the
+framework's scaled-up analogue of the reference's 3-stage
 process-parallel pipeline (ffmpeg decode / Python DSP / encode thread,
 reference ``processing.py:190-195,430-476``) — heterogeneous executors
 over segments instead of stages over chunks.
@@ -46,8 +49,6 @@ import time
 from collections import deque
 from dataclasses import dataclass
 from pathlib import Path
-
-import numpy as np
 
 from ..io.formats import resolve_input_format
 from ..io.probe import SampleRateProbe, probe_sample_rate
