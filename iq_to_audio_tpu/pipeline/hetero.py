@@ -182,8 +182,10 @@ def hetero_eligible(config: ProcessingConfig) -> bool:
     Diagnostic/stateful modes stay on the serial pipeline: probe-only and
     stage plots are single-stream by meaning, dump-iq and pass-through
     write non-audio streams the splicer does not reassemble, checkpointed
-    or resumed runs carry one serial state, multi-target batches fan out
-    per-channel outputs, and explicit input windows are already segments.
+    or resumed runs carry one serial state, and explicit input windows are
+    already segments.  Multi-target batches ARE eligible: every segment
+    pipeline batches the channels through its shared channelizer pass and
+    the splice reassembles each channel's output separately.
     """
     mode = (config.demod_mode or "").lower()
     return not (
@@ -193,7 +195,6 @@ def hetero_eligible(config: ProcessingConfig) -> bool:
         or config.plot_stages_path is not None
         or config.checkpoint_secs
         or config.resume
-        or config.extra_target_freqs
         or config.input_start_sample
         or config.input_num_samples is not None
     )
@@ -404,12 +405,16 @@ class HeteroExecutor:
         if plan is None or len(plan.segments) < 2:
             return _serial_fallback("capture too short to segment")
 
-        out_path = config.output_path
-        if out_path is None:
-            out_path = ProcessingPipeline(config)._default_output_path(
-                config.target_freq
-            )
-        out_path = Path(out_path)
+        # final per-channel output paths, named exactly like the serial
+        # pipeline's (shared --out hints get the _<freq> suffix when
+        # batching, explicit per-channel extras are honoured verbatim)
+        helper = ProcessingPipeline(config)
+        freqs = helper._target_freqs()
+        final_paths = helper._channel_paths(
+            freqs, Path(config.output_path) if config.output_path else None
+        )
+        multi = len(freqs) > 1
+        out_path = final_paths[0]
         out_path.parent.mkdir(parents=True, exist_ok=True)
 
         tracker = ProgressTracker(progress_sink)
@@ -508,10 +513,23 @@ class HeteroExecutor:
                 audio_skip=first.audio_skip,
             )
 
+        def _seg_channel_paths(seg_path: Path) -> list[Path]:
+            """Per-channel files one segment run writes (channel 0 gets the
+            _<freq> suffix when batching — pipeline _channel_paths rules)."""
+            if not multi:
+                return [seg_path]
+            first = ProcessingPipeline._annotate(seg_path, freqs[0])
+            extras = [
+                seg_path.with_name(f"{seg_path.stem}_ch{i}{seg_path.suffix}")
+                for i in range(1, len(freqs))
+            ]
+            return [first, *extras]
+
         def _segment_config(seg: Segment, seg_path: Path) -> ProcessingConfig:
             return dataclasses.replace(
                 config,
                 output_path=seg_path,
+                extra_output_paths=_seg_channel_paths(seg_path)[1:],
                 center_freq=plan.center_freq,
                 center_freq_source=plan.center_freq_source,
                 mix_sign_override=plan.mix_sign,
@@ -728,11 +746,14 @@ class HeteroExecutor:
                     f"hetero: segments {expect}..{len(plan.segments) - 1} "
                     "never completed"
                 )
-            peak, total_audio = splice_audio(
-                [item["path"] for item in ordered],
-                [item["skip"] for item in ordered],
-                out_path,
-            )
+            peaks: list[float] = []
+            for c, final in enumerate(final_paths):
+                peak_c, _total = splice_audio(
+                    [_seg_channel_paths(item["path"])[c] for item in ordered],
+                    [item["skip"] for item in ordered],
+                    final,
+                )
+                peaks.append(peak_c)
 
         LOG.info(
             "hetero: %d segments (device %d in %d run(s), %.2f s; "
@@ -745,8 +766,9 @@ class HeteroExecutor:
             stats["cpu_seconds"],
             loop_seconds,
         )
-        LOG.info("[%.0f] Audio peak level %.2f dBFS.", plan.target_freq,
-                 20.0 * math.log10(peak) if peak > 0 else -120.0)
+        for freq, peak_c in zip(freqs, peaks):
+            LOG.info("[%.0f] Audio peak level %.2f dBFS.", freq,
+                     20.0 * math.log10(peak_c) if peak_c > 0 else -120.0)
         tracker.close()
         return ProcessingResult(
             sample_rate_probe=plan.probe,
@@ -756,9 +778,9 @@ class HeteroExecutor:
             decimation=plan.decimation,
             fs_channel=plan.fs_channel,
             mix_sign=plan.mix_sign,
-            audio_peak=peak,
-            audio_peaks=[peak],
-            output_paths=[out_path],
+            audio_peak=peaks[0] if peaks else 0.0,
+            audio_peaks=peaks,
+            output_paths=final_paths,
             loop_seconds=loop_seconds,
             input_samples=plan.total_samples,
         )

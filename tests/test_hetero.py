@@ -114,9 +114,8 @@ def test_hetero_ineligible_configs_fall_back():
     )
     assert not hetero_eligible(ProcessingConfig(**base, checkpoint_secs=5.0))
     assert not hetero_eligible(ProcessingConfig(**base, resume=True))
-    assert not hetero_eligible(
-        ProcessingConfig(**base, extra_target_freqs=[2e6])
-    )
+    # multi-target batches ride the shared channelizer pass per segment
+    assert hetero_eligible(ProcessingConfig(**base, extra_target_freqs=[2e6]))
     assert not hetero_eligible(
         ProcessingConfig(**base, input_start_sample=100)
     )
@@ -310,3 +309,35 @@ def test_hetero_cancel_discards_output(tmp_path):
     finally:
         ex.close()
     assert not out.exists()
+
+
+def test_hetero_multi_target_matches_serial(tmp_path):
+    """A multi-target batch through the burst executor: every channel's
+    spliced output matches the serial batched run, with the serial
+    pipeline's _<freq> output naming."""
+    cap = _capture(tmp_path, seconds=4.0)
+    extras = [CENTER + 10_000.0]
+
+    serial_out = tmp_path / "serial_mc.wav"
+    cfg = _config(cap, serial_out)
+    cfg.extra_target_freqs = list(extras)
+    serial_result = ProcessingPipeline(cfg).run(None)
+
+    het_out = tmp_path / "het_mc.wav"
+    cfg2 = _config(cap, het_out)
+    cfg2.extra_target_freqs = list(extras)
+    with HeteroExecutor(cpu_workers=1, n_segments=3, warm_seconds=0.25) as ex:
+        result = ex.run(cfg2)
+    assert result is not None
+    assert len(result.output_paths) == 2
+    assert len(result.audio_peaks) == 2
+    assert [p.name for p in result.output_paths] == [
+        f"het_mc_{int(CENTER + OFFSET)}.wav",
+        f"het_mc_{int(extras[0])}.wav",
+    ]
+    for sp, hp in zip(serial_result.output_paths, result.output_paths):
+        a, _ = read_wav(sp)
+        b, _ = read_wav(hp)
+        assert a.shape == b.shape
+        err = error_db(b[:, 0], a[:, 0])
+        assert err < -60.0, f"channel {hp.name}: {err:.1f} dB"
