@@ -59,7 +59,13 @@ from .config import ProcessingConfig
 from .filters import compute_decimation, design_channel_filter
 from .pipeline import ProcessingPipeline, ProcessingResult
 from .progress import PhaseState, ProgressSink, ProgressTracker
-from .segmented import WARM_SECONDS, Segment, plan_segments, splice_audio
+from .segmented import (
+    WARM_SECONDS,
+    Segment,
+    plan_segments,
+    splice_audio,
+    splice_iq_slices,
+)
 from .seg_worker import config_to_wire
 
 LOG = logging.getLogger(__name__)
@@ -84,6 +90,10 @@ class HeteroPlan:
     total_samples: int
     input_container: str
     input_format: str
+    #: resolved InputFormatSpec (pass-through slices preserve its codec)
+    input_spec: object = None
+    #: ``--demod none``: segments write IQ slices instead of audio
+    pass_through: bool = False
 
 
 def _plan(config: ProcessingConfig, n_segments: int,
@@ -123,9 +133,14 @@ def _plan(config: ProcessingConfig, n_segments: int,
     offset = target - center
 
     decimation, fs_channel = compute_decimation(sample_rate, config.fs_ch_target)
-    from ..ops.resample import ResamplePlan
+    pass_through = (config.demod_mode or "").lower() in {"none", "pass", "iq"}
+    if pass_through:
+        rs_up = rs_down = 1  # slices stay at the decimated rate
+    else:
+        from ..ops.resample import ResamplePlan
 
-    rate_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, 1)
+        rate_plan = ResamplePlan.create(fs_channel, _OUTPUT_RATE, 1)
+        rs_up, rs_down = rate_plan.up, rate_plan.down
     taps = design_channel_filter(sample_rate, config.bandwidth, decimation)
 
     probe_len = max(int(sample_rate * 0.05), len(taps) * 4, 131_072)
@@ -154,8 +169,8 @@ def _plan(config: ProcessingConfig, n_segments: int,
         total,
         sample_rate,
         decimation,
-        rate_plan.up,
-        rate_plan.down,
+        rs_up,
+        rs_down,
         n_segments,
         warm_seconds=warm_seconds,
     )
@@ -173,6 +188,8 @@ def _plan(config: ProcessingConfig, n_segments: int,
         total_samples=total,
         input_container=spec.container,
         input_format=spec.codec,
+        input_spec=spec,
+        pass_through=pass_through,
     )
 
 
@@ -180,17 +197,16 @@ def hetero_eligible(config: ProcessingConfig) -> bool:
     """True when the heterogeneous runner supports this configuration.
 
     Diagnostic/stateful modes stay on the serial pipeline: probe-only and
-    stage plots are single-stream by meaning, dump-iq and pass-through
-    write non-audio streams the splicer does not reassemble, checkpointed
-    or resumed runs carry one serial state, and explicit input windows are
-    already segments.  Multi-target batches ARE eligible: every segment
-    pipeline batches the channels through its shared channelizer pass and
-    the splice reassembles each channel's output separately.
+    stage plots are single-stream by meaning, dump-iq writes a side stream
+    the splicer does not reassemble, checkpointed or resumed runs carry
+    one serial state, and explicit input windows are already segments.
+    Multi-target batches ARE eligible (every segment pipeline batches the
+    channels through its shared channelizer pass; each channel's output is
+    spliced separately), as is pass-through slicing (segments write
+    codec-preserving IQ slices, spliced frame-exactly).
     """
-    mode = (config.demod_mode or "").lower()
     return not (
         config.probe_only
-        or mode in {"none", "pass", "iq"}
         or config.dump_iq_path is not None
         or config.plot_stages_path is not None
         or config.checkpoint_secs
@@ -409,6 +425,7 @@ class HeteroExecutor:
         # pipeline's (shared --out hints get the _<freq> suffix when
         # batching, explicit per-channel extras are honoured verbatim)
         helper = ProcessingPipeline(config)
+        helper._input_spec = plan.input_spec  # pass-through default naming
         freqs = helper._target_freqs()
         final_paths = helper._channel_paths(
             freqs, Path(config.output_path) if config.output_path else None
@@ -748,11 +765,15 @@ class HeteroExecutor:
                 )
             peaks: list[float] = []
             for c, final in enumerate(final_paths):
-                peak_c, _total = splice_audio(
-                    [_seg_channel_paths(item["path"])[c] for item in ordered],
-                    [item["skip"] for item in ordered],
-                    final,
-                )
+                paths_c = [_seg_channel_paths(item["path"])[c] for item in ordered]
+                skips_c = [item["skip"] for item in ordered]
+                if plan.pass_through:
+                    peak_c, _total = splice_iq_slices(
+                        paths_c, skips_c, final,
+                        plan.fs_channel, plan.input_spec,
+                    )
+                else:
+                    peak_c, _total = splice_audio(paths_c, skips_c, final)
                 peaks.append(peak_c)
 
         LOG.info(
@@ -766,8 +787,12 @@ class HeteroExecutor:
             stats["cpu_seconds"],
             loop_seconds,
         )
+        peak_label = (
+            "IQ slice peak magnitude" if plan.pass_through
+            else "Audio peak level"
+        )
         for freq, peak_c in zip(freqs, peaks):
-            LOG.info("[%.0f] Audio peak level %.2f dBFS.", freq,
+            LOG.info("[%.0f] %s %.2f dBFS.", freq, peak_label,
                      20.0 * math.log10(peak_c) if peak_c > 0 else -120.0)
         tracker.close()
         return ProcessingResult(

@@ -118,6 +118,77 @@ def plan_segments(
     return segments
 
 
+def splice_iq_slices(
+    segment_paths: list[Path],
+    frame_skips: list[int],
+    out_path: Path,
+    sample_rate: float,
+    spec,
+) -> tuple[float, int]:
+    """Concatenate segment IQ-slice files (pass-through mode) into one,
+    dropping each segment's lead-in of ``frame_skips`` complex frames.
+
+    ``spec`` is the :class:`~..io.formats.InputFormatSpec` the slices were
+    written with (container wav/raw + codec), mirroring the serial
+    IQSliceWriter's codec-preserving behavior.  Returns ``(peak, frames)``
+    where ``peak`` is max |I+jQ| of the written (already encoded) stream —
+    the post-quantisation counterpart of the serial writer's pre-encode
+    peak.
+    """
+    import numpy as np
+
+    from ..io.reader import convert_to_complex
+    from ..io.riff import WavStreamWriter, parse_wav_header
+
+    out_path = Path(out_path)
+    frame_bytes = spec.bytes_per_frame
+    dtype = {"pcm_u8": "u1", "pcm_s16le": "<i2", "pcm_f32le": "<f4"}[spec.codec]
+    peak = 0.0
+    frames = 0
+    writer = None
+    fd = None
+    if spec.container == "wav":
+        writer = WavStreamWriter(
+            out_path, max(1, int(round(sample_rate))), 2, spec.codec
+        )
+    else:
+        fd = out_path.open("wb")
+    try:
+        for path, skip in zip(segment_paths, frame_skips):
+            if spec.container == "wav":
+                info = parse_wav_header(path)
+                offset, size = info.data_offset, info.data_size
+            else:
+                offset, size = 0, Path(path).stat().st_size
+            skip_bytes = skip * frame_bytes
+            if size < skip_bytes:
+                raise ValueError(
+                    f"Segment {path} holds {size // frame_bytes} frames — "
+                    f"fewer than its {skip}-frame lead-in; the worker run "
+                    "was truncated."
+                )
+            with Path(path).open("rb") as f:
+                f.seek(offset + skip_bytes)
+                payload = f.read(size - skip_bytes)
+            payload = payload[: (len(payload) // frame_bytes) * frame_bytes]
+            if not payload:
+                continue
+            raw = np.frombuffer(payload, dtype=dtype)
+            iq = convert_to_complex(raw, spec.codec, "iq")
+            peak = max(peak, float(np.max(np.abs(iq))))
+            frames += iq.size
+            if writer is not None:
+                writer.write_raw(payload)
+            else:
+                fd.write(payload)
+    finally:
+        if writer is not None:
+            writer.close()
+        if fd is not None:
+            fd.close()
+    return peak, frames
+
+
 def splice_audio(
     segment_paths: list[Path],
     audio_skips: list[int],

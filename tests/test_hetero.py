@@ -104,7 +104,8 @@ def test_hetero_executor_reuse_and_auto_sign(tmp_path):
 def test_hetero_ineligible_configs_fall_back():
     base = dict(in_path=Path("x.wav"), target_freq=1e6)
     assert hetero_eligible(ProcessingConfig(**base))
-    assert not hetero_eligible(ProcessingConfig(**base, demod_mode="none"))
+    # pass-through slicing splices codec-preserving IQ segments
+    assert hetero_eligible(ProcessingConfig(**base, demod_mode="none"))
     assert not hetero_eligible(ProcessingConfig(**base, probe_only=True))
     assert not hetero_eligible(
         ProcessingConfig(**base, dump_iq_path=Path("d.cf32"))
@@ -341,3 +342,53 @@ def test_hetero_multi_target_matches_serial(tmp_path):
         assert a.shape == b.shape
         err = error_db(b[:, 0], a[:, 0])
         assert err < -60.0, f"channel {hp.name}: {err:.1f} dB"
+
+
+@pytest.mark.parametrize("codec", ["pcm_f32le", "pcm_s16le"])
+def test_hetero_pass_through_matches_serial(tmp_path, codec):
+    """--demod none through the burst executor: the spliced IQ slice is
+    byte-identical to the serial slice for WAV containers of either codec
+    (same engine, frame-exact splice)."""
+    iq = make_nfm_iq(FS, 4.0, OFFSET)
+    cap = tmp_path / f"baseband_{int(CENTER)}Hz_pt.wav"
+    write_stereo_wav(cap, np.column_stack([iq.real, iq.imag]), int(FS),
+                     codec=codec)
+
+    def cfg(out):
+        return ProcessingConfig(
+            in_path=cap,
+            target_freq=CENTER + OFFSET,
+            demod_mode="none",
+            output_path=out,
+            mix_sign_override=1,
+            chunk_size=65_536,
+        )
+
+    serial_out = tmp_path / f"serial_{codec}.wav"
+    serial_result = ProcessingPipeline(cfg(serial_out)).run(None)
+
+    het_out = tmp_path / f"het_{codec}.wav"
+    with HeteroExecutor(cpu_workers=1, n_segments=3, warm_seconds=0.25) as ex:
+        result = ex.run(cfg(het_out))
+    assert result is not None
+
+    from iq_to_audio_tpu.io.riff import parse_wav_header
+
+    a, b = parse_wav_header(serial_out), parse_wav_header(het_out)
+    assert a.data_size == b.data_size
+    assert a.sample_rate == b.sample_rate
+    pa = serial_out.read_bytes()[a.data_offset : a.data_offset + a.data_size]
+    pb = het_out.read_bytes()[b.data_offset : b.data_offset + b.data_size]
+    if codec == "pcm_s16le":
+        # f32 ulp-level channelizer block-alignment differences quantise
+        # away at s16: byte-identical payload
+        assert pa == pb
+    else:
+        # f32 slices keep the ulp-level differences (the FFT-bank blocks
+        # start at a different phase inside a segment window): compare as
+        # floats far below the -60 dB contract
+        xa = np.frombuffer(pa, dtype="<f4").astype(np.float64)
+        xb = np.frombuffer(pb, dtype="<f4").astype(np.float64)
+        assert error_db(xb, xa) < -100.0
+    assert result.audio_peak == pytest.approx(serial_result.audio_peak,
+                                              abs=2e-4)
