@@ -253,36 +253,27 @@ def ddc_apply_il(
     return yr, yi, new_itail, phase_next
 
 
-def bandpass_response(
-    taps: np.ndarray, incs_fixed: list[int], fft_size: int
-) -> np.ndarray:
-    """Per-channel bandpass frequency responses for the FFT channelizer.
-
-    ``H_c = FFT(zero-pad(g_c))`` with the same ``g_c[j] = h[j]*e^{-i theta j}``
-    as :func:`bandpass_kernel` (NOT tap-reversed: overlap-save performs true
-    convolution, ``lax.conv`` performs correlation).  complex64 ``(C, F)``.
-    """
-    taps64 = np.asarray(taps, dtype=np.float64)
-    L = taps64.size
-    C = len(incs_fixed)
-    j = np.arange(L, dtype=np.uint64)
-    bank = np.empty((C, fft_size), dtype=np.complex64)
-    for c, inc in enumerate(incs_fixed):
-        phase_counts = (np.uint64(inc) * j) % np.uint64(_TWO32)
-        theta_j = phase_counts.astype(np.float64) * _RAD_PER_COUNT
-        g = taps64 * (np.cos(theta_j) - 1j * np.sin(theta_j))
-        padded = np.zeros(fft_size, dtype=np.complex128)
-        padded[:L] = g
-        bank[c] = np.fft.fft(padded).astype(np.complex64)
-    return bank
-
-
-def bank_from_kernel(kernel_np: np.ndarray, fft_size: int) -> np.ndarray:
+def bank_from_kernel(kernel_np: np.ndarray, os_plan) -> np.ndarray:
     """Recover the complex bandpass bank from a conv kernel built by
     :func:`bandpass_kernel` (undo the correlation tap-reversal), FFT'd to
-    ``(C, fft_size)`` complex64 for the overlap-save channelizer."""
+    ``(C, fft_size)`` complex64 for the overlap-save channelizer.
+
+    ``os_plan`` is the :class:`~.osfir.OverlapSavePlan` the bank feeds (its
+    fold shift/scale are baked in); a bare ``int`` FFT size yields the
+    plain fold-free responses.
+    """
+    from .osfir import OverlapSavePlan
+
+    if isinstance(os_plan, OverlapSavePlan):
+        fft_size, shift, scale = os_plan.fft_size, os_plan.h_shift, os_plan.h_scale
+    else:
+        fft_size, shift, scale = int(os_plan), 0, 1.0
     C = kernel_np.shape[0] // 2
     L = kernel_np.shape[2]
+    ramp = None
+    if shift or scale != 1.0:
+        k = np.arange(fft_size, dtype=np.float64)
+        ramp = scale * np.exp(2j * np.pi * k * shift / fft_size)
     bank = np.empty((C, fft_size), dtype=np.complex64)
     for c in range(C):
         g = (
@@ -291,7 +282,10 @@ def bank_from_kernel(kernel_np: np.ndarray, fft_size: int) -> np.ndarray:
         )
         padded = np.zeros(fft_size, dtype=np.complex128)
         padded[:L] = g
-        bank[c] = np.fft.fft(padded).astype(np.complex64)
+        spec = np.fft.fft(padded)
+        if ramp is not None:
+            spec = spec * ramp
+        bank[c] = spec.astype(np.complex64)
     return bank
 
 

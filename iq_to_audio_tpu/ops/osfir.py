@@ -15,6 +15,18 @@ TPU-native redesign of the reference's ``OverlapSaveFIR`` + ``Decimator``
 * The reference wastes (taps-1) samples of every FFT frame by fixing the hop
   to ``filter_block``; we use the maximal valid hop, ~25-50% fewer FFTs for
   typical narrowband filters.
+* Decimation is **alias-folded into the inverse FFT** (exact, not an
+  approximation): only every D-th filtered sample survives, and for any
+  ``f | gcd(D, F)`` those samples are the length-``F/f`` inverse DFT of the
+  product spectrum folded modulo ``F/f``.  A circular shift of ``L-1``
+  samples (baked into the tap spectrum as a phase ramp) aligns the kept
+  samples to multiples of ``f``.  The plan prefers ``F = odd(D) * 2**k``
+  when the full ``f = D`` fold wins under DUCC's measured mixed-radix cost
+  (headline 2.5 MS/s decim-26: F=26624 folds the inverse FFT to 1024
+  points, ~2.4x less FFT work per input sample than the unfolded
+  power-of-two plan on the one-core host).  The reference runs the inverse
+  FFT at the full input rate and strides afterwards
+  (``processing.py:300-360``).
 
 Chunked output is bit-identical to whole-signal filtering because the
 (L-1)-sample input tail is carried between chunks, exactly like the
@@ -35,16 +47,30 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, math.ceil(math.log2(max(1, n))))
 
 
+def _nonpow2_fft_ok() -> bool:
+    """Whether mixed-radix FFT sizes are worth offering to the planner.
+
+    CPU (DUCC) handles ``odd(D) * 2**k`` sizes at a ~16% per-point premium
+    — far cheaper than the fold they unlock.  Accelerator backends lower
+    non-power-of-two FFTs via Bluestein, which would cost more than the
+    unfolded power-of-two plan saves.
+    """
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
 @dataclass(frozen=True)
 class OverlapSavePlan:
     """Static (hashable) geometry of one streaming filter configuration."""
 
     num_taps: int  # L
-    fft_size: int  # F (power of two)
+    fft_size: int  # F (power of two, or odd(D) * power of two)
     block: int  # B: hop per frame, multiple of decimation
     decimation: int  # D
     num_frames: int  # K frames per chunk
     chunk_size: int  # N = K * B input samples per chunk
+    fold: int = 1  # inverse-FFT alias fold factor, divides gcd(D, F)
 
     @property
     def overlap(self) -> int:
@@ -53,6 +79,17 @@ class OverlapSavePlan:
     @property
     def out_size(self) -> int:
         return self.chunk_size // self.decimation
+
+    @property
+    def h_shift(self) -> int:
+        """Circular shift baked into the tap spectrum (see module doc)."""
+        return self.num_taps - 1 if self.fold > 1 else 0
+
+    @property
+    def h_scale(self) -> float:
+        """ifft renormalisation baked into the tap spectrum: folding by f
+        turns the 1/F of the full inverse DFT into 1/(F/f)."""
+        return 1.0 / self.fold
 
     @staticmethod
     def create(
@@ -65,31 +102,58 @@ class OverlapSavePlan:
     ) -> "OverlapSavePlan":
         """Pick FFT size / hop / frame count for a filter+decimation pair.
 
-        ``fft_size=None`` auto-selects the power-of-two F minimising FFT work
-        per output sample, ``F*log2(F) / (F - L + 1)``, within VMEM-friendly
-        bounds.  ``target_chunk`` requests roughly that many input samples
-        per chunk (reference auto-tunes to 0.25-0.5 s, capped 4Mi samples,
-        ``processing.py:65-81``).
+        ``fft_size=None`` auto-selects the F minimising forward + folded
+        inverse FFT work per input sample.  Candidates are the powers of two
+        in the usual window plus ``odd(D) * 2**k`` sizes (which admit the
+        full fold ``f = D``); non-power-of-two sizes carry a measured DUCC
+        mixed-radix penalty.  ``target_chunk`` requests roughly that many
+        input samples per chunk (reference auto-tunes to 0.25-0.5 s, capped
+        4Mi samples, ``processing.py:65-81``).
         """
         L = int(num_taps)
         D = max(1, int(decimation))
+        odd = D
+        while odd % 2 == 0:
+            odd //= 2
+
+        def _cost(F: int) -> float:
+            b = D * ((F - L + 1) // D)
+            if b < 1:
+                return float("inf")
+            f = math.gcd(D, F)
+            def work(n: int) -> float:
+                # DUCC's odd(D)*2**k premium measured 1.3-1.6x per point at
+                # pipeline chunk sizes on the one-core host (not the ~1.16x
+                # its flop count suggests) — cache pressure of the larger
+                # mixed-radix twiddle sets
+                pen = 1.0 if n & (n - 1) == 0 else 1.45
+                return n * math.log2(n) * pen if n > 1 else 0.0
+            return (work(F) + work(F // f)) / b
+
         if fft_size is not None:
-            F = _next_pow2(fft_size)
-            if F < _next_pow2(L - 1 + D):
+            F = int(fft_size)
+            if F & (F - 1):  # honor an explicit odd(D)*2**k size verbatim
+                if F % odd or (F // odd) & (F // odd - 1):
+                    F = _next_pow2(F)
+            if F < L - 1 + D:
                 F = _next_pow2(L - 1 + D)
         else:
             lo = _next_pow2(max(2 * L, 4096, L - 1 + D))
             hi = max(lo, 1 << 18)
-            best, best_cost = lo, float("inf")
+            candidates = []
             F = lo
             while F <= hi:
-                b = D * ((F - L + 1) // D)
-                if b >= 1:
-                    cost = F * math.log2(F) / b
-                    if cost < best_cost:
-                        best, best_cost = F, cost
+                candidates.append(F)
                 F <<= 1
-            F = best
+            if odd > 1 and _nonpow2_fft_ok():
+                F = odd
+                while F < lo // 2:
+                    F <<= 1
+                while F <= hi:
+                    if F % D == 0 and F >= L - 1 + D:
+                        candidates.append(F)
+                    F <<= 1
+            F = min(candidates, key=_cost)
         B = D * ((F - L + 1) // D)
         while B < 1:
             F <<= 1
@@ -102,6 +166,7 @@ class OverlapSavePlan:
             decimation=D,
             num_frames=K,
             chunk_size=K * B,
+            fold=math.gcd(D, F),
         )
 
     @staticmethod
@@ -133,14 +198,28 @@ class OverlapSavePlan:
             decimation=D,
             num_frames=K,
             chunk_size=N,
+            fold=base.fold,
         )
 
 
-def taps_fft(taps: np.ndarray, fft_size: int) -> np.ndarray:
-    """Host-side (float64) frequency response of the padded taps."""
+def taps_fft(taps: np.ndarray, plan: "OverlapSavePlan | int") -> np.ndarray:
+    """Host-side (float64) frequency response of the padded taps.
+
+    Pass the :class:`OverlapSavePlan` so the fold's circular shift and
+    renormalisation are baked in; a bare ``int`` FFT size yields the plain
+    (fold-free) response.
+    """
+    if isinstance(plan, OverlapSavePlan):
+        fft_size, shift, scale = plan.fft_size, plan.h_shift, plan.h_scale
+    else:
+        fft_size, shift, scale = int(plan), 0, 1.0
     padded = np.zeros(fft_size, dtype=np.float64)
     padded[: len(taps)] = np.asarray(taps, dtype=np.float64)
-    return np.fft.fft(padded).astype(np.complex64)
+    spec = np.fft.fft(padded)
+    if shift or scale != 1.0:
+        k = np.arange(fft_size, dtype=np.float64)
+        spec = spec * scale * np.exp(2j * np.pi * k * shift / fft_size)
+    return spec.astype(np.complex64)
 
 
 def os_fir_decimate(
@@ -172,6 +251,11 @@ def os_fir_decimate(
         plan.chunk_size,
     )
     assert x.shape[-1] == N, (x.shape, N)
+    if return_filtered and plan.fold > 1:
+        raise ValueError(
+            "return_filtered needs the full-rate inverse FFT; use a "
+            "fold=1 plan (stage snapshots run on the conv channelizer)"
+        )
     x_ext = jnp.concatenate([tail, x], axis=-1)
     pad = (K - 1) * B + F - x_ext.shape[-1]
     if pad > 0:
@@ -180,13 +264,43 @@ def os_fir_decimate(
     idx = jnp.arange(K, dtype=jnp.int32)[:, None] * B + jnp.arange(F, dtype=jnp.int32)[None, :]
     frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, F)
     spec = jnp.fft.fft(frames, axis=-1)
+    new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
+    if plan.fold > 1:
+        dec = _folded_ifft_decimate(plan, spec * h_fft, x.shape[:-1])
+        return dec, new_tail
     y = jnp.fft.ifft(spec * h_fft, axis=-1)[..., L - 1 : L - 1 + B]
     y = y.reshape(*x.shape[:-1], K * B)[..., :N].astype(jnp.complex64)
     dec = y[..., ::D]
-    new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
     if return_filtered:
         return dec, new_tail, y
     return dec, new_tail
+
+
+def _folded_ifft_decimate(plan: OverlapSavePlan, prod: jnp.ndarray, lead):
+    """Decimated filter output from the product spectrum via the alias fold.
+
+    ``prod`` is ``(..., K, F)`` — the per-frame product spectra with the
+    plan's ``L-1`` circular shift and ``1/fold`` scale already baked into
+    the tap response, so the kept samples sit at local positions ``j*D``
+    and the inverse DFT of the modulo-``F/fold`` folded spectrum yields
+    them directly.  Returns ``(..., N // D)`` complex64.
+    """
+    F, B, D, K, N, f = (
+        plan.fft_size,
+        plan.block,
+        plan.decimation,
+        plan.num_frames,
+        plan.chunk_size,
+        plan.fold,
+    )
+    Fp = F // f
+    folded = prod.reshape(*prod.shape[:-1], f, Fp).sum(axis=-2)
+    y = jnp.fft.ifft(folded, axis=-1)  # (..., K, Fp): y'[q] = y[L-1 + q*f]
+    step = D // f
+    keep = B // D
+    dec = y[..., : keep * step : step] if step > 1 else y[..., :keep]
+    dec = dec.reshape(*lead, K * keep)[..., : N // D].astype(jnp.complex64)
+    return dec
 
 
 def os_fir_bank(
@@ -229,8 +343,11 @@ def os_fir_bank(
     frames = jnp.take(x_ext, idx, axis=-1)  # (K, F)
     spec = jnp.fft.fft(frames, axis=-1)
     prod = spec[None, :, :] * h_bank[:, None, :]  # (C, K, F)
+    new_tail = x[N - (L - 1) :] if L > 1 else x[:0]
+    if plan.fold > 1:
+        dec = _folded_ifft_decimate(plan, prod, (h_bank.shape[0],))
+        return dec, new_tail
     y = jnp.fft.ifft(prod, axis=-1)[..., L - 1 : L - 1 + B]  # (C, K, B)
     y = y.reshape(h_bank.shape[0], K * B)[:, :N]
     dec = y[:, ::D].astype(jnp.complex64)
-    new_tail = x[N - (L - 1) :] if L > 1 else x[:0]
     return dec, new_tail

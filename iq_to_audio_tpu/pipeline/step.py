@@ -554,7 +554,7 @@ def build_chunk_step(
         os_plan = OverlapSavePlan.for_chunk(
             ddc_plan.num_taps, ddc_plan.decimation, ddc_plan.chunk_size
         )
-        kernel_dev = jnp.asarray(bank_from_kernel(ddc_kernel_np, os_plan.fft_size))
+        kernel_dev = jnp.asarray(bank_from_kernel(ddc_kernel_np, os_plan))
         kernel_il_np = None
     else:
         # the hot path convolves the raw interleaved stream (IQ order and

@@ -85,7 +85,7 @@ class TestOverlapSaveFIR:
         ref_dec = RefDecimator(decim)
         ref_out = ref_dec.process(ref_fir.process(x))
 
-        h = jnp.asarray(taps_fft(taps, plan.fft_size))
+        h = jnp.asarray(taps_fft(taps, plan))
         tail = jnp.zeros(plan.overlap, dtype=jnp.complex64)
         outs = []
         for start in range(0, usable, n):
@@ -102,6 +102,35 @@ class TestOverlapSaveFIR:
             assert plan.block + L - 1 <= plan.fft_size
             assert plan.chunk_size % plan.block == 0
             assert plan.chunk_size % D == 0
+            # the alias fold must divide both D and F, and its shift/scale
+            # must engage exactly when folding
+            assert D % plan.fold == 0 and plan.fft_size % plan.fold == 0
+            assert (plan.h_shift == L - 1) == (plan.fold > 1)
+
+    @pytest.mark.parametrize("fold", [1, 2, 26])
+    def test_fold_variants_match(self, fold):
+        """Any legal fold of the inverse FFT is numerically the unfolded
+        overlap-save path (exactness of the alias-fold identity)."""
+        import dataclasses
+
+        fs, decim = 2_500_000.0, 26
+        taps = design_channel_filter(fs, 12_500.0, decim)
+        L = len(taps)
+        F = 26624 if fold == 26 else 16384  # fold must divide F
+        n = 8 * 26624
+        base = dataclasses.replace(
+            OverlapSavePlan.for_chunk(L, decim, n, fft_size=F), fold=1
+        )
+        plan = dataclasses.replace(base, fold=fold)
+        rng = np.random.default_rng(7)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        tail = jnp.zeros(L - 1, dtype=jnp.complex64)
+        ref, _ = os_fir_decimate(base, jnp.asarray(taps_fft(taps, base)),
+                                 jnp.asarray(x), tail)
+        got, _ = os_fir_decimate(plan, jnp.asarray(taps_fft(taps, plan)),
+                                 jnp.asarray(x), tail)
+        assert got.shape == ref.shape
+        assert error_db(np.asarray(got), np.asarray(ref)) < -120.0
 
     def test_batched_channels(self):
         fs, decim = 250_000.0, 8
@@ -111,7 +140,7 @@ class TestOverlapSaveFIR:
         x = np.stack(
             [make_tone_iq(fs, 0.2, f)[:n] for f in (5_000.0, -20_000.0, 40_000.0)]
         )
-        h = jnp.asarray(taps_fft(taps, plan.fft_size))
+        h = jnp.asarray(taps_fft(taps, plan))
         tail = jnp.zeros((3, plan.overlap), dtype=jnp.complex64)
         dec, _ = os_fir_decimate(plan, h, jnp.asarray(x), tail)
         assert dec.shape == (3, n // decim)
@@ -430,7 +459,7 @@ class TestFFTChannelizer:
         os_plan = OverlapSavePlan.for_chunk(taps_len, decim, plan.chunk_size)
         kernel_np = bandpass_kernel(taps, incs)
         kernel = jnp.asarray(kernel_np)
-        bank = jnp.asarray(bank_from_kernel(kernel_np, os_plan.fft_size))
+        bank = jnp.asarray(bank_from_kernel(kernel_np, os_plan))
         inc_lo = jnp.asarray(np.asarray([(i * decim) % (1 << 32) for i in incs], np.uint32))
 
         rng = np.random.default_rng(5)
