@@ -261,6 +261,16 @@ class HeteroExecutor:
         #: not the straggler and halves when it is — the measured rate on
         #: ever-larger claims then converges to the true marginal rate
         self._device_take = 1
+        #: True while rates["device"] holds a wire-probe PREDICTION rather
+        #: than a measured end-to-end segment rate (see _wire_probe_rate)
+        self._device_rate_estimated = False
+        #: assumed device compute throughput for the wire-probe prediction
+        #: (input Msps with data resident — docs/performance.md measured
+        #: 255-305 on the v5e; only the go/no-go decision uses it, and a
+        #: real one-segment claim re-measures end-to-end immediately after)
+        self.device_compute_msps = float(
+            os.environ.get("IQ2A_DEVICE_MSPS", "250")
+        )
         #: per-run scheduling telemetry, for logs and benches
         self.last_stats: dict = {}
 
@@ -271,6 +281,7 @@ class HeteroExecutor:
         self._rates["device"] = None
         self._rates["cpu"] = None
         self._device_take = 1
+        self._device_rate_estimated = False
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -390,6 +401,76 @@ class HeteroExecutor:
 
     # -- execution ---------------------------------------------------------
 
+    def _wire_probe_rate(
+        self, seg_seconds: float, seg_bytes: int, seg_samples: int,
+        audio_bytes: int, should_abort=None,
+    ) -> float | None:
+        """Predict the device stream's seconds-of-signal-per-wall-second
+        rate for a single-segment claim from a cheap wire-health probe.
+
+        Times a small H2D upload (1 MiB, refined with 8 MiB only when the
+        wire looks fast — a degraded wire must not spend seconds probing)
+        and one small D2H fetch, then models a segment claim as upload +
+        resident compute (at the ``device_compute_msps`` prior) + output
+        fetch.  The point is the go/no-go decision WITHOUT committing a
+        full segment to a possibly-pathological wire: blind one-segment
+        probe claims took 57-157 s in degraded relay regimes while the CPU
+        side drained the whole queue in 10 s.  A "go" still claims only
+        one real segment, whose measured end-to-end rate immediately
+        replaces this estimate.  Returns None when ``should_abort`` says
+        the probe became moot mid-flight (e.g. the queue drained).
+        """
+        import jax
+        import numpy as np
+
+        small_up = np.zeros(1 << 18, np.float32)  # 1 MiB
+        t0 = time.perf_counter()
+        jax.device_put(small_up).block_until_ready()
+        t_up = max(time.perf_counter() - t0, 1e-6)
+        bw_up = small_up.nbytes / t_up
+        if should_abort is not None and should_abort():
+            return None
+        probe = np.zeros(2 * (1 << 20), np.float32)  # 8 MiB refinement
+        if probe.nbytes / bw_up < 2.0:
+            # fast wire: the 1 MiB sample understates a ramping link —
+            # refine with a transfer big enough to amortise the setup
+            t0 = time.perf_counter()
+            jax.device_put(probe).block_until_ready()
+            t_up = max(time.perf_counter() - t0, 1e-6)
+            bw_up = probe.nbytes / t_up
+        if should_abort is not None and should_abort():
+            return None
+        # separate small buffer for the D2H leg: fetching a SLICE of the
+        # upload buffer would compile a device gather first (seconds of
+        # one-off compile on tunneled runtimes, charged to the wrong bill)
+        small = np.zeros(1 << 18, np.float32)  # 1 MiB
+        down = jax.device_put(small)
+        down.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(down)
+        t_fetch = max(time.perf_counter() - t0, 1e-6)
+        if t_fetch > 30.0:
+            # a first-fetch this slow is the per-connection session toll,
+            # a one-off this probe just paid — re-time the steady state
+            down2 = jax.device_put(small)
+            down2.block_until_ready()
+            t0 = time.perf_counter()
+            np.asarray(down2)
+            t_fetch = max(time.perf_counter() - t0, 1e-6)
+        bw_down = small.nbytes / t_fetch
+        t_seg = (
+            seg_bytes / bw_up
+            + seg_samples / max(self.device_compute_msps * 1e6, 1e-9)
+            + max(t_fetch, audio_bytes / max(bw_down, 1e-9))
+        )
+        rate = seg_seconds / max(t_seg, 1e-9)
+        LOG.info(
+            "hetero: wire probe %.1f MB/s up, %.1f MB/s down (%.2f s fetch) "
+            "-> predicted %.1fx device segment rate",
+            bw_up / 1e6, bw_down / 1e6, t_fetch, rate,
+        )
+        return rate
+
     def run(
         self,
         config: ProcessingConfig,
@@ -470,15 +551,23 @@ class HeteroExecutor:
             if plan.sample_rate > 0 else 1.0
         )
 
+        #: True while the device may still defer a marginal-estimate claim
+        #: waiting for a CPU-side measurement (cleared after a bounded
+        #: wait so a wedged CPU side cannot park the device forever)
+        blind_wait = [True]
+
         def _device_claim_size(remaining: int) -> int:
-            """Contiguous segments the device should claim; 0 = abstain.
+            """Contiguous segments the device should claim; 0 = abstain,
+            -1 = defer (marginal estimate, waiting on a CPU measurement).
 
             Per-run device cost on tunneled runtimes is seconds (dispatch
             ramp, kernel uploads, fetch latency), so the device stream
             claims a contiguous RUN of segments sized to its observed
             share of throughput — one pipeline run, one lead-in.  Until
-            both sides have a measurement it probes with a single segment;
-            with no CPU side (or in a warm pass) it takes everything.
+            a real claim has been measured the rate is a wire-probe
+            PREDICTION (``_refresh_device_estimate``) gating a one-segment
+            probe claim; with no CPU side (or in a warm pass) it takes
+            everything.
 
             When the wire regime is so degraded that even ONE device
             segment would outlast the CPU side draining the whole queue
@@ -493,10 +582,36 @@ class HeteroExecutor:
             now = time.monotonic()
             dev = rates["device"]
             if dev is not None and now - dev[1] > self.rate_ttl_seconds:
-                dev = None  # stale — re-probe with a single segment
+                dev = None  # stale — the loop wire-probes before claiming
             cpu = rates["cpu"]
             if cpu is not None and now - cpu[1] > self.rate_ttl_seconds:
                 cpu = None  # stale — the CPU side refreshes on its claims
+            if dev is not None and self._device_rate_estimated:
+                # wire-probe PREDICTION (no measured claim yet): the point
+                # is only the go/no-go — a "go" claims ONE real segment,
+                # whose measured rate replaces the estimate.  Abstention
+                # on a prediction needs a wide margin (3x vs the measured
+                # path's 0.8x) because small-transfer bandwidth can
+                # understate a ramping wire
+                r_d = dev[0]
+                if cpu is None:
+                    # no CPU measurement yet: a catastrophic prediction
+                    # (slower than realtime) abstains outright, an
+                    # overwhelming one (>=20x — even 8x estimate error
+                    # cannot make it the straggler) goes immediately, and
+                    # the marginal band DEFERS until the first CPU claim
+                    # lands (measured here: a predicted-1.7x blind claim
+                    # straggled 16 s behind a 20x CPU side)
+                    if r_d < 1.0:
+                        return 0
+                    if r_d >= 20.0 or not blind_wait[0]:
+                        return 1
+                    return -1  # defer: the loop waits for a cpu rate
+                total_cpu = cpu[0] * max(1, len(self._procs))
+                if (seg_seconds / max(r_d, 1e-9)
+                        > 3.0 * remaining * seg_seconds / max(total_cpu, 1e-9)):
+                    return 0
+                return 1
             if dev is None or cpu is None:
                 return 1
             r_d, r_c = dev[0], cpu[0]
@@ -559,6 +674,17 @@ class HeteroExecutor:
                 fixed_device_geometry=True,
             )
 
+        #: set when every planned segment has a completed span (or a side
+        #: errored) — the run waits on THIS, not on thread joins: a device
+        #: thread stuck in an uncancellable wire op must not hold the
+        #: finished run hostage (measured: a 1 MiB probe upload blocked
+        #: 2+ min on a wedged relay after the CPU had drained the queue)
+        done = threading.Event()
+
+        def _note_progress_locked() -> None:
+            if sum(c["span"] for c in completed) == len(plan.segments):
+                done.set()
+
         #: True while the device stream is still taking/processing claims;
         #: a lone CPU worker claims the whole remaining queue once False
         device_active = [True]
@@ -572,19 +698,71 @@ class HeteroExecutor:
             finally:
                 device_active[0] = False
 
+        def _refresh_device_estimate() -> None:
+            """Wire-probe a missing/stale device rate (outside the lock)."""
+            if not self.cpu_workers or device_warm_no_fetch:
+                return
+            dev = rates["device"]
+            if dev is not None and (
+                time.monotonic() - dev[1] <= self.rate_ttl_seconds
+            ):
+                return
+            seg = plan.segments[-1]
+            bpf = getattr(plan.input_spec, "bytes_per_frame", 4)
+            if plan.pass_through:
+                out_bytes = seg_seconds * plan.fs_channel * bpf
+            else:
+                out_bytes = seg_seconds * _OUTPUT_RATE * 2 * len(freqs)
+            try:
+                est = self._wire_probe_rate(
+                    seg_seconds, int(seg.read_samples) * bpf,
+                    int(seg.read_samples), int(out_bytes),
+                    should_abort=lambda: self._cancel.is_set() or not queue,
+                )
+            except Exception as exc:
+                LOG.debug("hetero: wire probe failed (%s); falling back to "
+                          "a one-segment probe claim", exc)
+                return
+            if est is None:
+                return  # moot mid-probe (queue drained / cancelled)
+            with lock:
+                rates["device"] = (est, time.monotonic())
+                self._device_rate_estimated = True
+
         def _device_loop(tmpdir: Path) -> None:
+            defer_started = None
             while not self._cancel.is_set():
+                _refresh_device_estimate()
                 with lock:
                     if not queue:
                         return
                     take = _device_claim_size(len(queue))
+                if take < 0:
+                    # marginal estimate, no CPU measurement yet: wait for
+                    # the first CPU claim to land (bounded — a wedged CPU
+                    # side must not park the device forever)
+                    now = time.monotonic()
+                    if defer_started is None:
+                        defer_started = now
+                    if now - defer_started > 10.0:
+                        blind_wait[0] = False  # proceed with a blind claim
+                    time.sleep(0.1)
+                    continue
+                with lock:
+                    if not queue:
+                        return
+                    take = min(take, len(queue))
                     if take == 0:
                         stats["device_abstained"] = True
+                        cpu_rate = rates["cpu"]
                         LOG.info(
-                            "hetero: device stream abstains (measured "
-                            "%.2fx vs cpu-side %.2fx x%d) — CPU workers "
-                            "drain the remaining %d segment(s)",
-                            rates["device"][0], rates["cpu"][0],
+                            "hetero: device stream abstains (%s %.2fx vs "
+                            "cpu-side %s x%d) — CPU workers drain the "
+                            "remaining %d segment(s)",
+                            "predicted" if self._device_rate_estimated
+                            else "measured",
+                            rates["device"][0],
+                            f"{cpu_rate[0]:.2f}x" if cpu_rate else "unmeasured",
                             max(1, len(self._procs)), len(queue),
                         )
                         return
@@ -601,6 +779,7 @@ class HeteroExecutor:
                     with lock:
                         errors.append(exc)
                     self._cancel.set()
+                    done.set()
                     return
                 finally:
                     self._active_pipeline = None
@@ -613,6 +792,7 @@ class HeteroExecutor:
                     stats["device_segments"] += len(claims)
                     stats["device_runs"] += 1
                     stats["device_seconds"] += elapsed
+                    _note_progress_locked()
                     more_work = bool(queue) or cpu_busy[0] > 0
                     if not device_warm_no_fetch:
                         # fetch-free warm runs are artificially fast; they
@@ -621,6 +801,7 @@ class HeteroExecutor:
                             seg.length / plan.sample_rate / max(elapsed, 1e-9),
                             time.monotonic(),
                         )
+                        self._device_rate_estimated = False
                         # slow-start: grow while not the straggler (the
                         # next, larger claim measures a better-amortised
                         # rate), shrink when we were the tail
@@ -642,11 +823,20 @@ class HeteroExecutor:
             claim halves the per-worker share so stealing can rebalance;
             once this worker is effectively alone (device abstained or
             finished, no sibling CPU workers) it takes everything — one
-            pipeline run, one lead-in."""
+            pipeline run, one lead-in.  With both sides' rates known the
+            share is throughput-proportional (a near-dead device no longer
+            shrinks CPU claims to slivers while it probes); otherwise it
+            falls back to an equal split."""
             others = max(0, len(self._procs) - 1) + int(device_active[0])
             if others == 0:
                 return remaining
-            return max(1, remaining // (2 * (others + 1)))
+            dev, cpu = rates["device"], rates["cpu"]
+            if device_active[0] and dev is not None and cpu is not None:
+                n_c = max(1, len(self._procs))
+                share = cpu[0] / max(dev[0] + n_c * cpu[0], 1e-9)
+            else:
+                share = 1.0 / (others + 1)
+            return max(1, int(remaining * share / 2.0))
 
         def _cpu_worker(proc: subprocess.Popen, tmpdir: Path) -> None:
             while not self._cancel.is_set():
@@ -677,6 +867,7 @@ class HeteroExecutor:
                             RuntimeError(f"segment worker pipe failed: {exc}")
                         )
                     self._cancel.set()
+                    done.set()
                     return
                 if not reply.get("ok"):
                     with lock:
@@ -688,6 +879,7 @@ class HeteroExecutor:
                             )
                         )
                     self._cancel.set()
+                    done.set()
                     return
                 elapsed = time.perf_counter() - start
                 with lock:
@@ -698,6 +890,7 @@ class HeteroExecutor:
                     )
                     stats["cpu_segments"] += len(claims)
                     stats["cpu_seconds"] += elapsed
+                    _note_progress_locked()
                     rate = seg.length / plan.sample_rate / max(elapsed, 1e-9)
                     prev = rates["cpu"]
                     rates["cpu"] = (
@@ -711,7 +904,12 @@ class HeteroExecutor:
                 )
 
         loop_start = time.perf_counter()
-        with tempfile.TemporaryDirectory(dir=out_path.parent) as tmp:
+        # ignore_cleanup_errors: on cancel/error paths a still-wedged
+        # device thread can be mid-claim writing segment files while the
+        # directory is removed — the race is benign, the files are temp
+        with tempfile.TemporaryDirectory(
+            dir=out_path.parent, ignore_cleanup_errors=True
+        ) as tmp:
             tmpdir = Path(tmp)
             threads = [
                 threading.Thread(
@@ -729,8 +927,18 @@ class HeteroExecutor:
                 ]
             for t in threads:
                 t.start()
-            for t in threads:
-                t.join()
+            # wait for COMPLETION (every span finished, or an error), not
+            # for thread joins: a device thread stuck in an uncancellable
+            # wire op — a probe or claim on a wedged relay — must not hold
+            # the finished run hostage.  A stuck probe aborts itself when
+            # it unblocks (should_abort sees the drained queue); in-flight
+            # CLAIMS own segments, so completion implies none are pending.
+            while not done.is_set():
+                if self._user_cancelled:
+                    break
+                if not any(t.is_alive() for t in threads):
+                    break  # all sides exited; tiling check below verdicts
+                done.wait(0.25)
             loop_seconds = time.perf_counter() - loop_start
             self.last_stats = dict(stats, loop_seconds=loop_seconds)
 

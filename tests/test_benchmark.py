@@ -108,6 +108,28 @@ def test_bandwidth_scaling(tmp_path, bw):
     _run_case(tmp_path, f"bw-{int(bw)}", iq, fs, offset=50_000.0, bandwidth=bw)
 
 
+@pytest.mark.parametrize("fs,bw,min_taps", [
+    (1_000_000.0, 800.0, 4_000),     # mid-L
+    (2_900_000.0, 2_800.0, 8_192),   # big-L: above the Pallas VMEM gate
+])
+def test_filter_length_scaling(tmp_path, fs, bw, min_taps):
+    """Group: filter-length (VERDICT r2 item 8): the big-L regime where
+    the Pallas polyphase kernel's VMEM gate rejects the kernel and the
+    XLA conv fallback runs (pipeline/step.py logs the rejection).  The
+    reference allows up to 32768 taps (processing.py:613); this measures
+    the fallback at L>8192 so the gate is a benchmarked choice, not an
+    untested branch."""
+    from iq_to_audio_tpu.pipeline.filters import design_channel_filter
+    from iq_to_audio_tpu.pipeline.filters import compute_decimation
+
+    decim, _ = compute_decimation(fs, 96_000.0)
+    taps = design_channel_filter(fs, bw, decim)
+    assert len(taps) >= min_taps, "config must exercise the intended regime"
+    iq = make_tone_iq(fs, 0.5, 1_000.0)
+    _run_case(tmp_path, f"taps-{len(taps)}", iq, fs, demod="usb",
+              offset=0.0, bandwidth=bw)
+
+
 def test_sustained_performance(tmp_path):
     """Group: sustained-performance (reference :386-413)."""
     fs = 500_000.0

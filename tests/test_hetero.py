@@ -270,6 +270,100 @@ def test_hetero_stale_device_rate_reprobes(tmp_path):
     assert result is not None
 
 
+def test_hetero_wire_probe_abstains_without_claim(tmp_path, monkeypatch):
+    """A catastrophic wire-probe PREDICTION (device slower than realtime)
+    abstains outright — no segment is ever committed to the bad wire, even
+    with no CPU rate measured yet.  This is the cheap replacement for the
+    blind one-segment probe claim (measured 57-157 s in degraded relay
+    regimes)."""
+    cap = _capture(tmp_path, seconds=4.0)
+    out = tmp_path / "probe_abstain.wav"
+    probes = []
+    with HeteroExecutor(cpu_workers=1, n_segments=4, warm_seconds=0.25) as ex:
+        monkeypatch.setattr(
+            ex, "_wire_probe_rate",
+            lambda *a, **k: probes.append(a) or 0.05,
+        )
+        result = ex.run(_config(cap, out))
+        assert probes, "wire probe must run when no device rate is known"
+        assert ex.last_stats["device_abstained"]
+        assert ex.last_stats["device_segments"] == 0
+        assert ex.last_stats["cpu_segments"] >= 3  # every planned segment
+    assert result is not None
+    audio, sr = read_wav(out)
+    assert sr == 48_000
+    assert abs(len(audio) - 4 * 48_000) <= 2
+
+
+def test_hetero_wire_probe_healthy_claims_one(tmp_path, monkeypatch):
+    """A healthy wire-probe prediction gates a ONE-segment real claim
+    whose measured rate replaces the estimate (the estimated-rate flag
+    clears)."""
+    import time as _time
+
+    cap = _capture(tmp_path, seconds=4.0)
+    out = tmp_path / "probe_go.wav"
+    with HeteroExecutor(cpu_workers=1, n_segments=4, warm_seconds=0.25) as ex:
+        # seed a modest CPU rate so the marginal-band defer resolves
+        # immediately instead of racing the queue drain
+        ex._rates["cpu"] = (2.0, _time.monotonic())
+        monkeypatch.setattr(ex, "_wire_probe_rate", lambda *a, **k: 50.0)
+        result = ex.run(_config(cap, out))
+        assert ex.last_stats["device_segments"] >= 1
+        assert not ex._device_rate_estimated
+        assert ex._rates["device"] is not None
+        assert ex._rates["device"][0] != 50.0  # measured, not the estimate
+    assert result is not None
+
+
+def test_hetero_marginal_estimate_defers_to_cpu_measurement(tmp_path,
+                                                            monkeypatch):
+    """A MARGINAL wire-probe prediction (1x-20x) with no CPU measurement
+    must not claim blind: any device segment claim happens only AFTER the
+    CPU side has a measured rate (the deferred comparison may then go
+    either way depending on live CPU speed — both are legitimate)."""
+    from iq_to_audio_tpu.pipeline import hetero as hetero_mod
+
+    cap = _capture(tmp_path, seconds=4.0)
+    out = tmp_path / "probe_defer.wav"
+    blind_claims: list[str] = []
+    with HeteroExecutor(cpu_workers=1, n_segments=4, warm_seconds=0.25) as ex:
+        real_pp = hetero_mod.ProcessingPipeline
+
+        class SpyPipeline(real_pp):
+            def __init__(self, cfg, *a, **k):
+                name = str(getattr(cfg, "output_path", ""))
+                if "/seg" in name and ex._rates["cpu"] is None:
+                    blind_claims.append(name)
+                super().__init__(cfg, *a, **k)
+
+        monkeypatch.setattr(hetero_mod, "ProcessingPipeline", SpyPipeline)
+        monkeypatch.setattr(ex, "_wire_probe_rate", lambda *a, **k: 1.5)
+        result = ex.run(_config(cap, out))
+    assert blind_claims == []
+    assert result is not None
+    audio, sr = read_wav(out)
+    assert sr == 48_000
+
+
+def test_hetero_wire_probe_failure_falls_back(tmp_path, monkeypatch):
+    """A wire probe that raises must not kill the run: the device stream
+    falls back to the pre-probe behavior (a one-segment probe claim)."""
+    cap = _capture(tmp_path, seconds=4.0)
+    out = tmp_path / "probe_fail.wav"
+
+    def _boom(*a, **k):
+        raise RuntimeError("relay hiccup")
+
+    with HeteroExecutor(cpu_workers=1, n_segments=4, warm_seconds=0.25) as ex:
+        monkeypatch.setattr(ex, "_wire_probe_rate", _boom)
+        result = ex.run(_config(cap, out))
+        assert ex.last_stats["device_segments"] >= 1
+    assert result is not None
+    audio, sr = read_wav(out)
+    assert sr == 48_000
+
+
 def test_hetero_cancel_discards_output(tmp_path):
     """Cancelling after the first finished segment stops the run with
     ProcessingCancelled and writes no final output."""
