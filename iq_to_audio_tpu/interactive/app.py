@@ -239,11 +239,13 @@ class InteractiveWindow(QMainWindow):
     def _load_file(self, path: Path):
         self.recording_panel.set_path(path)
         detection = detect_input_format(path)
+        self._format_detection = detection
         if detection.ok:
             self._input_spec = detection.spec
         else:
             self._status(detection.error or "Unknown input format")
             self._input_spec = None
+        self._refresh_format_status()
         probe = probe_sample_rate(path)
         try:
             self.state.sample_rate = probe.value
@@ -257,6 +259,29 @@ class InteractiveWindow(QMainWindow):
             self.recording_panel.show_center(freq.value, freq.source)
         self._push_recent_outputs(selected_path=path)
         self._schedule_snapshot()
+
+    def _refresh_format_status(self):
+        """Format summary under the Recording panel's combo: a manual
+        override, the detection result, or the detection failure in the
+        error color (reference app.py:953-963 keeps the same label)."""
+        override = self.state.input_format_override
+        detection = getattr(self, "_format_detection", None)
+        if override:
+            self.recording_panel.show_format_status(
+                f"{override} (manual override)"
+            )
+        elif detection is None:
+            self.recording_panel.show_format_status(
+                "Select a recording to detect the input format."
+            )
+        elif detection.ok:
+            label = detection.spec.label
+            src = f" — {detection.source}" if detection.source else ""
+            self.recording_panel.show_format_status(f"{label}{src}")
+        else:
+            self.recording_panel.show_format_status(
+                detection.error or "Unknown input format", error=True
+            )
 
     def _push_recent_outputs(
         self, *, selected_path: Path | None = None, output_dir: Path | None = None
@@ -274,6 +299,7 @@ class InteractiveWindow(QMainWindow):
         self.digital_post_page.update_recent_capture(output_dir=resolved)
 
     def _schedule_snapshot(self):
+        self._refresh_format_status()  # override changes land here
         if self.state.input_path is None:
             return
         if self._input_spec is None and self.state.input_format_override is None:

@@ -14,8 +14,13 @@ Semantics follow Qt where the interactive package depends on them:
   parameters than the signal carries).
 * Value setters (``setChecked``, ``setValue``, ``setCurrentIndex``…) emit
   their change signals exactly when the value actually changes.
-* ``QThreadPool.start`` runs runnables synchronously — deterministic for
-  tests; real threading belongs to PySide6 runs.
+* ``QThreadPool.start`` runs runnables synchronously by default —
+  deterministic for tests.  ``IQ2A_SHIM_ASYNC=1`` (or
+  ``QThreadPool.set_async(True)``) switches to REAL worker threads with
+  Qt's queued-connection semantics: a signal emitted off the main thread
+  is queued and delivered by ``processEvents``/``exec`` on the main
+  thread, so worker-concurrency behavior (signal ordering, re-entrancy)
+  is testable without PySide6.
 * ``QApplication.processEvents`` drains single-shot timers and polls
   ``QSocketNotifier`` file descriptors, so the SIGINT relay genuinely
   works headlessly.
@@ -27,8 +32,14 @@ Only the API the package uses is implemented; unknown attributes raise
 from __future__ import annotations
 
 import inspect
+import os
 import select
+import threading
 import time
+
+#: the Qt "GUI thread": whichever thread imported the toolkit (the test
+#: process main thread).  Cross-thread signal emissions queue to it.
+_MAIN_THREAD = threading.current_thread()
 
 
 # ---------------------------------------------------------------------------
@@ -78,6 +89,14 @@ class _BoundSignal:
     def emit(self, *args):
         if self._owner is not None and getattr(self._owner, "_signals_blocked", False):
             return
+        if threading.current_thread() is not _MAIN_THREAD:
+            # Qt queued-connection semantics: a cross-thread emit is
+            # delivered on the main thread by the event loop
+            QApplication._pending.append(lambda: self._deliver(args))
+            return
+        self._deliver(args)
+
+    def _deliver(self, args):
         for slot in list(self._slots):
             arity = self._arity(slot)
             slot(*(args if arity is None else args[:arity]))
@@ -149,6 +168,8 @@ class QRunnable:
 
 class QThreadPool(QObject):
     _global = None
+    #: class-wide async switch (also honoured from IQ2A_SHIM_ASYNC=1)
+    _async = False
 
     @classmethod
     def globalInstance(cls):  # noqa: N802
@@ -156,8 +177,36 @@ class QThreadPool(QObject):
             cls._global = cls()
         return cls._global
 
+    @classmethod
+    def set_async(cls, enabled: bool) -> None:
+        """Run subsequent runnables on real worker threads (queued-signal
+        delivery via processEvents) instead of synchronously."""
+        cls._async = bool(enabled)
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._threads: list[threading.Thread] = []
+
     def start(self, runnable):
+        if QThreadPool._async or os.environ.get("IQ2A_SHIM_ASYNC") == "1":
+            t = threading.Thread(target=runnable.run, daemon=True)
+            self._threads = [x for x in self._threads if x.is_alive()]
+            self._threads.append(t)
+            t.start()
+            return
         runnable.run()  # synchronous: deterministic headless execution
+
+    def waitForDone(self, msecs: int = -1) -> bool:  # noqa: N802
+        deadline = None if msecs < 0 else time.monotonic() + msecs / 1000.0
+        for t in self._threads:
+            t.join(None if deadline is None
+                   else max(0.0, deadline - time.monotonic()))
+        self._threads = [t for t in self._threads if t.is_alive()]
+        return not self._threads
+
+    def activeThreadCount(self):  # noqa: N802
+        self._threads = [t for t in self._threads if t.is_alive()]
+        return len(self._threads)
 
     def setMaxThreadCount(self, n):  # noqa: N802
         pass

@@ -74,23 +74,30 @@ class RecordingPanel(PanelGroup):
         self.format_combo.currentIndexChanged.connect(self._format_changed)
         grid.addWidget(self.format_combo, 0, 1)
 
-        grid.addWidget(QLabel("Center (Hz)"), 1, 0)
+        # detection/override status under the combo (reference keeps a
+        # colored format_status_label in its Recording panel,
+        # reference app.py:953-963)
+        self.format_status = QLabel("Select a recording to detect the input format.")
+        self.format_status.setProperty("dim", True)
+        grid.addWidget(self.format_status, 1, 1)
+
+        grid.addWidget(QLabel("Center (Hz)"), 2, 0)
         self.center_edit = QLineEdit()
         self.center_edit.setPlaceholderText("auto-detected")
         self.center_edit.editingFinished.connect(self._center_changed)
-        grid.addWidget(self.center_edit, 1, 1)
+        grid.addWidget(self.center_edit, 2, 1)
         self.center_source = QLabel("")
         self.center_source.setProperty("dim", True)
-        grid.addWidget(self.center_source, 2, 1)
+        grid.addWidget(self.center_source, 3, 1)
 
-        grid.addWidget(QLabel("Snapshot (s)"), 3, 0)
+        grid.addWidget(QLabel("Snapshot (s)"), 4, 0)
         self.snapshot_spin = QDoubleSpinBox()
         self.snapshot_spin.setRange(0.1, 60.0)
         self.snapshot_spin.setValue(state.snapshot_seconds)
         self.snapshot_spin.valueChanged.connect(self._snapshot_changed)
-        grid.addWidget(self.snapshot_spin, 3, 1)
+        grid.addWidget(self.snapshot_spin, 4, 1)
 
-        grid.addWidget(QLabel("Output dir"), 4, 0)
+        grid.addWidget(QLabel("Output dir"), 5, 0)
         out_row = QHBoxLayout()
         self.output_label = QLabel("(alongside input)")
         self.output_label.setProperty("dim", True)
@@ -99,8 +106,15 @@ class RecordingPanel(PanelGroup):
         out_btn.clicked.connect(self._pick_output)
         out_row.addWidget(self.output_label, 1)
         out_row.addWidget(out_btn)
-        grid.addLayout(out_row, 4, 1)
+        grid.addLayout(out_row, 5, 1)
         self.add_layout(grid)
+
+    def show_format_status(self, text: str, *, error: bool = False) -> None:
+        """Detection/override summary under the format combo; error rows
+        pick up the stylesheet's ``QLabel[error="true"]`` color."""
+        self.format_status.setText(text)
+        self.format_status.setProperty("dim", not error)
+        self.format_status.setProperty("error", error)
 
     def _browse(self):
         path, _ = QFileDialog.getOpenFileName(
