@@ -24,6 +24,7 @@ from ._qt import (
     QApplication,
     QFileDialog,
     QKeySequence,
+    QLabel,
     QMainWindow,
     QObject,
     QScrollArea,
@@ -132,10 +133,14 @@ class InteractiveWindow(QMainWindow):
         self._preview_worker = None
         self._press_xy = None
         self._input_spec = None
+        self._rendered = None  # (freqs, psd) of the plotted trace
 
         self._build_toolbar()
         self._build_pages()
         self.setStatusBar(QStatusBar())
+        self._cursor_label = QLabel("")
+        self.statusBar().addPermanentWidget(self._cursor_label)
+        self._update_status_controls()
 
         if input_path is not None:
             QTimer.singleShot(0, lambda: self._load_file(Path(input_path)))
@@ -188,6 +193,7 @@ class InteractiveWindow(QMainWindow):
         self.channel_panel = ChannelPanel(self.state)
         self.channel_panel.changed.connect(self._selection_changed)
         self.targets_panel = TargetsPanel(self.state)
+        self.targets_panel.changed.connect(self._targets_changed)
         self.status_panel = StatusPanel()
         self.status_panel.preview_requested.connect(self._start_preview)
         self.status_panel.run_requested.connect(self._confirm_run)
@@ -258,6 +264,7 @@ class InteractiveWindow(QMainWindow):
             self.state.center_freq_source = freq.source
             self.recording_panel.show_center(freq.value, freq.source)
         self._push_recent_outputs(selected_path=path)
+        self._update_status_controls()
         self._schedule_snapshot()
 
     def _refresh_format_status(self):
@@ -355,6 +362,7 @@ class InteractiveWindow(QMainWindow):
         self._cursor_line = None
         freqs = snap.freqs + center
         self.ax.plot(freqs, psd, color=theme["line"], lw=0.7)
+        self._rendered = (freqs, psd)
         top = float(np.percentile(psd, 99.5)) + 5.0
         self.ax.set_ylim(top - self.state.spectrum_dynamic_range, top)
         self.ax.set_xlim(freqs[0], freqs[-1])
@@ -459,6 +467,7 @@ class InteractiveWindow(QMainWindow):
     def _retune_from_waterfall(self, freq: float):
         if self.state.add_target(freq):
             self.targets_panel.refresh()
+            self._update_status_controls()
             self._render_snapshot()
 
     def _on_press(self, event):
@@ -482,6 +491,7 @@ class InteractiveWindow(QMainWindow):
             return  # drag: handled by the span selector
         if self.state.add_target(float(event.xdata)):
             self.targets_panel.refresh()
+            self._update_status_controls()
             self._render_snapshot()
             self._status(f"Added target {event.xdata / 1e6:.6f} MHz")
 
@@ -514,6 +524,13 @@ class InteractiveWindow(QMainWindow):
             )
         else:
             self._cursor_line.set_xdata([event.xdata, event.xdata])
+        if self._rendered is not None:
+            freqs, psd = self._rendered
+            k = int(np.searchsorted(freqs, event.xdata))
+            k = min(max(k, 0), len(psd) - 1)
+            self._cursor_label.setText(
+                f"{event.xdata / 1e6:.6f} MHz · {psd[k]:.1f} dBFS/Hz"
+            )
         self.canvas.draw_idle()
 
     def _span_selected(self, center: float, bandwidth: float):
@@ -521,6 +538,7 @@ class InteractiveWindow(QMainWindow):
         self.channel_panel.set_bandwidth(bandwidth)
         if self.state.add_target(center):
             self.targets_panel.refresh()
+            self._update_status_controls()
         self.span.show_selection(center, bandwidth)
         self._status(
             f"Selection {center / 1e6:.6f} MHz, bandwidth {bandwidth / 1e3:.2f} kHz"
@@ -528,6 +546,20 @@ class InteractiveWindow(QMainWindow):
 
     def _selection_changed(self):
         self.channel_panel.show_rate(self.state.effective_sample_rate)
+
+    def _targets_changed(self):
+        """Target removed/cleared from the panel: redraw markers + re-gate."""
+        self._update_status_controls()
+        self._render_snapshot()
+
+    def _update_status_controls(self):
+        """Preview/Run are actionable only with a recording and >=1 target
+        (reference ``_update_status_controls``); toolbar actions mirror the
+        Status-panel buttons."""
+        ready = self.state.input_path is not None and bool(self.state.targets)
+        self.status_panel.set_ready(ready)
+        self.preview_action.setEnabled(ready)
+        self.run_action.setEnabled(ready)
 
     # --------------------------------------------------------------- actions
 

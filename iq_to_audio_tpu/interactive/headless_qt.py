@@ -958,6 +958,10 @@ class QStatusBar(QWidget):
     def __init__(self, parent=None):
         super().__init__(parent)
         self._message = ""
+        self._permanent: list[QWidget] = []
+
+    def addPermanentWidget(self, widget, stretch=0):  # noqa: N802
+        self._permanent.append(widget)
 
     def showMessage(self, message, timeout=0):  # noqa: N802
         self._message = message

@@ -355,6 +355,8 @@ class StatusPanel(PanelGroup):
 
     def __init__(self, parent=None):
         super().__init__("Status", parent)
+        self._busy = False
+        self._ready = False
         self.status_label = QLabel("Select a recording to begin.")
         self.status_label.setWordWrap(True)
         self.add(self.status_label)
@@ -365,7 +367,7 @@ class StatusPanel(PanelGroup):
         self.preview_btn = QPushButton("Preview DSP")
         self.run_btn = QPushButton("Confirm && Run")
         self.stop_btn = QPushButton("Stop")
-        self.stop_btn.setEnabled(False)
+        self._refresh_buttons()
         self.preview_btn.clicked.connect(self.preview_requested.emit)
         self.run_btn.clicked.connect(self.run_requested.emit)
         self.stop_btn.clicked.connect(self.stop_requested.emit)
@@ -381,9 +383,20 @@ class StatusPanel(PanelGroup):
         self.progress.setValue(int(max(0.0, min(fraction, 1.0)) * 1000))
 
     def set_busy(self, busy: bool):
-        self.preview_btn.setEnabled(not busy)
-        self.run_btn.setEnabled(not busy)
-        self.stop_btn.setEnabled(busy)
+        self._busy = busy
+        self._refresh_buttons()
+
+    def set_ready(self, ready: bool):
+        """Gate Preview/Run on an actionable session (recording + >=1 target),
+        the reference's ``_update_status_controls`` contract."""
+        self._ready = ready
+        self._refresh_buttons()
+
+    def _refresh_buttons(self):
+        idle_ok = self._ready and not self._busy
+        self.preview_btn.setEnabled(idle_ok)
+        self.run_btn.setEnabled(idle_ok)
+        self.stop_btn.setEnabled(self._busy)
 
 
 class SpectrumOptionsPanel(PanelGroup):

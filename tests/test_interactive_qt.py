@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import signal
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -296,6 +297,10 @@ class TestSpectrumInteraction:
             move = MouseEvent("motion_notify_event", win.canvas, x, y)
             win.canvas.callbacks.process("motion_notify_event", move)
             assert win._cursor_line is not None
+            # permanent status-bar readout shows frequency + PSD level
+            text = win._cursor_label.text()
+            assert "MHz" in text and "dBFS/Hz" in text
+            assert "145.0" in text
         finally:
             win.close()
 
@@ -346,10 +351,33 @@ class TestWorkersThroughUI:
             win.close()
 
     def test_stop_workers_resets_busy(self, window):
+        window.state.input_path = Path("cap.wav")
+        window.state.add_target(145_000_000.0)
+        window._update_status_controls()
         window.status_panel.set_busy(True)
+        assert not window.status_panel.preview_btn.isEnabled()
+        assert window.status_panel.stop_btn.isEnabled()
         window._stop_workers()
         assert window.status_panel.preview_btn.isEnabled()
         assert not window.status_panel.stop_btn.isEnabled()
+
+    def test_buttons_gate_on_readiness(self, window):
+        """Preview/Run (panel + toolbar) stay disabled until a recording and
+        at least one target exist (reference _update_status_controls)."""
+        assert not window.status_panel.preview_btn.isEnabled()
+        assert not window.status_panel.run_btn.isEnabled()
+        assert not window.preview_action.isEnabled()
+        window.state.input_path = Path("cap.wav")
+        window._update_status_controls()
+        assert not window.status_panel.run_btn.isEnabled()  # no target yet
+        window.state.add_target(145_000_000.0)
+        window._update_status_controls()
+        assert window.status_panel.preview_btn.isEnabled()
+        assert window.status_panel.run_btn.isEnabled()
+        assert window.run_action.isEnabled()
+        # clearing targets via the panel re-gates through targets_panel.changed
+        window.targets_panel._clear()
+        assert not window.status_panel.run_btn.isEnabled()
 
 
 class TestAudioPostPage:
