@@ -255,6 +255,19 @@ def run_fixtures(quick: bool) -> list[dict]:
         mode = entry.get("mode", "nfm")
         tag = path.stem[:40]
         out = work / f"audio_{tag}.wav"
+        # honor the manifest's CLI-style extras the config can express
+        # (raw captures need an explicit sample rate; SSB/AM set --bw)
+        extras: dict = {}
+        argv = list(entry.get("args", []))
+        for flag, field, cast in (
+            ("--input-sample-rate", "input_sample_rate", float),
+            ("--bw", "bandwidth", float),
+            ("--input-format", "input_format", str),
+        ):
+            if flag in argv:
+                extras[field] = cast(argv[argv.index(flag) + 1])
+        if "--no-agc" in argv:
+            extras["agc_enabled"] = False
         cfg = ProcessingConfig(
             in_path=path,
             target_freq=float(entry["target_freq"]),
@@ -262,6 +275,7 @@ def run_fixtures(quick: bool) -> list[dict]:
             demod_mode=mode,
             output_path=out,
             max_input_seconds=5.0 if quick else None,
+            **extras,
         )
         start = time.time()
         with _CapturedLog() as log:
