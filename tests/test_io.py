@@ -71,6 +71,56 @@ class TestRiff:
         info = parse_wav_header(path)
         assert info.num_frames == 100
 
+    @pytest.mark.parametrize("magic", [b"RF64", b"BW64"])
+    def test_rf64_ds64_size_honoured(self, tmp_path, magic):
+        """RF64/BW64: data csize 0xFFFFFFFF defers to the ds64 64-bit size
+        (riff.py module doc bullet 'RF64/BW64 64-bit sizes')."""
+        path = tmp_path / "r.wav"
+        frames = 300
+        payload = np.zeros(frames * 2, np.float32).tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 2, 96_000, 96_000 * 8, 8, 32)
+        # ds64: riffSize(8) dataSize(8) sampleCount(8) tableLength(4)
+        ds64 = struct.pack("<QQQI", 0, len(payload), frames, 0)
+        body = (
+            b"WAVE"
+            + b"ds64" + struct.pack("<I", len(ds64)) + ds64
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0xFFFFFFFF) + payload
+        )
+        path.write_bytes(magic + struct.pack("<I", len(body)) + body)
+        info = parse_wav_header(path)
+        assert info.sample_rate == 96_000
+        assert info.codec == "pcm_f32le"
+        assert info.num_frames == frames
+        # the streaming reader consumes it like any WAV
+        spec = get_format("wav", "pcm_f32le")
+        with IQReader(path, 128, "iq", spec, sample_rate=96_000.0) as r:
+            total = 0
+            while (blk := r.read_block()) is not None:
+                total += blk.size
+        assert total == frames
+
+    def test_rf64_ds64_with_trailing_chunk(self, tmp_path):
+        """When data is not the final chunk the ds64 size (not EOF) bounds
+        the stream — a trailing LIST must not be read as samples."""
+        path = tmp_path / "r2.wav"
+        frames = 64
+        payload = np.zeros(frames * 2, np.float32).tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 2, 96_000, 96_000 * 8, 8, 32)
+        ds64 = struct.pack("<QQQI", 0, len(payload), frames, 0)
+        comment = b"x" * 32
+        info_chunk = b"ICMT" + struct.pack("<I", len(comment)) + comment
+        body = (
+            b"WAVE"
+            + b"ds64" + struct.pack("<I", len(ds64)) + ds64
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0xFFFFFFFF) + payload
+            + b"LIST" + struct.pack("<I", 4 + len(info_chunk)) + b"INFO" + info_chunk
+        )
+        path.write_bytes(b"RF64" + struct.pack("<I", len(body)) + body)
+        info = parse_wav_header(path)
+        assert info.num_frames == frames
+
     def test_info_tags_parsed(self, tmp_path):
         path = tmp_path / "t.wav"
         write_stereo_wav(path, np.zeros((10, 2), np.float32), 96_000)
