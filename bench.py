@@ -248,9 +248,13 @@ def main() -> int:
                 # never let the budget stop us before two toll-clean passes:
                 # a pass that absorbed the session toll (bounded but up to
                 # tens of minutes on this relay) measures the toll, not the
-                # pipeline, and must not be the only sample in the record
-                if (clean_passes >= 2
-                        and time.perf_counter() - measure_start > measure_budget):
+                # pipeline, and must not be the only sample in the record.
+                # But if the toll fetch never lands at all (wedged relay),
+                # the toll is paid once by the first fetching pass anyway —
+                # after several passes the clean gate must not disable the
+                # budget and run the full 200-pass backstop
+                if (time.perf_counter() - measure_start > measure_budget
+                        and (clean_passes >= 2 or i + 1 >= 6)):
                     logging.info("measure budget (%.0f s) exhausted after "
                                  "pass %d", measure_budget, i + 1)
                     break

@@ -153,9 +153,14 @@ def _plan(config: ProcessingConfig, n_segments: int,
         prefetch_depth=0,
     ) as reader:
         total = int(reader.total_frames)
+        if total <= 0:
+            # the serial pipeline reports this cleanly at warm-up; a
+            # mix_sign_override would otherwise skip the probe and plan
+            # phantom segments that all die late at splice time
+            raise ValueError(f"Input {config.in_path} contains no samples.")
         if config.max_input_seconds and config.max_input_seconds > 0:
             cap = max(1, int(math.floor(config.max_input_seconds * sample_rate)))
-            total = min(total, cap) if total > 0 else cap
+            total = min(total, cap)
         if config.mix_sign_override in (1, -1):
             mix_sign = int(config.mix_sign_override)
         else:
@@ -209,6 +214,7 @@ def hetero_eligible(config: ProcessingConfig) -> bool:
         config.probe_only
         or config.dump_iq_path is not None
         or config.plot_stages_path is not None
+        or config.profile_dir is not None  # one whole-run trace, not N shards
         or config.checkpoint_secs
         or config.resume
         or config.input_start_sample
@@ -238,6 +244,11 @@ class HeteroExecutor:
         self._child_env = dict(child_env or {})
         self._procs: list[subprocess.Popen] = []
         self._cancel = threading.Event()
+        #: the previous run's worker threads + claim queue/lock, kept so a
+        #: failed run's stale threads can be quiesced before the next run
+        self._run_threads: list[threading.Thread] = []
+        self._run_queue: deque | None = None
+        self._run_lock: threading.Lock | None = None
         self._user_cancelled = False
         #: bound on worker spawn (jax import + backend init) before the
         #: missing ready-handshake is surfaced as an error
@@ -304,6 +315,41 @@ class HeteroExecutor:
                     proc.terminate()
                     proc.wait(timeout=10)
         self._procs.clear()
+
+    def _quiesce_stale_threads(self) -> None:
+        """Retire the previous run's worker threads before a new run starts.
+
+        A failed or cancelled run can exit :meth:`run` while its threads
+        are still alive — a CPU thread blocked in ``readline()`` on a
+        worker pipe, or the device thread wedged in an uncancellable wire
+        op.  Left alone, clearing ``_cancel`` for the next run would wake
+        them into the DEAD run's still-populated queue and interleave
+        their worker-pipe traffic with the new run's threads.  Drain the
+        old queue (a woken thread then exits claim-less), terminate the
+        worker subprocesses so blocked reads return (the next run
+        respawns via ``_ensure_workers``), and join what can be joined."""
+        stale = [t for t in self._run_threads if t.is_alive()]
+        if not stale:
+            self._run_threads = []
+            return
+        self._cancel.set()
+        if self._run_lock is not None and self._run_queue is not None:
+            with self._run_lock:
+                self._run_queue.clear()
+        for proc in self._procs:
+            with contextlib.suppress(Exception):
+                if proc.poll() is None:
+                    proc.terminate()
+        for t in stale:
+            t.join(timeout=15.0)
+        still = [t for t in stale if t.is_alive()]
+        if still:
+            LOG.warning(
+                "hetero: %d worker thread(s) from the previous run are "
+                "still wedged in a wire op; their queue is drained so "
+                "they exit without touching this run", len(still),
+            )
+        self._run_threads = still
 
     def cancel(self) -> None:
         """Cancel the run: the device pipeline stops at its next chunk
@@ -485,6 +531,7 @@ class HeteroExecutor:
         its segments without fetching and nothing is spliced (bench warm
         passes); returns None in that mode.
         """
+        self._quiesce_stale_threads()
         self._cancel.clear()
         self._user_cancelled = False
 
@@ -508,12 +555,18 @@ class HeteroExecutor:
         helper = ProcessingPipeline(config)
         helper._input_spec = plan.input_spec  # pass-through default naming
         freqs = helper._target_freqs()
+        if not freqs:
+            # the serial pipeline targets the detected center when no
+            # explicit frequency is given (pipeline.py fallback) — rare
+            # library-caller path, keep its exact semantics there
+            return _serial_fallback("no explicit target frequency")
         final_paths = helper._channel_paths(
             freqs, Path(config.output_path) if config.output_path else None
         )
         multi = len(freqs) > 1
         out_path = final_paths[0]
-        out_path.parent.mkdir(parents=True, exist_ok=True)
+        for p in final_paths:  # serial parity: every channel's parent
+            p.parent.mkdir(parents=True, exist_ok=True)
 
         tracker = ProgressTracker(progress_sink)
         tracker.start(
@@ -528,495 +581,504 @@ class HeteroExecutor:
             if progress_sink is not None:
                 progress_sink.set_cancel_callback(self.cancel)
 
-        if self.cpu_workers:
-            self._ensure_workers()
+        try:
+            if self.cpu_workers:
+                self._ensure_workers()
 
-        queue: deque[Segment] = deque(plan.segments)
-        lock = threading.Lock()
-        errors: list[BaseException] = []
-        #: finished spans: {"first": idx, "span": n_segments, "path": ...,
-        #: "skip": audio_skip}
-        completed: list[dict] = []
-        stats = {
-            "device_segments": 0,
-            "cpu_segments": 0,
-            "device_runs": 0,
-            "device_seconds": 0.0,
-            "cpu_seconds": 0.0,
-            "device_abstained": False,
-        }
-        rates = self._rates
-        seg_seconds = (
-            plan.segments[-1].length / plan.sample_rate
-            if plan.sample_rate > 0 else 1.0
-        )
+            queue: deque[Segment] = deque(plan.segments)
+            lock = threading.Lock()
+            # retained for _quiesce_stale_threads if this run errors out
+            self._run_queue = queue
+            self._run_lock = lock
+            errors: list[BaseException] = []
+            #: finished spans: {"first": idx, "span": n_segments, "path": ...,
+            #: "skip": audio_skip}
+            completed: list[dict] = []
+            stats = {
+                "device_segments": 0,
+                "cpu_segments": 0,
+                "device_runs": 0,
+                "device_seconds": 0.0,
+                "cpu_seconds": 0.0,
+                "device_abstained": False,
+            }
+            rates = self._rates
+            seg_seconds = (
+                plan.segments[-1].length / plan.sample_rate
+                if plan.sample_rate > 0 else 1.0
+            )
 
-        #: True while the device may still defer a marginal-estimate claim
-        #: waiting for a CPU-side measurement (cleared after a bounded
-        #: wait so a wedged CPU side cannot park the device forever)
-        blind_wait = [True]
+            #: True while the device may still defer a marginal-estimate claim
+            #: waiting for a CPU-side measurement (cleared after a bounded
+            #: wait so a wedged CPU side cannot park the device forever)
+            blind_wait = [True]
 
-        def _device_claim_size(remaining: int) -> int:
-            """Contiguous segments the device should claim; 0 = abstain,
-            -1 = defer (marginal estimate, waiting on a CPU measurement).
+            def _device_claim_size(remaining: int) -> int:
+                """Contiguous segments the device should claim; 0 = abstain,
+                -1 = defer (marginal estimate, waiting on a CPU measurement).
 
-            Per-run device cost on tunneled runtimes is seconds (dispatch
-            ramp, kernel uploads, fetch latency), so the device stream
-            claims a contiguous RUN of segments sized to its observed
-            share of throughput — one pipeline run, one lead-in.  Until
-            a real claim has been measured the rate is a wire-probe
-            PREDICTION (``_refresh_device_estimate``) gating a one-segment
-            probe claim; with no CPU side (or in a warm pass) it takes
-            everything.
+                Per-run device cost on tunneled runtimes is seconds (dispatch
+                ramp, kernel uploads, fetch latency), so the device stream
+                claims a contiguous RUN of segments sized to its observed
+                share of throughput — one pipeline run, one lead-in.  Until
+                a real claim has been measured the rate is a wire-probe
+                PREDICTION (``_refresh_device_estimate``) gating a one-segment
+                probe claim; with no CPU side (or in a warm pass) it takes
+                everything.
 
-            When the wire regime is so degraded that even ONE device
-            segment would outlast the CPU side draining the whole queue
-            (measured here: pathological relay states where a single
-            claim took 57-157 s while the CPU finished 7 segments in
-            10 s), the device ABSTAINS and lets the CPU side process the
-            capture; its stale rate expires after ``rate_ttl_seconds`` so
-            a later run re-probes the recovered wire.
-            """
-            if not self.cpu_workers or device_warm_no_fetch:
-                return remaining
-            now = time.monotonic()
-            dev = rates["device"]
-            if dev is not None and now - dev[1] > self.rate_ttl_seconds:
-                dev = None  # stale — the loop wire-probes before claiming
-            cpu = rates["cpu"]
-            if cpu is not None and now - cpu[1] > self.rate_ttl_seconds:
-                cpu = None  # stale — the CPU side refreshes on its claims
-            if dev is not None and self._device_rate_estimated:
-                # wire-probe PREDICTION (no measured claim yet): the point
-                # is only the go/no-go — a "go" claims ONE real segment,
-                # whose measured rate replaces the estimate.  Abstention
-                # on a prediction needs a wide margin (3x vs the measured
-                # path's 0.8x) because small-transfer bandwidth can
-                # understate a ramping wire
-                r_d = dev[0]
-                if cpu is None:
-                    # no CPU measurement yet: a catastrophic prediction
-                    # (slower than realtime) abstains outright, an
-                    # overwhelming one (>=20x — even 8x estimate error
-                    # cannot make it the straggler) goes immediately, and
-                    # the marginal band DEFERS until the first CPU claim
-                    # lands (measured here: a predicted-1.7x blind claim
-                    # straggled 16 s behind a 20x CPU side)
-                    if r_d < 1.0:
+                When the wire regime is so degraded that even ONE device
+                segment would outlast the CPU side draining the whole queue
+                (measured here: pathological relay states where a single
+                claim took 57-157 s while the CPU finished 7 segments in
+                10 s), the device ABSTAINS and lets the CPU side process the
+                capture; its stale rate expires after ``rate_ttl_seconds`` so
+                a later run re-probes the recovered wire.
+                """
+                if not self.cpu_workers or device_warm_no_fetch:
+                    return remaining
+                now = time.monotonic()
+                dev = rates["device"]
+                if dev is not None and now - dev[1] > self.rate_ttl_seconds:
+                    dev = None  # stale — the loop wire-probes before claiming
+                cpu = rates["cpu"]
+                if cpu is not None and now - cpu[1] > self.rate_ttl_seconds:
+                    cpu = None  # stale — the CPU side refreshes on its claims
+                if dev is not None and self._device_rate_estimated:
+                    # wire-probe PREDICTION (no measured claim yet): the point
+                    # is only the go/no-go — a "go" claims ONE real segment,
+                    # whose measured rate replaces the estimate.  Abstention
+                    # on a prediction needs a wide margin (3x vs the measured
+                    # path's 0.8x) because small-transfer bandwidth can
+                    # understate a ramping wire
+                    r_d = dev[0]
+                    if cpu is None:
+                        # no CPU measurement yet: a catastrophic prediction
+                        # (slower than realtime) abstains outright, an
+                        # overwhelming one (>=20x — even 8x estimate error
+                        # cannot make it the straggler) goes immediately, and
+                        # the marginal band DEFERS until the first CPU claim
+                        # lands (measured here: a predicted-1.7x blind claim
+                        # straggled 16 s behind a 20x CPU side)
+                        if r_d < 1.0:
+                            return 0
+                        if r_d >= 20.0 or not blind_wait[0]:
+                            return 1
+                        return -1  # defer: the loop waits for a cpu rate
+                    total_cpu = cpu[0] * max(1, len(self._procs))
+                    if (seg_seconds / max(r_d, 1e-9)
+                            > 3.0 * remaining * seg_seconds / max(total_cpu, 1e-9)):
                         return 0
-                    if r_d >= 20.0 or not blind_wait[0]:
-                        return 1
-                    return -1  # defer: the loop waits for a cpu rate
-                total_cpu = cpu[0] * max(1, len(self._procs))
+                    return 1
+                if dev is None or cpu is None:
+                    return 1
+                r_d, r_c = dev[0], cpu[0]
+                total_cpu = r_c * max(1, len(self._procs))
+                # participation helps only when max(T_dev(claim), T_cpu(rest))
+                # beats the CPU-only wall T_cpu(all); since T_cpu(rest) always
+                # does, the device must clear T_dev(one segment) < T_cpu(all)
+                # - and CLEARLY so (0.8 slack), because a marginal device
+                # claim that misses its estimate straggles the whole run
+                # (measured: a 2-4x device "helping" a 19x CPU side turned
+                # 1.6 s CPU-only passes into 2.2-4.9 s mixed passes)
                 if (seg_seconds / max(r_d, 1e-9)
-                        > 3.0 * remaining * seg_seconds / max(total_cpu, 1e-9)):
+                        > 0.8 * remaining * seg_seconds / max(total_cpu, 1e-9)):
                     return 0
-                return 1
-            if dev is None or cpu is None:
-                return 1
-            r_d, r_c = dev[0], cpu[0]
-            total_cpu = r_c * max(1, len(self._procs))
-            # participation helps only when max(T_dev(claim), T_cpu(rest))
-            # beats the CPU-only wall T_cpu(all); since T_cpu(rest) always
-            # does, the device must clear T_dev(one segment) < T_cpu(all)
-            # - and CLEARLY so (0.8 slack), because a marginal device
-            # claim that misses its estimate straggles the whole run
-            # (measured: a 2-4x device "helping" a 19x CPU side turned
-            # 1.6 s CPU-only passes into 2.2-4.9 s mixed passes)
-            if (seg_seconds / max(r_d, 1e-9)
-                    > 0.8 * remaining * seg_seconds / max(total_cpu, 1e-9)):
-                return 0
-            share = r_d / max(r_d + total_cpu, 1e-9)
-            take = max(int(round(remaining * share)), self._device_take)
-            # keep at least one segment per CPU worker in the pool so the
-            # fast side never idles behind a mis-estimated device claim
-            return max(1, min(take, remaining - min(remaining - 1,
-                                                    len(self._procs))))
+                share = r_d / max(r_d + total_cpu, 1e-9)
+                take = max(int(round(remaining * share)), self._device_take)
+                # keep at least one segment per CPU worker in the pool so the
+                # fast side never idles behind a mis-estimated device claim
+                return max(1, min(take, remaining - min(remaining - 1,
+                                                        len(self._procs))))
 
-        def _merge(claims: list[Segment]) -> Segment:
-            """One contiguous run of segments as a single window (claims
-            are adjacent front-of-queue segments, so owned regions tile)."""
-            first = claims[0]
-            return Segment(
-                index=first.index,
-                start=first.start,
-                length=sum(c.length for c in claims),
-                lead=first.lead,
-                audio_skip=first.audio_skip,
-            )
-
-        def _seg_channel_paths(seg_path: Path) -> list[Path]:
-            """Per-channel files one segment run writes (channel 0 gets the
-            _<freq> suffix when batching — pipeline _channel_paths rules)."""
-            if not multi:
-                return [seg_path]
-            first = ProcessingPipeline._annotate(seg_path, freqs[0])
-            extras = [
-                seg_path.with_name(f"{seg_path.stem}_ch{i}{seg_path.suffix}")
-                for i in range(1, len(freqs))
-            ]
-            return [first, *extras]
-
-        def _segment_config(seg: Segment, seg_path: Path) -> ProcessingConfig:
-            return dataclasses.replace(
-                config,
-                output_path=seg_path,
-                extra_output_paths=_seg_channel_paths(seg_path)[1:],
-                center_freq=plan.center_freq,
-                center_freq_source=plan.center_freq_source,
-                mix_sign_override=plan.mix_sign,
-                input_start_sample=seg.read_start,
-                input_num_samples=seg.read_samples,
-                max_input_seconds=None,
-                input_container=plan.input_container,
-                input_format=plan.input_format,
-                # claims vary in length; share one executable per backend
-                fixed_device_geometry=True,
-            )
-
-        #: set when every planned segment has a completed span (or a side
-        #: errored) — the run waits on THIS, not on thread joins: a device
-        #: thread stuck in an uncancellable wire op must not hold the
-        #: finished run hostage (measured: a 1 MiB probe upload blocked
-        #: 2+ min on a wedged relay after the CPU had drained the queue)
-        done = threading.Event()
-
-        def _note_progress_locked() -> None:
-            if sum(c["span"] for c in completed) == len(plan.segments):
-                done.set()
-
-        #: True while the device stream is still taking/processing claims;
-        #: a lone CPU worker claims the whole remaining queue once False
-        device_active = [True]
-        #: CPU requests currently in flight (straggler detection: a device
-        #: claim that finishes while work remains anywhere wasn't the tail)
-        cpu_busy = [0]
-
-        def _device_worker(tmpdir: Path) -> None:
-            try:
-                _device_loop(tmpdir)
-            finally:
-                device_active[0] = False
-
-        def _refresh_device_estimate() -> None:
-            """Wire-probe a missing/stale device rate (outside the lock)."""
-            if not self.cpu_workers or device_warm_no_fetch:
-                return
-            dev = rates["device"]
-            if dev is not None and (
-                time.monotonic() - dev[1] <= self.rate_ttl_seconds
-            ):
-                return
-            seg = plan.segments[-1]
-            bpf = getattr(plan.input_spec, "bytes_per_frame", 4)
-            if plan.pass_through:
-                out_bytes = seg_seconds * plan.fs_channel * bpf
-            else:
-                out_bytes = seg_seconds * _OUTPUT_RATE * 2 * len(freqs)
-            try:
-                est = self._wire_probe_rate(
-                    seg_seconds, int(seg.read_samples) * bpf,
-                    int(seg.read_samples), int(out_bytes),
-                    should_abort=lambda: self._cancel.is_set() or not queue,
+            def _merge(claims: list[Segment]) -> Segment:
+                """One contiguous run of segments as a single window (claims
+                are adjacent front-of-queue segments, so owned regions tile)."""
+                first = claims[0]
+                return Segment(
+                    index=first.index,
+                    start=first.start,
+                    length=sum(c.length for c in claims),
+                    lead=first.lead,
+                    audio_skip=first.audio_skip,
                 )
-            except Exception as exc:
-                LOG.debug("hetero: wire probe failed (%s); falling back to "
-                          "a one-segment probe claim", exc)
-                return
-            if est is None:
-                return  # moot mid-probe (queue drained / cancelled)
-            with lock:
-                rates["device"] = (est, time.monotonic())
-                self._device_rate_estimated = True
 
-        def _device_loop(tmpdir: Path) -> None:
-            defer_started = None
-            while not self._cancel.is_set():
-                _refresh_device_estimate()
-                with lock:
-                    if not queue:
-                        return
-                    take = _device_claim_size(len(queue))
-                if take < 0:
-                    # marginal estimate, no CPU measurement yet: wait for
-                    # the first CPU claim to land (bounded — a wedged CPU
-                    # side must not park the device forever)
-                    now = time.monotonic()
-                    if defer_started is None:
-                        defer_started = now
-                    if now - defer_started > 10.0:
-                        blind_wait[0] = False  # proceed with a blind claim
-                    time.sleep(0.1)
-                    continue
-                with lock:
-                    if not queue:
-                        return
-                    take = min(take, len(queue))
-                    if take == 0:
-                        stats["device_abstained"] = True
-                        cpu_rate = rates["cpu"]
-                        LOG.info(
-                            "hetero: device stream abstains (%s %.2fx vs "
-                            "cpu-side %s x%d) — CPU workers drain the "
-                            "remaining %d segment(s)",
-                            "predicted" if self._device_rate_estimated
-                            else "measured",
-                            rates["device"][0],
-                            f"{cpu_rate[0]:.2f}x" if cpu_rate else "unmeasured",
-                            max(1, len(self._procs)), len(queue),
-                        )
-                        return
-                    claims = [queue.popleft() for _ in range(take)]
-                seg = _merge(claims)
-                seg_path = tmpdir / f"seg{seg.index:03d}.wav"
-                pipe = ProcessingPipeline(_segment_config(seg, seg_path))
-                pipe.warm_no_fetch = device_warm_no_fetch
-                self._active_pipeline = pipe
-                start = time.perf_counter()
-                try:
-                    pipe.run(None)
-                except BaseException as exc:
-                    with lock:
-                        errors.append(exc)
-                    self._cancel.set()
+            def _seg_channel_paths(seg_path: Path) -> list[Path]:
+                """Per-channel files one segment run writes (channel 0 gets the
+                _<freq> suffix when batching — pipeline _channel_paths rules)."""
+                if not multi:
+                    return [seg_path]
+                first = ProcessingPipeline._annotate(seg_path, freqs[0])
+                extras = [
+                    seg_path.with_name(f"{seg_path.stem}_ch{i}{seg_path.suffix}")
+                    for i in range(1, len(freqs))
+                ]
+                return [first, *extras]
+
+            def _segment_config(seg: Segment, seg_path: Path) -> ProcessingConfig:
+                return dataclasses.replace(
+                    config,
+                    output_path=seg_path,
+                    extra_output_paths=_seg_channel_paths(seg_path)[1:],
+                    center_freq=plan.center_freq,
+                    center_freq_source=plan.center_freq_source,
+                    mix_sign_override=plan.mix_sign,
+                    input_start_sample=seg.read_start,
+                    input_num_samples=seg.read_samples,
+                    max_input_seconds=None,
+                    input_container=plan.input_container,
+                    input_format=plan.input_format,
+                    # claims vary in length; share one executable per backend
+                    fixed_device_geometry=True,
+                )
+
+            #: set when every planned segment has a completed span (or a side
+            #: errored) — the run waits on THIS, not on thread joins: a device
+            #: thread stuck in an uncancellable wire op must not hold the
+            #: finished run hostage (measured: a 1 MiB probe upload blocked
+            #: 2+ min on a wedged relay after the CPU had drained the queue)
+            done = threading.Event()
+
+            def _note_progress_locked() -> None:
+                if sum(c["span"] for c in completed) == len(plan.segments):
                     done.set()
-                    return
+
+            #: True while the device stream is still taking/processing claims;
+            #: a lone CPU worker claims the whole remaining queue once False
+            device_active = [True]
+            #: CPU requests currently in flight (straggler detection: a device
+            #: claim that finishes while work remains anywhere wasn't the tail)
+            cpu_busy = [0]
+
+            def _device_worker(tmpdir: Path) -> None:
+                try:
+                    _device_loop(tmpdir)
                 finally:
-                    self._active_pipeline = None
-                elapsed = time.perf_counter() - start
-                with lock:
-                    completed.append(
-                        {"first": seg.index, "span": len(claims),
-                         "path": seg_path, "skip": seg.audio_skip}
+                    device_active[0] = False
+
+            def _refresh_device_estimate() -> None:
+                """Wire-probe a missing/stale device rate (outside the lock)."""
+                if not self.cpu_workers or device_warm_no_fetch:
+                    return
+                dev = rates["device"]
+                if dev is not None and (
+                    time.monotonic() - dev[1] <= self.rate_ttl_seconds
+                ):
+                    return
+                seg = plan.segments[-1]
+                bpf = getattr(plan.input_spec, "bytes_per_frame", 4)
+                if plan.pass_through:
+                    out_bytes = seg_seconds * plan.fs_channel * bpf
+                else:
+                    out_bytes = seg_seconds * _OUTPUT_RATE * 2 * len(freqs)
+                try:
+                    est = self._wire_probe_rate(
+                        seg_seconds, int(seg.read_samples) * bpf,
+                        int(seg.read_samples), int(out_bytes),
+                        should_abort=lambda: self._cancel.is_set() or not queue,
                     )
-                    stats["device_segments"] += len(claims)
-                    stats["device_runs"] += 1
-                    stats["device_seconds"] += elapsed
-                    _note_progress_locked()
-                    more_work = bool(queue) or cpu_busy[0] > 0
-                    if not device_warm_no_fetch:
-                        # fetch-free warm runs are artificially fast; they
-                        # must not seed the claim-sizing rate estimate
-                        rates["device"] = (
-                            seg.length / plan.sample_rate / max(elapsed, 1e-9),
+                except Exception as exc:
+                    LOG.debug("hetero: wire probe failed (%s); falling back to "
+                              "a one-segment probe claim", exc)
+                    return
+                if est is None:
+                    return  # moot mid-probe (queue drained / cancelled)
+                with lock:
+                    rates["device"] = (est, time.monotonic())
+                    self._device_rate_estimated = True
+
+            def _device_loop(tmpdir: Path) -> None:
+                defer_started = None
+                while not self._cancel.is_set():
+                    _refresh_device_estimate()
+                    with lock:
+                        if not queue:
+                            return
+                        take = _device_claim_size(len(queue))
+                    if take < 0:
+                        # marginal estimate, no CPU measurement yet: wait for
+                        # the first CPU claim to land (bounded — a wedged CPU
+                        # side must not park the device forever)
+                        now = time.monotonic()
+                        if defer_started is None:
+                            defer_started = now
+                        if now - defer_started > 10.0:
+                            blind_wait[0] = False  # proceed with a blind claim
+                        time.sleep(0.1)
+                        continue
+                    with lock:
+                        if not queue:
+                            return
+                        take = min(take, len(queue))
+                        if take == 0:
+                            stats["device_abstained"] = True
+                            cpu_rate = rates["cpu"]
+                            LOG.info(
+                                "hetero: device stream abstains (%s %.2fx vs "
+                                "cpu-side %s x%d) — CPU workers drain the "
+                                "remaining %d segment(s)",
+                                "predicted" if self._device_rate_estimated
+                                else "measured",
+                                rates["device"][0],
+                                f"{cpu_rate[0]:.2f}x" if cpu_rate else "unmeasured",
+                                max(1, len(self._procs)), len(queue),
+                            )
+                            return
+                        claims = [queue.popleft() for _ in range(take)]
+                    seg = _merge(claims)
+                    seg_path = tmpdir / f"seg{seg.index:03d}.wav"
+                    pipe = ProcessingPipeline(_segment_config(seg, seg_path))
+                    pipe.warm_no_fetch = device_warm_no_fetch
+                    self._active_pipeline = pipe
+                    start = time.perf_counter()
+                    try:
+                        pipe.run(None)
+                    except BaseException as exc:
+                        with lock:
+                            errors.append(exc)
+                        self._cancel.set()
+                        done.set()
+                        return
+                    finally:
+                        self._active_pipeline = None
+                    elapsed = time.perf_counter() - start
+                    with lock:
+                        completed.append(
+                            {"first": seg.index, "span": len(claims),
+                             "path": seg_path, "skip": seg.audio_skip}
+                        )
+                        stats["device_segments"] += len(claims)
+                        stats["device_runs"] += 1
+                        stats["device_seconds"] += elapsed
+                        _note_progress_locked()
+                        more_work = bool(queue) or cpu_busy[0] > 0
+                        if not device_warm_no_fetch:
+                            # fetch-free warm runs are artificially fast; they
+                            # must not seed the claim-sizing rate estimate
+                            rates["device"] = (
+                                seg.length / plan.sample_rate / max(elapsed, 1e-9),
+                                time.monotonic(),
+                            )
+                            self._device_rate_estimated = False
+                            # slow-start: grow while not the straggler (the
+                            # next, larger claim measures a better-amortised
+                            # rate), shrink when we were the tail
+                            if more_work:
+                                self._device_take = min(
+                                    len(claims) * 2, max(1, self.n_segments)
+                                )
+                            else:
+                                self._device_take = max(1, len(claims) // 2)
+                    tracker.advance("segments", float(len(claims)))
+                    tracker.status(
+                        f"segments {seg.index}..{seg.index + len(claims) - 1} "
+                        "done (device)"
+                    )
+
+            def _cpu_claim_size(remaining: int) -> int:
+                """Contiguous segments one CPU worker should claim (back of
+                the queue).  While other workers are still in the pool the
+                claim halves the per-worker share so stealing can rebalance;
+                once this worker is effectively alone (device abstained or
+                finished, no sibling CPU workers) it takes everything — one
+                pipeline run, one lead-in.  With both sides' rates known the
+                share is throughput-proportional (a near-dead device no longer
+                shrinks CPU claims to slivers while it probes); otherwise it
+                falls back to an equal split."""
+                others = max(0, len(self._procs) - 1) + int(device_active[0])
+                if others == 0:
+                    return remaining
+                dev, cpu = rates["device"], rates["cpu"]
+                if device_active[0] and dev is not None and cpu is not None:
+                    n_c = max(1, len(self._procs))
+                    share = cpu[0] / max(dev[0] + n_c * cpu[0], 1e-9)
+                else:
+                    share = 1.0 / (others + 1)
+                return max(1, int(remaining * share / 2.0))
+
+            def _cpu_worker(proc: subprocess.Popen, tmpdir: Path) -> None:
+                while not self._cancel.is_set():
+                    with lock:
+                        if not queue:
+                            return
+                        take = _cpu_claim_size(len(queue))
+                        # back of the queue: pop the LAST `take` segments,
+                        # which are contiguous, then restore ascending order
+                        claims = [queue.pop() for _ in range(take)][::-1]
+                        cpu_busy[0] += 1
+                    seg = _merge(claims)
+                    seg_path = tmpdir / f"seg{seg.index:03d}.wav"
+                    req = {
+                        "idx": seg.index,
+                        "config": config_to_wire(_segment_config(seg, seg_path)),
+                    }
+                    start = time.perf_counter()
+                    try:
+                        proc.stdin.write(json.dumps(req) + "\n")
+                        proc.stdin.flush()
+                        line = proc.stdout.readline()
+                        reply = json.loads(line) if line else {}
+                    except (OSError, json.JSONDecodeError) as exc:
+                        with lock:
+                            cpu_busy[0] -= 1
+                            errors.append(
+                                RuntimeError(f"segment worker pipe failed: {exc}")
+                            )
+                        self._cancel.set()
+                        done.set()
+                        return
+                    if not reply.get("ok"):
+                        with lock:
+                            cpu_busy[0] -= 1
+                            errors.append(
+                                RuntimeError(
+                                    "segment worker failed on segment "
+                                    f"{seg.index}: {reply.get('error', 'no reply')}"
+                                )
+                            )
+                        self._cancel.set()
+                        done.set()
+                        return
+                    elapsed = time.perf_counter() - start
+                    with lock:
+                        cpu_busy[0] -= 1
+                        completed.append(
+                            {"first": seg.index, "span": len(claims),
+                             "path": seg_path, "skip": seg.audio_skip}
+                        )
+                        stats["cpu_segments"] += len(claims)
+                        stats["cpu_seconds"] += elapsed
+                        _note_progress_locked()
+                        rate = seg.length / plan.sample_rate / max(elapsed, 1e-9)
+                        prev = rates["cpu"]
+                        rates["cpu"] = (
+                            rate if prev is None else 0.5 * (prev[0] + rate),
                             time.monotonic(),
                         )
-                        self._device_rate_estimated = False
-                        # slow-start: grow while not the straggler (the
-                        # next, larger claim measures a better-amortised
-                        # rate), shrink when we were the tail
-                        if more_work:
-                            self._device_take = min(
-                                len(claims) * 2, max(1, self.n_segments)
-                            )
-                        else:
-                            self._device_take = max(1, len(claims) // 2)
-                tracker.advance("segments", float(len(claims)))
-                tracker.status(
-                    f"segments {seg.index}..{seg.index + len(claims) - 1} "
-                    "done (device)"
-                )
-
-        def _cpu_claim_size(remaining: int) -> int:
-            """Contiguous segments one CPU worker should claim (back of
-            the queue).  While other workers are still in the pool the
-            claim halves the per-worker share so stealing can rebalance;
-            once this worker is effectively alone (device abstained or
-            finished, no sibling CPU workers) it takes everything — one
-            pipeline run, one lead-in.  With both sides' rates known the
-            share is throughput-proportional (a near-dead device no longer
-            shrinks CPU claims to slivers while it probes); otherwise it
-            falls back to an equal split."""
-            others = max(0, len(self._procs) - 1) + int(device_active[0])
-            if others == 0:
-                return remaining
-            dev, cpu = rates["device"], rates["cpu"]
-            if device_active[0] and dev is not None and cpu is not None:
-                n_c = max(1, len(self._procs))
-                share = cpu[0] / max(dev[0] + n_c * cpu[0], 1e-9)
-            else:
-                share = 1.0 / (others + 1)
-            return max(1, int(remaining * share / 2.0))
-
-        def _cpu_worker(proc: subprocess.Popen, tmpdir: Path) -> None:
-            while not self._cancel.is_set():
-                with lock:
-                    if not queue:
-                        return
-                    take = _cpu_claim_size(len(queue))
-                    # back of the queue: pop the LAST `take` segments,
-                    # which are contiguous, then restore ascending order
-                    claims = [queue.pop() for _ in range(take)][::-1]
-                    cpu_busy[0] += 1
-                seg = _merge(claims)
-                seg_path = tmpdir / f"seg{seg.index:03d}.wav"
-                req = {
-                    "idx": seg.index,
-                    "config": config_to_wire(_segment_config(seg, seg_path)),
-                }
-                start = time.perf_counter()
-                try:
-                    proc.stdin.write(json.dumps(req) + "\n")
-                    proc.stdin.flush()
-                    line = proc.stdout.readline()
-                    reply = json.loads(line) if line else {}
-                except (OSError, json.JSONDecodeError) as exc:
-                    with lock:
-                        cpu_busy[0] -= 1
-                        errors.append(
-                            RuntimeError(f"segment worker pipe failed: {exc}")
-                        )
-                    self._cancel.set()
-                    done.set()
-                    return
-                if not reply.get("ok"):
-                    with lock:
-                        cpu_busy[0] -= 1
-                        errors.append(
-                            RuntimeError(
-                                "segment worker failed on segment "
-                                f"{seg.index}: {reply.get('error', 'no reply')}"
-                            )
-                        )
-                    self._cancel.set()
-                    done.set()
-                    return
-                elapsed = time.perf_counter() - start
-                with lock:
-                    cpu_busy[0] -= 1
-                    completed.append(
-                        {"first": seg.index, "span": len(claims),
-                         "path": seg_path, "skip": seg.audio_skip}
+                    tracker.advance("segments", float(len(claims)))
+                    tracker.status(
+                        f"segments {seg.index}..{seg.index + len(claims) - 1} "
+                        "done (cpu)"
                     )
-                    stats["cpu_segments"] += len(claims)
-                    stats["cpu_seconds"] += elapsed
-                    _note_progress_locked()
-                    rate = seg.length / plan.sample_rate / max(elapsed, 1e-9)
-                    prev = rates["cpu"]
-                    rates["cpu"] = (
-                        rate if prev is None else 0.5 * (prev[0] + rate),
-                        time.monotonic(),
-                    )
-                tracker.advance("segments", float(len(claims)))
-                tracker.status(
-                    f"segments {seg.index}..{seg.index + len(claims) - 1} "
-                    "done (cpu)"
-                )
 
-        loop_start = time.perf_counter()
-        # ignore_cleanup_errors: on cancel/error paths a still-wedged
-        # device thread can be mid-claim writing segment files while the
-        # directory is removed — the race is benign, the files are temp
-        with tempfile.TemporaryDirectory(
-            dir=out_path.parent, ignore_cleanup_errors=True
-        ) as tmp:
-            tmpdir = Path(tmp)
-            threads = [
-                threading.Thread(
-                    target=_device_worker, args=(tmpdir,), daemon=True,
-                    name="hetero-device",
-                )
-            ]
-            if not device_warm_no_fetch:
-                threads += [
+            loop_start = time.perf_counter()
+            # ignore_cleanup_errors: on cancel/error paths a still-wedged
+            # device thread can be mid-claim writing segment files while the
+            # directory is removed — the race is benign, the files are temp
+            with tempfile.TemporaryDirectory(
+                dir=out_path.parent, ignore_cleanup_errors=True
+            ) as tmp:
+                tmpdir = Path(tmp)
+                threads = [
                     threading.Thread(
-                        target=_cpu_worker, args=(proc, tmpdir), daemon=True,
-                        name=f"hetero-cpu{i}",
+                        target=_device_worker, args=(tmpdir,), daemon=True,
+                        name="hetero-device",
                     )
-                    for i, proc in enumerate(self._procs)
                 ]
-            for t in threads:
-                t.start()
-            # wait for COMPLETION (every span finished, or an error), not
-            # for thread joins: a device thread stuck in an uncancellable
-            # wire op — a probe or claim on a wedged relay — must not hold
-            # the finished run hostage.  A stuck probe aborts itself when
-            # it unblocks (should_abort sees the drained queue); in-flight
-            # CLAIMS own segments, so completion implies none are pending.
-            while not done.is_set():
+                if not device_warm_no_fetch:
+                    threads += [
+                        threading.Thread(
+                            target=_cpu_worker, args=(proc, tmpdir), daemon=True,
+                            name=f"hetero-cpu{i}",
+                        )
+                        for i, proc in enumerate(self._procs)
+                    ]
+                self._run_threads = threads
+                for t in threads:
+                    t.start()
+                # wait for COMPLETION (every span finished, or an error), not
+                # for thread joins: a device thread stuck in an uncancellable
+                # wire op — a probe or claim on a wedged relay — must not hold
+                # the finished run hostage.  A stuck probe aborts itself when
+                # it unblocks (should_abort sees the drained queue); in-flight
+                # CLAIMS own segments, so completion implies none are pending.
+                while not done.is_set():
+                    if self._user_cancelled:
+                        break
+                    if not any(t.is_alive() for t in threads):
+                        break  # all sides exited; tiling check below verdicts
+                    done.wait(0.25)
+                loop_seconds = time.perf_counter() - loop_start
+                self.last_stats = dict(stats, loop_seconds=loop_seconds)
+
                 if self._user_cancelled:
-                    break
-                if not any(t.is_alive() for t in threads):
-                    break  # all sides exited; tiling check below verdicts
-                done.wait(0.25)
-            loop_seconds = time.perf_counter() - loop_start
-            self.last_stats = dict(stats, loop_seconds=loop_seconds)
+                    # a terminated worker's pipe error is a CONSEQUENCE of the
+                    # cancel, not the cause — report the cancellation
+                    from .pipeline import ProcessingCancelled
 
-            if self._user_cancelled:
-                # a terminated worker's pipe error is a CONSEQUENCE of the
-                # cancel, not the cause — report the cancellation
-                from .pipeline import ProcessingCancelled
+                    raise ProcessingCancelled("Processing cancelled by request.")
+                if errors:
+                    raise errors[0]
+                if self._cancel.is_set():
+                    from .pipeline import ProcessingCancelled
 
-                raise ProcessingCancelled("Processing cancelled by request.")
-            if errors:
-                raise errors[0]
-            if self._cancel.is_set():
-                from .pipeline import ProcessingCancelled
+                    raise ProcessingCancelled("Processing cancelled by request.")
+                if device_warm_no_fetch:
+                    return None
 
-                raise ProcessingCancelled("Processing cancelled by request.")
-            if device_warm_no_fetch:
-                return None
-
-            ordered = sorted(completed, key=lambda c: c["first"])
-            expect = 0
-            for item in ordered:
-                if item["first"] != expect:
+                ordered = sorted(completed, key=lambda c: c["first"])
+                expect = 0
+                for item in ordered:
+                    if item["first"] != expect:
+                        raise RuntimeError(
+                            f"hetero: segment {expect} never completed "
+                            f"(next finished span starts at {item['first']})"
+                        )
+                    expect += item["span"]
+                if expect != len(plan.segments):
                     raise RuntimeError(
-                        f"hetero: segment {expect} never completed "
-                        f"(next finished span starts at {item['first']})"
+                        f"hetero: segments {expect}..{len(plan.segments) - 1} "
+                        "never completed"
                     )
-                expect += item["span"]
-            if expect != len(plan.segments):
-                raise RuntimeError(
-                    f"hetero: segments {expect}..{len(plan.segments) - 1} "
-                    "never completed"
-                )
-            peaks: list[float] = []
-            for c, final in enumerate(final_paths):
-                paths_c = [_seg_channel_paths(item["path"])[c] for item in ordered]
-                skips_c = [item["skip"] for item in ordered]
-                if plan.pass_through:
-                    peak_c, _total = splice_iq_slices(
-                        paths_c, skips_c, final,
-                        plan.fs_channel, plan.input_spec,
-                    )
-                else:
-                    peak_c, _total = splice_audio(paths_c, skips_c, final)
-                peaks.append(peak_c)
+                peaks: list[float] = []
+                for c, final in enumerate(final_paths):
+                    paths_c = [_seg_channel_paths(item["path"])[c] for item in ordered]
+                    skips_c = [item["skip"] for item in ordered]
+                    if plan.pass_through:
+                        peak_c, _total = splice_iq_slices(
+                            paths_c, skips_c, final,
+                            plan.fs_channel, plan.input_spec,
+                        )
+                    else:
+                        peak_c, _total = splice_audio(paths_c, skips_c, final)
+                    peaks.append(peak_c)
 
-        LOG.info(
-            "hetero: %d segments (device %d in %d run(s), %.2f s; "
-            "cpu %d in %.2f s), %.3f s wall",
-            len(plan.segments),
-            stats["device_segments"],
-            stats["device_runs"],
-            stats["device_seconds"],
-            stats["cpu_segments"],
-            stats["cpu_seconds"],
-            loop_seconds,
-        )
-        peak_label = (
-            "IQ slice peak magnitude" if plan.pass_through
-            else "Audio peak level"
-        )
-        for freq, peak_c in zip(freqs, peaks):
-            LOG.info("[%.0f] %s %.2f dBFS.", freq, peak_label,
-                     20.0 * math.log10(peak_c) if peak_c > 0 else -120.0)
-        tracker.close()
-        return ProcessingResult(
-            sample_rate_probe=plan.probe,
-            center_freq=plan.center_freq,
-            target_freq=plan.target_freq,
-            freq_offset=plan.freq_offset,
-            decimation=plan.decimation,
-            fs_channel=plan.fs_channel,
-            mix_sign=plan.mix_sign,
-            audio_peak=peaks[0] if peaks else 0.0,
-            audio_peaks=peaks,
-            output_paths=final_paths,
-            loop_seconds=loop_seconds,
-            input_samples=plan.total_samples,
-        )
+            LOG.info(
+                "hetero: %d segments (device %d in %d run(s), %.2f s; "
+                "cpu %d in %.2f s), %.3f s wall",
+                len(plan.segments),
+                stats["device_segments"],
+                stats["device_runs"],
+                stats["device_seconds"],
+                stats["cpu_segments"],
+                stats["cpu_seconds"],
+                loop_seconds,
+            )
+            peak_label = (
+                "IQ slice peak magnitude" if plan.pass_through
+                else "Audio peak level"
+            )
+            for freq, peak_c in zip(freqs, peaks):
+                LOG.info("[%.0f] %s %.2f dBFS.", freq, peak_label,
+                         20.0 * math.log10(peak_c) if peak_c > 0 else -120.0)
+            return ProcessingResult(
+                sample_rate_probe=plan.probe,
+                center_freq=plan.center_freq,
+                target_freq=plan.target_freq,
+                freq_offset=plan.freq_offset,
+                decimation=plan.decimation,
+                fs_channel=plan.fs_channel,
+                mix_sign=plan.mix_sign,
+                audio_peak=peaks[0] if peaks else 0.0,
+                audio_peaks=peaks,
+                output_paths=final_paths,
+                loop_seconds=loop_seconds,
+                input_samples=plan.total_samples,
+            )
+        finally:
+            # the sink contract is close-exactly-once at teardown —
+            # including the error/cancel exits the serial pipeline
+            # covers with its own finally (pipeline.py run loop)
+            tracker.close()
 
     def _plan_or_none(self, config: ProcessingConfig) -> HeteroPlan | None:
         try:

@@ -121,7 +121,13 @@ def main() -> int:
                 "samples": result.input_samples,
                 "seconds": time.perf_counter() - start,
             }
-        except BaseException as exc:  # surface EVERYTHING to the parent
+        except (KeyboardInterrupt, SystemExit):
+            # a process-group SIGINT is a cancellation, not a segment
+            # failure: exit so the parent sees EOF (which it reports as a
+            # cancellation when the user-cancel flag is set) instead of a
+            # misleading "segment worker failed: KeyboardInterrupt"
+            return 130
+        except BaseException as exc:  # surface everything else to the parent
             reply = {"idx": idx, "ok": False, "error": f"{type(exc).__name__}: {exc}"}
         print(json.dumps(reply), flush=True)
     return 0

@@ -226,6 +226,62 @@ def test_hetero_worker_failure_surfaces(tmp_path, monkeypatch):
     assert not out.exists()
 
 
+def test_hetero_recovers_after_failed_run(tmp_path, monkeypatch):
+    """A failed run's stale threads must not poison the next run: the
+    executor quiesces them (drained queue, replaced workers) and the
+    follow-up run on the same executor succeeds with correct audio."""
+    cap = _capture(tmp_path, seconds=3.0)
+    ex = HeteroExecutor(cpu_workers=1, n_segments=3, warm_seconds=0.25)
+    try:
+        ex._ensure_workers()
+        ex._procs[0].kill()
+        ex._procs[0].wait(timeout=10)
+        monkeypatch.setattr(ex, "_ensure_workers", lambda: None)
+        with pytest.raises(RuntimeError):
+            ex.run(_config(cap, tmp_path / "f1.wav"))
+        monkeypatch.undo()  # restore worker respawn for the retry
+        out = tmp_path / "f2.wav"
+        result = ex.run(_config(cap, out))
+    finally:
+        ex.close()
+    assert result is not None
+    audio, sr = read_wav(out)
+    assert sr == 48_000
+    assert abs(len(audio) - 3 * 48_000) <= 2
+    assert not ex._cancel.is_set()
+
+
+def test_hetero_extra_output_dir_created(tmp_path):
+    """Serial parity: every channel output's parent directory is created,
+    including an extra target routed into a not-yet-existing directory."""
+    cap = _capture(tmp_path, seconds=3.0)
+    out = tmp_path / "ch1.wav"
+    extra_out = tmp_path / "newdir" / "ch2.wav"
+    cfg = _config(
+        cap, out,
+        extra_target_freqs=[CENTER + OFFSET + 12_500.0],
+        extra_output_paths=[extra_out],
+    )
+    with HeteroExecutor(cpu_workers=1, n_segments=3, warm_seconds=0.25) as ex:
+        result = ex.run(cfg)
+    assert result is not None
+    # batching suffixes the shared hint with _<freq>; the explicit extra
+    # path is honoured verbatim (and its directory created)
+    assert list(tmp_path.glob("ch1_*.wav")), list(tmp_path.iterdir())
+    assert extra_out.exists()
+
+
+def test_hetero_empty_capture_clean_error(tmp_path):
+    """An empty capture raises the serial pipeline's 'contains no samples'
+    error up front instead of planning phantom segments."""
+    cap = tmp_path / f"baseband_{int(CENTER)}Hz_empty.wav"
+    write_stereo_wav(cap, np.zeros((0, 2), np.float32), int(FS))
+    cfg = _config(cap, tmp_path / "e.wav", max_input_seconds=30.0)
+    with HeteroExecutor(cpu_workers=1, n_segments=3, warm_seconds=0.25) as ex:
+        with pytest.raises(ValueError, match="no samples"):
+            ex.run(cfg)
+
+
 def test_hetero_device_abstains_when_pathological(tmp_path):
     """A device side measured far slower than the CPU side draining the
     whole queue must abstain: the CPU workers process every segment and
