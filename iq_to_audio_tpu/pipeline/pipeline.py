@@ -224,6 +224,16 @@ class ProcessingPipeline:
         if manual_rate is not None and manual_rate <= 0:
             raise ValueError("Input sample rate override must be positive.")
 
+        #: every writer opened by this run — closed (idempotently) on ALL
+        #: exit paths so cancel/error never unlinks a still-open output
+        #: (Windows refuses that) or leaks fds in a long-lived GUI process
+        all_writers: list = []
+
+        def _close_writers_quietly() -> None:
+            for w in all_writers:
+                with contextlib.suppress(Exception):
+                    w.close()
+
         try:
             # --- probing ---------------------------------------------------
             if input_spec.container == "raw":
@@ -352,7 +362,19 @@ class ProcessingPipeline:
             # --- checkpoint/resume (SURVEY §5: carried state + input offset) --
             resume_data = None
             ckpt_path: Path | None = None
-            if (cfg.checkpoint_secs or cfg.resume) and not cfg.probe_only:
+            ckpt_requested = (
+                (cfg.checkpoint_secs or cfg.resume) and not cfg.probe_only
+            )
+            if ckpt_requested and pass_through:
+                # the slice output would need codec-exact truncation on
+                # resume; not supported — say so instead of silently
+                # paying the checkpoint costs and never writing one
+                LOG.warning(
+                    "Checkpoint/resume is not supported in pass-through "
+                    "(--demod none) runs; continuing without checkpoints."
+                )
+                ckpt_requested = False
+            if ckpt_requested:
                 paths_for_ckpt = self._channel_paths(freqs, cfg.output_path)
                 ckpt_path = Path(str(paths_for_ckpt[0]) + ".ckpt")
             if cfg.resume and ckpt_path is not None and ckpt_path.exists():
@@ -503,16 +525,11 @@ class ProcessingPipeline:
                 if appending:
                     # outputs may contain windows flushed AFTER the last
                     # checkpoint: truncate back to the checkpointed position
+                    # (resume implies audio mode — pass-through runs never
+                    # write a checkpoint, see the ckpt_requested gate)
                     ctr = resume_data["counters"]
-                    if pass_through:
-                        frame_out = 2 * {"pcm_u8": 1, "pcm_s16le": 2, "pcm_f32le": 4}[
-                            input_spec.codec
-                        ]
-                        for p in output_paths:
-                            _truncate_payload(p, ctr["dec_emitted"] * frame_out)
-                    else:
-                        for p in output_paths:
-                            _truncate_payload(p, ctr["rs_emitted"] * 2)  # mono s16
+                    for p in output_paths:
+                        _truncate_payload(p, ctr["rs_emitted"] * 2)  # mono s16
                     for p in dump_paths:
                         if p is not None and Path(p).exists():
                             with Path(p).open("r+b") as f:
@@ -532,6 +549,9 @@ class ProcessingPipeline:
                         AudioWriter(p, _OUTPUT_RATE, append=appending)
                         for p in output_paths
                     ]
+                all_writers.extend(iq_writers)
+                all_writers.extend(slice_writers)
+                all_writers.extend(audio_writers)
 
                 # --- build the device step -----------------------------------
                 incs = [
@@ -550,7 +570,7 @@ class ProcessingPipeline:
                     )
                     decoder.setup(fs_channel)
                 acc_cap = None
-                if cfg.checkpoint_secs and sample_rate > 0:
+                if ckpt_path is not None and cfg.checkpoint_secs and sample_rate > 0:
                     # checkpoints land on window boundaries: keep windows
                     # no longer than the checkpoint cadence
                     acc_cap = max(
@@ -578,7 +598,7 @@ class ProcessingPipeline:
                     sched_mode = "auto"
                 else:
                     sched_mode = "overlap"
-                if cfg.checkpoint_secs:
+                if cfg.checkpoint_secs and ckpt_path is not None:
                     if sched_mode == "overlap":
                         LOG.info(
                             "IQ2A_OVERLAP ignored: checkpointed runs use the "
@@ -616,6 +636,14 @@ class ProcessingPipeline:
                 import hashlib
 
                 fingerprint = {
+                    # input identity + window: a resume against a different
+                    # capture (or a shifted --input-start-sample window)
+                    # must be rejected, not silently spliced
+                    "in_path": str(Path(cfg.in_path).resolve()),
+                    "in_size": os.stat(cfg.in_path).st_size,
+                    "in_start": int(cfg.input_start_sample or 0),
+                    "in_num": cfg.input_num_samples,
+                    "deemph_us": cfg.deemph_us,
                     "chunk": chunk_size,
                     "decimation": decimation,
                     "sample_rate": sample_rate,
@@ -710,8 +738,14 @@ class ProcessingPipeline:
                 feed_state = {"limit_exhausted": False}
                 super_chunks = step.super_chunks
 
+                # raw-domain pad value decoding to 0.0 on device: u8 is
+                # offset-binary, so raw 0 would decode to full-scale -1.0
+                # DC and corrupt the EOF resampler flush (the float64 twin
+                # pads the COMPLEX domain with zeros)
+                raw_zero = 128 if input_spec.codec == "pcm_u8" else 0
+
                 def _raw_blocks():
-                    """Valid-sliced, zero-padded raw blocks (owned arrays)."""
+                    """Valid-sliced, silence-padded raw blocks (owned arrays)."""
                     consumed = 0
                     block = raw_first
                     while True:
@@ -727,11 +761,15 @@ class ProcessingPipeline:
                                 feed_state["limit_exhausted"] = True
                         if valid:
                             if block.size < 2 * chunk_size:
-                                padded = np.zeros(2 * chunk_size, dtype=block.dtype)
+                                padded = np.full(
+                                    2 * chunk_size, raw_zero, dtype=block.dtype
+                                )
                                 padded[: block.size] = block
                                 block = padded
                             consumed += valid
                             yield valid, block
+                        if feed_state["limit_exhausted"]:
+                            return  # don't read (and discard) one more block
                         nxt = reader.read_block_raw()
                         if nxt is None or nxt.size == 0:
                             return
@@ -752,7 +790,9 @@ class ProcessingPipeline:
                             group = []
                     if group:
                         if super_chunks > 1:
-                            pad = np.zeros(2 * chunk_size, dtype=group[0][1].dtype)
+                            pad = np.full(
+                                2 * chunk_size, raw_zero, dtype=group[0][1].dtype
+                            )
                             while len(group) < super_chunks:
                                 group.append((0, pad))
                         yield group
@@ -1178,7 +1218,8 @@ class ProcessingPipeline:
             # reference semantics: delete partial outputs on cancel
             # (processing.py:1205-1211) — unless checkpointing is on, in
             # which case the partial output + checkpoint enable --resume
-            if not cfg.probe_only and not cfg.checkpoint_secs:
+            _close_writers_quietly()  # before unlink: Windows refuses open files
+            if not cfg.probe_only and not (cfg.checkpoint_secs and not pass_through):
                 for p in output_paths:
                     try:
                         Path(p).unlink(missing_ok=True)
@@ -1186,6 +1227,7 @@ class ProcessingPipeline:
                         LOG.debug("Failed to remove cancelled output %s", p)
             raise
         finally:
+            _close_writers_quietly()
             if self._profiling:
                 with contextlib.suppress(Exception):
                     jax.profiler.stop_trace()

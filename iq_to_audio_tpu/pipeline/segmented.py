@@ -90,7 +90,9 @@ def plan_segments(
     if total_samples <= 0:
         raise ValueError("total_samples must be positive")
     frame = decimation * rs_down
-    audio_per_frame = rs_up if rs_down > 1 or rs_up > 1 else 1
+    # ResamplePlan reduces the ratio, so rs_up IS the audio per frame
+    # (identity rate reduces to 1/1)
+    audio_per_frame = rs_up
     lead_frames = max(1, math.ceil(warm_seconds * sample_rate / frame))
     total_frames = total_samples // frame
     # a segment shorter than its lead-in is pointless overhead: bound the
@@ -135,14 +137,12 @@ def splice_iq_slices(
     the post-quantisation counterpart of the serial writer's pre-encode
     peak.
     """
-    import numpy as np
-
-    from ..io.reader import convert_to_complex
+    from ..io.reader import _CODEC_DTYPE, convert_to_complex
     from ..io.riff import WavStreamWriter, parse_wav_header
 
     out_path = Path(out_path)
     frame_bytes = spec.bytes_per_frame
-    dtype = {"pcm_u8": "u1", "pcm_s16le": "<i2", "pcm_f32le": "<f4"}[spec.codec]
+    dtype = _CODEC_DTYPE[spec.codec]  # single source of codec dtypes
     peak = 0.0
     frames = 0
     writer = None

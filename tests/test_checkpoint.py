@@ -141,6 +141,54 @@ def test_resume_rejects_mismatched_config(tmp_path, capture):
         ProcessingPipeline(ProcessingConfig(**bad)).run()
 
 
+def test_resume_rejects_different_input(tmp_path, capture):
+    """The fingerprint carries input identity: resuming against a
+    different capture (same geometry, same output path) must be rejected,
+    not silently spliced."""
+    out = tmp_path / "b.wav"
+    cfg = dict(
+        in_path=capture,
+        target_freq=TARGET,
+        output_path=out,
+        chunk_size=32_768,
+        checkpoint_secs=0.2,
+        mix_sign_override=1,
+    )
+    with pytest.raises(ProcessingCancelled):
+        ProcessingPipeline(ProcessingConfig(**cfg)).run(_CancelAfter(FS * 0.8))
+    other = tmp_path / f"baseband_{int(CENTER)}Hz_other.wav"
+    iq2 = make_nfm_iq(FS, 2.5, 25_000.0)
+    write_stereo_wav(other, np.column_stack([iq2.real, iq2.imag]), int(FS))
+    bad = dict(cfg, in_path=other, resume=True)
+    with pytest.raises(ValueError, match="does not match"):
+        ProcessingPipeline(ProcessingConfig(**bad)).run()
+    # a changed de-emphasis also invalidates the checkpoint
+    bad2 = dict(cfg, deemph_us=75.0, resume=True)
+    with pytest.raises(ValueError, match="does not match"):
+        ProcessingPipeline(ProcessingConfig(**bad2)).run()
+
+
+def test_pass_through_checkpoint_warns_and_skips(tmp_path, capture, caplog):
+    """--demod none + --checkpoint-secs: loud warning, no .ckpt written,
+    run completes normally (was: silently inert checkpointing)."""
+    import logging
+
+    out = tmp_path / "slice.wav"
+    cfg = ProcessingConfig(
+        in_path=capture,
+        target_freq=TARGET,
+        demod_mode="none",
+        output_path=out,
+        checkpoint_secs=0.2,
+        mix_sign_override=1,
+    )
+    with caplog.at_level(logging.WARNING):
+        ProcessingPipeline(cfg).run()
+    assert out.exists()
+    assert not list(tmp_path.glob("*.ckpt"))
+    assert any("pass-through" in r.message for r in caplog.records)
+
+
 def test_resume_with_supersteps(tmp_path, capture, monkeypatch):
     """Checkpoint/resume must also hold when S chunks dispatch per call."""
     monkeypatch.setenv("IQ2A_SUPER", "4")

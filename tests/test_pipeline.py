@@ -53,6 +53,40 @@ def _golden_audio(iq, mode, *, bandwidth=12_500.0, agc=True, mix_sign=1):
     return np.clip(audio48, -0.99, 0.99)
 
 
+def test_golden_u8_unaligned_tail(tmp_path):
+    """pcm_u8 capture whose length is NOT chunk-aligned: the raw-domain
+    pad must decode to silence (offset-binary 128), not full-scale -1-1j
+    DC — the float64 twin pads the COMPLEX domain with zeros, so a wrong
+    pad corrupts the EOF resampler flush and shows up as tail error."""
+    iq = make_nfm_iq(FS, 0.7, OFFSET)  # 175k samples: not a chunk multiple
+    path = _write_capture(tmp_path, iq, codec="pcm_u8")
+    out = tmp_path / "audio_u8.wav"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + OFFSET,
+        demod_mode="nfm",
+        output_path=out,
+    )
+    result = ProcessingPipeline(cfg).run()
+    got, rate = read_wav(out)
+    got = got[:, 0]
+    assert rate == 48_000
+    # compare against the twin fed the u8-quantised IQ (isolates the
+    # padding behavior from u8 quantisation noise); encode/decode mirror
+    # the writer (round((x+1)*127.5)) and reader ((u8-128)/128) exactly
+    enc_i = np.round((np.clip(iq.real, -1, 1) + 1.0) * 127.5)
+    enc_q = np.round((np.clip(iq.imag, -1, 1) + 1.0) * 127.5)
+    iq_q = ((enc_i - 128.0) / 128.0) + 1j * ((enc_q - 128.0) / 128.0)
+    ref = _golden_audio(iq_q, "nfm", mix_sign=result.mix_sign)
+    n = min(got.size, ref.size)
+    assert abs(got.size - ref.size) <= 2
+    # whole-signal error AND tail-only error: the tail is where a wrong
+    # EOF pad turns into demodulated garbage
+    assert error_db(got[:n], ref[:n]) < -55.0
+    tail = slice(max(0, n - 2400), n)  # final 50 ms
+    assert error_db(got[tail], ref[tail]) < -50.0
+
+
 @pytest.mark.parametrize(
     "mode,agc,gen",
     [
