@@ -16,6 +16,17 @@ from ..ops.iir import deemphasis
 from .base import Decoder
 
 
+def polar_discriminant(yr, yi, sr, si):
+    """``angle(x[n] * conj(x[n-1]))`` in real pairs (reference
+    ``decoders/nfm.py:11-24``), with the shifted sequence ``(sr, si)``
+    supplied by the caller — the serial decoder shifts by the carried
+    previous sample, the sharded step by the cross-shard halo.  Single
+    source of the discriminator formula for both paths."""
+    pr = yr * sr + yi * si
+    pi = yi * sr - yr * si
+    return jnp.arctan2(pi, pr).astype(jnp.float32)
+
+
 class NFMDecoder(Decoder):
     name = "narrowband_fm"
 
@@ -41,10 +52,7 @@ class NFMDecoder(Decoder):
         assert self.alpha is not None, "setup() must run before process()"
         sr = jnp.concatenate([state["prev_r"][..., None], yr[..., :-1]], axis=-1)
         si = jnp.concatenate([state["prev_i"][..., None], yi[..., :-1]], axis=-1)
-        # x[n] * conj(x[n-1]) in real pairs
-        pr = yr * sr + yi * si
-        pi = yi * sr - yr * si
-        demod = jnp.arctan2(pi, pr).astype(jnp.float32)
+        demod = polar_discriminant(yr, yi, sr, si)
         audio, y_last = deemphasis(demod, self.alpha, state["deemph_y"])
         new_state = {"prev_r": yr[..., -1], "prev_i": yi[..., -1], "deemph_y": y_last}
         inter = {"demod": demod, "deemph": audio, "audio": audio}

@@ -15,6 +15,13 @@ import jax.numpy as jnp
 from ..ops.iir import dc_blocker, feedback_agc
 from .base import Decoder
 
+#: reference AGC defaults (``decoders/ssb.py:67-80``) — the sharded step
+#: (parallel/sharded.py) derives its AGC from these same names so the two
+#: paths cannot drift apart
+AGC_TARGET_DBFS = -12.0
+AGC_DECAY = 0.001
+DC_RADIUS = 0.995
+
 
 class SSBDecoder(Decoder):
     name = "ssb"
@@ -23,9 +30,9 @@ class SSBDecoder(Decoder):
         self,
         sideband: str,
         agc_enabled: bool,
-        dc_radius: float = 0.995,
-        agc_target_dbfs: float = -12.0,
-        agc_decay: float = 0.001,
+        dc_radius: float = DC_RADIUS,
+        agc_target_dbfs: float = AGC_TARGET_DBFS,
+        agc_decay: float = AGC_DECAY,
     ):
         sideband = sideband.lower()
         if sideband not in {"usb", "lsb"}:

@@ -78,19 +78,23 @@ def first_order_scan_const(a: float, b: jnp.ndarray, y0: jnp.ndarray):
     return y, y[..., -1]
 
 
+def first_order_combine(e1, e2):
+    """Associative combine of ``(a, b)`` recurrence elements — the single
+    source for every first-order scan in the package (the distributed
+    variant in :mod:`iq_to_audio_tpu.parallel.sharded` uses it too, so a
+    numerical change here propagates everywhere)."""
+    a1, b1 = e1
+    a2, b2 = e2
+    return a1 * a2, a2 * b1 + b2
+
+
 def first_order_scan(a: jnp.ndarray, b: jnp.ndarray, y0: jnp.ndarray):
     """Evaluate ``y[n] = a[n]*y[n-1] + b[n]`` along the last axis.
 
     ``y0`` is the carried ``y[-1]`` (shape = batch shape of ``a``/``b``
     without the scan axis).  Returns ``(y, y_last)``.
     """
-
-    def combine(e1, e2):
-        a1, b1 = e1
-        a2, b2 = e2
-        return a1 * a2, a2 * b1 + b2
-
-    cum_a, cum_b = lax.associative_scan(combine, (a, b), axis=-1)
+    cum_a, cum_b = lax.associative_scan(first_order_combine, (a, b), axis=-1)
     y = cum_a * jnp.asarray(y0)[..., None] + cum_b
     return y, y[..., -1]
 
@@ -137,10 +141,21 @@ def feedback_agc(
     the gain is carried across chunks so chunked output equals whole-signal
     output.  Returns ``(y, gain_last)``.
     """
+    a, b = agc_coefficients(x, target, decay, eps)
+    g, g_last = first_order_scan(a, b, gain0)
+    return x * g, g_last
+
+
+def agc_coefficients(x: jnp.ndarray, target: float, decay: float, eps: float = 1e-6):
+    """``(a, b)`` of the feedback-AGC linear recurrence (see
+    :func:`feedback_agc`) — shared with the distributed AGC in
+    :mod:`iq_to_audio_tpu.parallel.sharded` so the masking/eps semantics
+    cannot drift between the serial and sharded paths."""
     mag = jnp.abs(x)
     valid = mag > jnp.float32(eps)
     decay = jnp.float32(decay)
     a = jnp.where(valid, jnp.float32(1.0) - decay, jnp.float32(1.0))
-    b = jnp.where(valid, decay * jnp.float32(target) / jnp.maximum(mag, eps), jnp.float32(0.0))
-    g, g_last = first_order_scan(a, b, gain0)
-    return x * g, g_last
+    b = jnp.where(
+        valid, decay * jnp.float32(target) / jnp.maximum(mag, eps), jnp.float32(0.0)
+    )
+    return a, b

@@ -22,7 +22,7 @@ Output counts per chunk are computed exactly on the host
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from fractions import Fraction
 
 import numpy as np
@@ -36,7 +36,12 @@ TAPS_PER_PHASE = 32
 # Exact ratios are used whenever the (up, down+K-1) conv kernel fits this
 # budget; beyond it the ratio is approximated (with a loud ppm warning).
 _MAX_KERNEL_BYTES = 16 << 20
-_FALLBACK_DENS = (8192, 4096, 2048, 1024, 512)
+#: denominator caps tried in order when the exact ratio's kernel exceeds
+#: the budget.  The ladder runs all the way to 1: kernel bytes are
+#: up*(down+K-1)*4, so a numerator-dominated (strong-upsampling) ratio only
+#: fits once the denominator is small enough that up*K*4 <= budget —
+#: stopping the ladder early used to keep a 100+ GB kernel and OOM.
+_FALLBACK_DENS = (8192, 4096, 2048, 1024, 512, 128, 32, 8, 2, 1)
 
 
 @dataclass(frozen=True)
@@ -47,6 +52,9 @@ class ResamplePlan:
     down: int
     in_size: int  # input samples per chunk (static)
     taps_per_phase: int = TAPS_PER_PHASE
+    #: diagnostic only (excluded from eq/hash so jit-static identity is
+    #: unchanged); a real field so ``dataclasses.replace`` preserves it
+    rate_error_ppm: float = field(default=0.0, compare=False)
 
     @property
     def identity(self) -> bool:
@@ -82,12 +90,6 @@ class ResamplePlan:
         alignment offset in [0, down]."""
         return (self.blocks_cap - 1) * self.down + self.kernel_width
 
-    @property
-    def rate_error_ppm(self) -> float:
-        """Output-rate error (ppm) of the realised ratio vs the requested one
-        (0.0 when the exact ratio was used)."""
-        return getattr(self, "_rate_error_ppm", 0.0)
-
     @staticmethod
     def create(input_rate: float, output_rate: float, in_size: int) -> "ResamplePlan":
         """Plan a rational resample.
@@ -114,8 +116,18 @@ class ResamplePlan:
         if kernel_bytes(exact) > _MAX_KERNEL_BYTES:
             for cap in _FALLBACK_DENS:
                 frac = exact.limit_denominator(cap)
-                if kernel_bytes(frac) <= _MAX_KERNEL_BYTES:
+                if frac.numerator > 0 and kernel_bytes(frac) <= _MAX_KERNEL_BYTES:
                     break
+            else:
+                # even up/1 does not fit: the requested upsampling factor
+                # alone exceeds the kernel budget — surface it instead of
+                # attempting a hundred-GB allocation
+                raise ValueError(
+                    f"Resample ratio {float(exact):g} "
+                    f"({output_rate:g}/{input_rate:g} Hz) cannot be realised "
+                    f"within the {_MAX_KERNEL_BYTES >> 20} MiB polyphase "
+                    "kernel budget."
+                )
         error_ppm = 0.0
         if frac != exact:
             realised = float(input_rate) * frac.numerator / frac.denominator
@@ -134,11 +146,12 @@ class ResamplePlan:
                 float(output_rate),
                 _MAX_KERNEL_BYTES >> 20,
             )
-        plan = ResamplePlan(
-            up=frac.numerator, down=frac.denominator, in_size=int(in_size)
+        return ResamplePlan(
+            up=frac.numerator,
+            down=frac.denominator,
+            in_size=int(in_size),
+            rate_error_ppm=error_ppm,
         )
-        object.__setattr__(plan, "_rate_error_ppm", error_ppm)
-        return plan
 
     # -- exact host-side bookkeeping ----------------------------------------
 

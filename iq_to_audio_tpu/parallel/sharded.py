@@ -34,22 +34,32 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..demod.nfm import polar_discriminant
+from ..demod.ssb import AGC_DECAY, AGC_TARGET_DBFS, DC_RADIUS
 from ..ops.ddc import DDCPlan, ddc_apply_il
+from ..ops.iir import agc_coefficients, first_order_combine, first_order_scan_const
 from ..ops.resample import ResamplePlan, polyphase_resample
 from ..pipeline.step import _device_scale
 
-try:  # jax >= 0.7 style
-    from jax import shard_map
+try:  # jax >= 0.7 exports it top-level
+    from jax import shard_map as _sm
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _sm
 
-    def _shard_map(f, mesh, in_specs, out_specs):
-        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                         check_vma=False)
-except (ImportError, TypeError):  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map as _esm
+# probe the replication-check kwarg by signature — a call-time TypeError
+# could never reach the except above (check_vma on current jax, check_rep
+# on the experimental/older API)
+import inspect as _inspect
 
-    def _shard_map(f, mesh, in_specs, out_specs):
-        return _esm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                    check_rep=False)
+_SM_KW = (
+    {"check_vma": False}
+    if "check_vma" in _inspect.signature(_sm).parameters
+    else {"check_rep": False}
+)
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **_SM_KW)
 
 
 def _left_halo(x: jnp.ndarray, width: int, fallback: jnp.ndarray, axis_name: str):
@@ -65,25 +75,10 @@ def _left_halo(x: jnp.ndarray, width: int, fallback: jnp.ndarray, axis_name: str
     return jnp.where(idx == 0, fallback, received)
 
 
-def distributed_first_order_scan(a, b, y0, axis_name: str):
-    """``y[n] = a[n]*y[n-1] + b[n]`` across shards of the last axis.
-
-    ``y0`` is the global initial state (replicated).  Returns
-    ``(y_local, y_global_last)`` with ``y_global_last`` replicated.
-    """
-
-    def combine(e1, e2):
-        a1, b1 = e1
-        a2, b2 = e2
-        return a1 * a2, a2 * b1 + b2
-
-    cum_a, cum_b = lax.associative_scan(combine, (a, b), axis=-1)
-    a_tot = cum_a[..., -1]
-    b_tot = cum_b[..., -1]
-    n = lax.axis_size(axis_name)
-    if n == 1:
-        y = cum_a * jnp.asarray(y0)[..., None] + cum_b
-        return y, y[..., -1]
+def _prefix_fold(a_tot, b_tot, y0, axis_name: str):
+    """Replicated O(n_shards) stitch of a distributed first-order scan:
+    fold the per-shard ``(a_tot, b_tot)`` summaries into each shard's
+    incoming state ``y_in`` and the global last value."""
     gathered_a = lax.all_gather(a_tot, axis_name)  # (n, ...)
     gathered_b = lax.all_gather(b_tot, axis_name)
 
@@ -98,33 +93,67 @@ def distributed_first_order_scan(a, b, y0, axis_name: str):
         y_after, jnp.maximum(idx - 1, 0), axis=0, keepdims=False
     )
     y_in = jnp.where(idx == 0, jnp.asarray(y0), prev)
+    return y_in, y_last
+
+
+def distributed_first_order_scan(a, b, y0, axis_name: str):
+    """``y[n] = a[n]*y[n-1] + b[n]`` across shards of the last axis.
+
+    ``y0`` is the global initial state (replicated).  Returns
+    ``(y_local, y_global_last)`` with ``y_global_last`` replicated.
+    The combine is :func:`iq_to_audio_tpu.ops.iir.first_order_combine` —
+    the same element the serial scans use.
+    """
+    cum_a, cum_b = lax.associative_scan(first_order_combine, (a, b), axis=-1)
+    if lax.axis_size(axis_name) == 1:
+        y = cum_a * jnp.asarray(y0)[..., None] + cum_b
+        return y, y[..., -1]
+    y_in, y_last = _prefix_fold(cum_a[..., -1], cum_b[..., -1], y0, axis_name)
     y = cum_a * y_in[..., None] + cum_b
     return y, y_last
 
 
+def distributed_first_order_scan_const(alpha: float, b, y0, axis_name: str):
+    """Constant-coefficient distributed scan.
+
+    The local segment runs :func:`~iq_to_audio_tpu.ops.iir.first_order_scan_const`
+    (MXU block matmuls — ``associative_scan``'s recursive halving compiles
+    shard-length-proportional executables on TPU, the exact pathology
+    ops/iir.py:29-47 documents); only the O(n_shards) prefix stitch is
+    distributed.  ``cum_a`` has the closed form ``alpha**(k+1)``, so no
+    coefficient array is materialised at all.
+    """
+    n_loc = b.shape[-1]
+    alpha_t = jnp.asarray(alpha, b.dtype)
+    zero = jnp.zeros(b.shape[:-1], b.dtype)
+    y_local, b_tot = first_order_scan_const(alpha, b, zero)  # y with y_in = 0
+    ramp = alpha_t ** jnp.arange(1, n_loc + 1, dtype=b.dtype)  # alpha^(k+1)
+    if lax.axis_size(axis_name) == 1:
+        y = y_local + ramp * jnp.asarray(y0)[..., None]
+        return y, y[..., -1]
+    a_tot = jnp.broadcast_to(alpha_t**n_loc, b_tot.shape)
+    y_in, y_last = _prefix_fold(a_tot, b_tot, y0, axis_name)
+    y = y_local + ramp * y_in[..., None]
+    return y, y_last
+
+
 def _dist_deemph(x, alpha: float, y0, axis_name: str):
-    alpha = jnp.float32(alpha)
-    a = jnp.broadcast_to(alpha, x.shape)
-    b = (jnp.float32(1.0) - alpha) * x
-    return distributed_first_order_scan(a, b, y0, axis_name)
+    b = (jnp.float32(1.0) - jnp.float32(alpha)) * x
+    return distributed_first_order_scan_const(alpha, b, y0, axis_name)
 
 
 def _dist_dc_blocker(x, radius: float, x_prev, y_prev, axis_name: str):
     prev = _left_halo(x, 1, jnp.asarray(x_prev)[..., None], axis_name)
     u = x - jnp.concatenate([prev[..., -1:], x[..., :-1]], axis=-1)
-    r = jnp.broadcast_to(jnp.float32(radius), x.shape)
-    y, y_last = distributed_first_order_scan(r, u, y_prev, axis_name)
+    y, y_last = distributed_first_order_scan_const(radius, u, y_prev, axis_name)
     n = lax.axis_size(axis_name)
     x_last = lax.all_gather(x[..., -1], axis_name)[n - 1]
     return y, (x_last, y_last)
 
 
 def _dist_agc(x, target: float, decay: float, gain0, axis_name: str, eps=1e-6):
-    mag = jnp.abs(x)
-    valid = mag > jnp.float32(eps)
-    decay = jnp.float32(decay)
-    a = jnp.where(valid, jnp.float32(1.0) - decay, jnp.float32(1.0))
-    b = jnp.where(valid, decay * jnp.float32(target) / jnp.maximum(mag, eps), jnp.float32(0.0))
+    # same coefficient construction as the serial feedback_agc (ops/iir.py)
+    a, b = agc_coefficients(x, target, decay, eps)
     g, g_last = distributed_first_order_scan(a, b, gain0, axis_name)
     return x * g, g_last
 
@@ -140,9 +169,11 @@ def build_sharded_step(
     mode: str = "nfm",
     deemph_alpha: float = 0.9659,
     agc_enabled: bool = True,
-    dc_radius: float = 0.995,
-    agc_target: float = 0.2511886431509580,
-    agc_decay: float = 0.001,
+    # defaults imported from the serial SSB decoder so the two paths
+    # share one source of truth (demod/ssb.py)
+    dc_radius: float = DC_RADIUS,
+    agc_target: float = 10.0 ** (AGC_TARGET_DBFS / 20.0),
+    agc_decay: float = AGC_DECAY,
     captures: int = 1,
     j_lanes: int = 1,
 ):
@@ -210,7 +241,10 @@ def build_sharded_step(
         )
         nseq = lax.axis_size("seq")
         phase_next = state["phase"] + inc_lo * jnp.uint32(N // D)
-        fir_tail_next = lax.all_gather(f[..., -2 * (L - 1) :], "seq", axis=0)[nseq - 1]
+        # L == 1 means an empty tail — f[..., -0:] would be the WHOLE shard
+        # (same guard as ddc_apply_il's own tail slice, ops/ddc.py)
+        tail_src = f[..., -2 * (L - 1) :] if L > 1 else f[..., :0]
+        fir_tail_next = lax.all_gather(tail_src, "seq", axis=0)[nseq - 1]
         if captures > 1:
             fir_tail_next = fir_tail_next[None]
         new_state = {"phase": phase_next, "fir_tail": fir_tail_next}
@@ -225,9 +259,7 @@ def build_sharded_step(
             )
             sr = jnp.concatenate([prev_pair[0][..., -1:], yr[..., :-1]], axis=-1)
             si = jnp.concatenate([prev_pair[1][..., -1:], yi[..., :-1]], axis=-1)
-            pr = yr * sr + yi * si
-            pi = yi * sr - yr * si
-            demod = jnp.arctan2(pi, pr).astype(jnp.float32)
+            demod = polar_discriminant(yr, yi, sr, si)
             audio_ch, y_last = _dist_deemph(demod, deemph_alpha, state["deemph_y"], "seq")
             new_state["demod_prev_r"] = lax.all_gather(yr[..., -1], "seq")[nseq - 1]
             new_state["demod_prev_i"] = lax.all_gather(yi[..., -1], "seq")[nseq - 1]

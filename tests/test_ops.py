@@ -436,6 +436,23 @@ class TestResampler:
         assert abs(plan.up / plan.down - 48_000 / 96_153) < 1e-6
         assert plan.rate_error_ppm != 0.0
 
+    def test_upsampling_dominated_ratio_respects_budget(self):
+        """Numerator-dominated (strong upsampling) ratios must honor the
+        kernel budget too — capping only the denominator used to keep a
+        100+ GB kernel and a misleading 'approximated' warning."""
+        from dataclasses import replace
+
+        plan = ResamplePlan.create(997.0, 96_000_000.0, in_size=1024)
+        assert plan.up * (plan.down + plan.taps_per_phase - 1) * 4 <= 16 << 20
+        assert abs(plan.up / plan.down - 96_000_000.0 / 997.0) / (
+            96_000_000.0 / 997.0
+        ) < 1e-3
+        # the diagnostic survives dataclasses.replace (a real field now)
+        assert replace(plan, in_size=2048).rate_error_ppm == plan.rate_error_ppm
+        # a ratio that cannot fit even as up/1 raises instead of OOMing
+        with pytest.raises(ValueError, match="kernel budget"):
+            ResamplePlan.create(1.0, 1e9, in_size=4)
+
 
 class TestFFTChannelizer:
     """IQ2A_CHANNELIZER=fft: the overlap-save bank must match the conv DDC."""

@@ -122,6 +122,45 @@ def test_sharded_matches_single_device(mode):
         assert err < -55.0, (mode, k, err)
 
 
+def test_sharded_single_tap_filter_carries_empty_tail():
+    """num_taps == 1: the carried FIR tail is EMPTY — the tail slice
+    ``f[..., -2*(L-1):]`` would grab the whole shard without the L > 1
+    guard (mirrors ddc_apply_il's own) and crash the second step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, dp=2)
+    ddc_plan = plan_for_mesh(num_taps=1, decimation=4, seq=4, target_chunk=4096)
+    fn, init = build_sharded_step(
+        mesh,
+        ddc_plan=ddc_plan,
+        rs_plan=None,
+        num_channels=2,
+        codec="pcm_s16le",
+        mode="nfm",
+        deemph_alpha=0.9,
+    )
+    incs_list = [nco_increment_fixed(1_000.0, 384_000.0), 0]
+    taps = np.ones(1)
+    ddc_k = jax.device_put(
+        interleave_kernel(bandpass_kernel(taps, incs_list), "iq"),
+        NamedSharding(mesh, P("dp", None, None)),
+    )
+    incs_sh = jax.device_put(
+        np.asarray(incs_list, np.uint32), NamedSharding(mesh, P("dp"))
+    )
+    rng = np.random.default_rng(0)
+    raw = jax.device_put(
+        rng.integers(-1000, 1000, 2 * ddc_plan.chunk_size).astype("<i2"),
+        NamedSharding(mesh, P("seq")),
+    )
+    state = init()
+    assert state["fir_tail"].shape == (0,)
+    for _ in range(2):  # the second step is the one that used to crash
+        state, audio = fn(state, raw, 0, incs_sh, ddc_k, jnp.zeros((1,)))
+    assert state["fir_tail"].shape == (0,)
+    assert np.isfinite(np.asarray(audio)).all()
+
+
 def test_sharded_flagship_geometry():
     """VERDICT round-2 item 4: the sharded step at the FLAGSHIP geometry —
     2.5 MS/s, decimation 26, the real 1601-tap channel filter, exact
