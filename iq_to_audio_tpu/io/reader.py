@@ -56,7 +56,12 @@ def convert_to_complex(raw: np.ndarray, codec: str, iq_order: str = "iq") -> np.
 
     pair = convert_deinterleave(raw, codec, iq_order)
     if pair is not None:
-        return (pair[0] + 1j * pair[1]).astype(np.complex64)
+        # assemble in place: pair is float32, so one complex64 allocation
+        # and two stride-2 stores — no complex temporaries on the hot path
+        out = np.empty(pair[0].shape, dtype=np.complex64)
+        out.real = pair[0]
+        out.imag = pair[1]
+        return out
     if codec == "pcm_u8":
         f = (raw.astype(np.float32) - 128.0) * np.float32(1.0 / 128.0)
     elif codec == "pcm_s16le":
@@ -104,6 +109,7 @@ class IQReader:
         self._payload_size = 0
         self._fd = None
         self._queue: queue.Queue | None = None
+        self._eof = False  # prefetch-mode sentinel already consumed
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
         self._error: BaseException | None = None
@@ -137,6 +143,7 @@ class IQReader:
         self._fd = self.path.open("rb", buffering=0)
         self._fd.seek(self._payload_offset)
         self._remaining = self._payload_size
+        self._eof = False
         self._stop.clear()
         if self.prefetch_depth > 0:
             self._queue = queue.Queue(maxsize=self.prefetch_depth)
@@ -208,26 +215,45 @@ class IQReader:
             return None
         want = min(self.chunk_size * frame_bytes, self._remaining)
         arr = np.empty(want // self._dtype.itemsize, dtype=self._dtype)
-        got = self._fd.readinto(memoryview(arr).cast("B"))
+        # refill until full or true EOF: a single readinto can return short
+        # on NFS/FUSE or for very large requests, and treating that as the
+        # block end would drop partial-frame bytes mid-stream (every later
+        # frame then starts mid-pair — silent I/Q swap for the rest of the
+        # capture)
+        view = memoryview(arr).cast("B")
+        got = 0
+        while got < want:
+            n = self._fd.readinto(view[got:])
+            if not n:
+                break
+            got += n
         if not got:
             self._remaining = 0
             return None
         self._remaining -= got
         usable = got - (got % frame_bytes)
         if usable <= 0:
+            self._remaining = 0  # truncated final frame: genuine EOF
             return None
         if usable == want:
             return arr
         return arr[: usable // self._dtype.itemsize]
 
     def read_block_raw(self) -> np.ndarray | None:
-        """Next raw interleaved block (dtype per codec), or None at EOF."""
+        """Next raw interleaved block (dtype per codec), or None at EOF.
+
+        Idempotent at EOF in both modes: the prefetch queue holds a single
+        sentinel, so a consumed-EOF flag keeps later calls returning None
+        instead of blocking on the empty queue forever."""
         if self._fd is None:
             raise RuntimeError("IQReader has not been entered.")
         if self._queue is None:
             return self._read_block_owned()
+        if self._eof:
+            return None
         item = self._queue.get()
         if item is _SENTINEL:
+            self._eof = True
             if self._error is not None:
                 raise RuntimeError(f"IQ read failed: {self._error}") from self._error
             return None

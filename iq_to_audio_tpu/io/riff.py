@@ -16,9 +16,12 @@ throw at us:
 
 from __future__ import annotations
 
+import logging
 import struct
 from dataclasses import dataclass, field
 from pathlib import Path
+
+LOG = logging.getLogger(__name__)
 
 _WAVE_FORMAT_PCM = 0x0001
 _WAVE_FORMAT_IEEE_FLOAT = 0x0003
@@ -121,7 +124,15 @@ def parse_wav_header(path: Path | str) -> WavInfo:
                 if list_type == b"INFO":
                     _parse_info_list(f, body + 4, min(csize - 4, 1 << 20), tags)
 
-            advance = csize + (csize & 1)  # chunks are word-aligned
+            step = csize
+            if cid == b"data" and is_rf64 and csize == 0xFFFFFFFF:
+                if ds64_data_size is None:
+                    break  # no ds64: data runs to EOF, nothing follows
+                # advance by the TRUE 64-bit size — stepping by the 32-bit
+                # placeholder would land the scan inside the payload on
+                # >4 GiB captures and random-walk over IQ bytes
+                step = ds64_data_size
+            advance = step + (step & 1)  # chunks are word-aligned
             if cid == b"data" and (csize == 0 or csize == 0xFFFFFFFF) and not is_rf64:
                 break  # placeholder size: data runs to EOF, nothing follows
             pos = body + advance
@@ -220,11 +231,13 @@ class WavStreamWriter:
                     f"{info.codec}@{info.sample_rate}x{info.channels} does not match."
                 )
             self._data_bytes = info.data_size
+            self._data_offset = info.data_offset
             self._fd = self.path.open("r+b")
             self._fd.seek(info.data_offset + info.data_size)
         else:
             self._fd = self.path.open("wb")
             self._write_header(0)
+            self._data_offset = 44  # canonical RIFF/fmt/data layout
 
     def _write_header(self, data_size: int) -> None:
         bits = self._bits
@@ -261,11 +274,31 @@ class WavStreamWriter:
             self.write_raw(np.round((scaled + 1.0) * 127.5).astype(np.uint8).tobytes())
 
     def close(self) -> None:
+        """Patch the two size fields in place.
+
+        Only the RIFF size (offset 4) and the data size (data_offset - 4)
+        are touched — an appended file may carry LIST/INFO or extensible
+        fmt chunks before data, and rewriting a canonical 44-byte header
+        over them would shift the stream.  Payloads past the 32-bit RIFF
+        limit get placeholder sizes (this parser, ffmpeg -ignore_length
+        and most SDR tools read such data chunks to EOF)."""
         if self._fd is None:
             return
         try:
-            self._fd.seek(0)
-            self._write_header(self._data_bytes)
+            riff_size = self._data_offset - 8 + self._data_bytes
+            data_size = self._data_bytes
+            if riff_size > 0xFFFFFFFE:
+                LOG.warning(
+                    "%s payload (%d bytes) exceeds the 32-bit RIFF limit; "
+                    "writing placeholder sizes (data runs to EOF).",
+                    self.path,
+                    self._data_bytes,
+                )
+                riff_size = data_size = 0xFFFFFFFF
+            self._fd.seek(4)
+            self._fd.write(struct.pack("<I", riff_size))
+            self._fd.seek(self._data_offset - 4)
+            self._fd.write(struct.pack("<I", data_size))
         finally:
             self._fd.close()
             self._fd = None

@@ -33,20 +33,22 @@ class AudioWriter:
     def __init__(
         self,
         output_path: Path,
-        input_rate: float,
         *,
         output_rate: int = 48_000,
         append: bool = False,
         threaded: bool = False,
     ):
         self.output_path = Path(output_path)
-        self.input_rate = float(input_rate)
         self.output_rate = int(output_rate)
         self.peak = 0.0
         self._writer = WavStreamWriter(
             self.output_path, self.output_rate, 1, "pcm_s16le", append=append
         )
-        self._queue: queue.SimpleQueue = queue.SimpleQueue()
+        # bounded: a disk slower than the DSP loop must apply backpressure
+        # (block the producer) instead of growing payload copies without
+        # limit — the reference's SimpleQueue relied on ffmpeg's stdin pipe
+        # for the same effect
+        self._queue: queue.Queue = queue.Queue(maxsize=64)
         self._error: BaseException | None = None
         self._closed = False
         # synchronous by default: writes land once per accumulation window
@@ -137,7 +139,16 @@ class AudioWriter:
         if self._thread is not None:
             self._queue.put(None)
             if self._thread.is_alive():
-                self._thread.join(timeout=10)
+                self._thread.join(timeout=60)
+            if self._thread.is_alive():
+                # NEVER patch the header while the drain thread may still
+                # be writing payload bytes on the same fd — leave the
+                # placeholder sizes (readers treat data as running to EOF)
+                # and surface the condition instead of corrupting the file
+                self._error = self._error or RuntimeError(
+                    "audio drain thread did not finish within 60 s"
+                )
+                raise RuntimeError("audio writer failed") from self._error
         self._writer.close()
         if self._error:
             raise RuntimeError("audio writer failed") from self._error

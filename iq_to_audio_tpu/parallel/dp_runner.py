@@ -239,7 +239,7 @@ def run_captures_dp(
             ]
         elif len(outs) == 1 and K > 1:
             outs = [_annotate(Path(outs[0]), f) for f in job.target_freqs]
-        ws = [AudioWriter(Path(p), _OUTPUT_RATE) for p in outs]
+        ws = [AudioWriter(Path(p)) for p in outs]
         writers.append(ws)
 
     # --- aligned streaming loop ------------------------------------------------

@@ -546,7 +546,7 @@ class ProcessingPipeline:
                     ]
                 else:
                     audio_writers = [
-                        AudioWriter(p, _OUTPUT_RATE, append=appending)
+                        AudioWriter(p, append=appending)
                         for p in output_paths
                     ]
                 all_writers.extend(iq_writers)

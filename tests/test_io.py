@@ -120,6 +120,51 @@ class TestRiff:
         path.write_bytes(b"RF64" + struct.pack("<I", len(body)) + body)
         info = parse_wav_header(path)
         assert info.num_frames == frames
+        # the scan advanced by the ds64 size (not the 32-bit placeholder),
+        # so the trailing INFO tags were found and parsed
+        assert info.tags.get("comment") == "x" * 32
+
+    def test_append_preserves_noncanonical_layout(self, tmp_path):
+        """Appending to a WAV whose data chunk is NOT at offset 44 (e.g. a
+        LIST/INFO chunk first) must patch sizes in place, not rewrite a
+        canonical header over the tag chunk."""
+        path = tmp_path / "tagged.wav"
+        fmt = struct.pack("<HHIIHH", 1, 1, 48_000, 48_000 * 2, 2, 16)
+        comment = b"center_frequency=145000000"
+        info_chunk = b"ICMT" + struct.pack("<I", len(comment)) + comment
+        list_chunk = b"LIST" + struct.pack("<I", 4 + len(info_chunk)) + b"INFO" + info_chunk
+        first = np.arange(10, dtype="<i2").tobytes()
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + list_chunk
+            + b"data" + struct.pack("<I", len(first)) + first
+        )
+        path.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+        before = parse_wav_header(path)
+        assert before.data_offset > 44
+        w = WavStreamWriter(path, 48_000, 1, "pcm_s16le", append=True)
+        w.write_raw(np.arange(10, 16, dtype="<i2").tobytes())
+        w.close()
+        after = parse_wav_header(path)
+        assert after.data_offset == before.data_offset
+        assert after.num_frames == 16
+        assert after.tags.get("comment") == "center_frequency=145000000"
+        payload = path.read_bytes()[after.data_offset :]
+        assert np.frombuffer(payload[:32], "<i2").tolist() == list(range(16))
+
+    def test_huge_payload_gets_placeholder_sizes(self, tmp_path):
+        """Past the 32-bit RIFF limit the close writes placeholder sizes
+        (readers treat the data chunk as running to EOF) instead of
+        crashing in struct.pack."""
+        path = tmp_path / "huge.wav"
+        w = WavStreamWriter(path, 48_000, 1, "pcm_s16le")
+        w.write_raw(np.zeros(100, "<i2").tobytes())
+        w._data_bytes = 0x1_0000_0001  # simulate >4 GiB written
+        w.close()  # must not raise
+        info = parse_wav_header(path)
+        assert info.declared_data_size == 0xFFFFFFFF
+        assert info.num_frames == 100  # effective size: data to EOF
 
     def test_info_tags_parsed(self, tmp_path):
         path = tmp_path / "t.wav"
@@ -150,6 +195,20 @@ class TestReader:
         got = np.concatenate(blocks)
         assert got.size == iq.size
         assert np.abs(got - iq).max() < 1e-3  # s16 quantisation
+
+    def test_read_block_raw_idempotent_at_eof(self, tmp_path):
+        """With prefetch enabled the EOF sentinel is consumed once; later
+        calls must keep returning None instead of blocking forever."""
+        fs = 96_000
+        iq = make_tone_iq(fs, 0.05, 1000.0)
+        path = tmp_path / "eof.wav"
+        write_stereo_wav(path, np.column_stack([iq.real, iq.imag]), fs)
+        spec = get_format("wav", "pcm_s16le")
+        with IQReader(path, 1024, "iq", spec, prefetch_depth=2) as reader:
+            while reader.read_block_raw() is not None:
+                pass
+            assert reader.read_block_raw() is None  # used to hang here
+            assert reader.read_block_raw() is None
 
     @pytest.mark.parametrize(
         "codec,suffix,dtype,encode",
@@ -204,7 +263,7 @@ class TestReader:
 class TestWriters:
     def test_audio_writer_peak_and_output(self, tmp_path):
         path = tmp_path / "a.wav"
-        w = AudioWriter(path, 48_000.0)
+        w = AudioWriter(path)
         x = np.sin(2 * np.pi * np.arange(4800) * 1000 / 48_000).astype(np.float32) * 0.8
         w.write(x)
         w.close()
