@@ -45,15 +45,25 @@ _dft_cache: dict[int, tuple] = {}
 
 
 def _dft_basis(nfft: int):
-    """(cos, sin) of the symmetric DFT matrix W[n,k] = exp(-2πi·nk/N)."""
+    """(cos, sin) of the symmetric DFT matrix W[n,k] = exp(-2πi·nk/N),
+    cached as DEVICE arrays so streaming callers upload the basis once per
+    nfft, not once per block."""
     hit = _dft_cache.get(nfft)
     if hit is None:
+        import jax.numpy as jnp
+
         k = np.arange(nfft, dtype=np.float64)
         # reduce n·k mod N before scaling so the trig arguments stay small
         ang = (-2.0 * np.pi / nfft) * (np.outer(k, k) % nfft)
-        hit = (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+        hit = (
+            jnp.asarray(np.cos(ang).astype(np.float32)),
+            jnp.asarray(np.sin(ang).astype(np.float32)),
+        )
         _dft_cache[nfft] = hit
     return hit
+
+
+_dft_apply = None  # module-level so jax's jit cache persists across blocks
 
 
 def _dft_matmul(x: np.ndarray, nfft: int) -> np.ndarray:
@@ -68,15 +78,21 @@ def _dft_matmul(x: np.ndarray, nfft: int) -> np.ndarray:
 
     cos_b, sin_b = _dft_basis(nfft)
 
-    @jax.jit
-    def _apply(xr, xi, c, s):
-        hi = lax.Precision.HIGHEST
-        # (xr + j·xi) @ (c + j·s), expanded into real arithmetic
-        re = jnp.dot(xr, c, precision=hi) - jnp.dot(xi, s, precision=hi)
-        im = jnp.dot(xr, s, precision=hi) + jnp.dot(xi, c, precision=hi)
-        return re, im
+    global _dft_apply
+    if _dft_apply is None:
+        # defined ONCE: a fresh closure per call would miss jax's jit cache
+        # (keyed on the function object) and retrace every block
+        @jax.jit
+        def _apply(xr, xi, c, s):
+            hi = lax.Precision.HIGHEST
+            # (xr + j·xi) @ (c + j·s), expanded into real arithmetic
+            re = jnp.dot(xr, c, precision=hi) - jnp.dot(xi, s, precision=hi)
+            im = jnp.dot(xr, s, precision=hi) + jnp.dot(xi, c, precision=hi)
+            return re, im
 
-    re, im = _apply(
+        _dft_apply = _apply
+
+    re, im = _dft_apply(
         jnp.asarray(np.real(x), dtype=jnp.float32),
         jnp.asarray(np.imag(x), dtype=jnp.float32),
         cos_b,
@@ -189,6 +205,9 @@ def _windowed_blocks(
     """Yield ``(start_sample, (num_windows, nfft))`` arrays, carrying the
     unconsumed tail of each block into the next so no window is lost at
     block boundaries."""
+    # invariant: ``cursor`` is the GLOBAL sample index of block[0] (and of
+    # carry[0] between iterations) — each yielded window w therefore starts
+    # at cursor + w*hop, which is what the waterfall time axis stamps
     carry = np.empty(0, dtype=np.complex64)
     cursor = 0
     for chunk in chunks:
@@ -199,18 +218,15 @@ def _windowed_blocks(
             continue
         if carry.size:
             block = np.concatenate((carry, block))
-            cursor -= carry.size
         if block.size < nfft:
-            carry = block
-            cursor += block.size
+            carry = block  # still starts at cursor
             continue
         num = (block.size - nfft) // hop + 1
         gather = np.arange(num)[:, None] * hop + np.arange(nfft)[None, :]
         yield cursor, block[gather]
-        carry = block[num * hop :]
-        cursor += block.size - carry.size
-        if carry.size > nfft:
-            carry = carry[-nfft:]
+        consumed = num * hop
+        carry = block[consumed:]  # keeps the (nfft - hop)-sample overlap
+        cursor += consumed
 
 
 class _SliceStore:

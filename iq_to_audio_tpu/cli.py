@@ -632,9 +632,21 @@ def _run_multi_capture(
     import jax
 
     paths = args.input_paths
+    # per-capture disambiguation tags: input stems, made unique when two
+    # captures share a filename (day1/cap.wav + day2/cap.wav must not
+    # silently write to the same output)
+    tags: list[str] = []
+    for i, p in enumerate(paths):
+        tag = p.stem
+        if sum(1 for q in paths if q.stem == tag) > 1:
+            tag = f"{tag}{i + 1}"
+        tags.append(tag)
+    demod = "usb" if args.demod == "ssb" else args.demod  # documented alias
     n_dev = len(jax.devices())
+    burst = bool(args.burst_segments and args.burst_segments > 1)
     dp_ok = (
         frequencies
+        and not burst  # an explicit burst request wins over the dp mesh path
         and n_dev >= len(paths)
         and n_dev % len(paths) == 0
         and not args.probe_only
@@ -643,33 +655,33 @@ def _run_multi_capture(
         and args.plot_stages is None
         and not args.resume
         and not args.checkpoint_secs
-        and args.demod in {"nfm", "fm", "am", "usb", "lsb"}
+        and demod in {"nfm", "am", "usb", "lsb"}
     )
     if dp_ok:
         from .parallel.dp_runner import CaptureJob, run_captures_dp
 
-        def _outs(p: Path) -> list[Path]:
+        def _outs(tag: str) -> list[Path]:
             if args.output_path is None:
                 return []
             base = args.output_path
-            return [base.with_name(f"{base.stem}_{p.stem}{base.suffix}")]
+            return [base.with_name(f"{base.stem}_{tag}{base.suffix}")]
 
         jobs = [
             CaptureJob(
                 in_path=p,
                 target_freqs=list(frequencies),
-                output_paths=_outs(p),
+                output_paths=_outs(tag),
                 center_freq=args.center_freq,
                 input_format=args.input_format,
                 input_sample_rate=args.input_sample_rate,
             )
-            for p in paths
+            for p, tag in zip(paths, tags)
         ]
         try:
             res = run_captures_dp(
                 jobs,
                 bandwidth=args.bandwidth,
-                demod_mode=args.demod,
+                demod_mode=demod,
                 fs_ch_target=args.fs_ch,
                 deemph_us=args.deemph_us,
                 agc_enabled=args.agc_enabled,
@@ -694,24 +706,50 @@ def _run_multi_capture(
 
     rc = 0
     out_base = args.output_path
-    for p in paths:
-        args.input_path = p
-        if out_base is not None:
-            args.output_path = out_base.with_name(
-                f"{out_base.stem}_{p.stem}{out_base.suffix}"
-            )
-        config = _build_batched_config(args, frequencies, shared_kwargs)
-        LOG.info("=== Processing capture %s ===", p)
-        try:
-            ProcessingPipeline(config).run(progress_sink=make_sink())
-        except ProcessingCancelled:
-            LOG.info("Processing cancelled by user.")
-            return 0
-        except Exception as exc:
-            LOG.error("Processing failed for %s: %s", p, exc)
-            if args.verbose:
-                LOG.exception("Debug traceback")
-            rc = 1
+    dump_base = args.dump_iq
+    plot_base = args.plot_stages
+    hetero_ex = None
+    if burst:
+        # an explicit --burst-segments applies to EVERY capture in the
+        # sequential loop (it used to be silently dropped with >1 --in)
+        from .pipeline.hetero import HeteroExecutor
+
+        hetero_ex = HeteroExecutor(
+            cpu_workers=max(0, args.burst_cpu_workers),
+            n_segments=args.burst_segments,
+        )
+
+    def _per_capture(base: Path | None, tag: str) -> Path | None:
+        """Shared artifact hints get a per-capture suffix — every capture
+        would otherwise overwrite the previous one's file."""
+        if base is None:
+            return None
+        return base.with_name(f"{base.stem}_{tag}{base.suffix}")
+
+    try:
+        for p, tag in zip(paths, tags):
+            args.input_path = p
+            args.output_path = _per_capture(out_base, tag)
+            args.dump_iq = _per_capture(dump_base, tag)
+            args.plot_stages = _per_capture(plot_base, tag)
+            config = _build_batched_config(args, frequencies, shared_kwargs)
+            LOG.info("=== Processing capture %s ===", p)
+            try:
+                if hetero_ex is not None:
+                    hetero_ex.run(config, progress_sink=make_sink())
+                else:
+                    ProcessingPipeline(config).run(progress_sink=make_sink())
+            except ProcessingCancelled:
+                LOG.info("Processing cancelled by user.")
+                return 0
+            except Exception as exc:
+                LOG.error("Processing failed for %s: %s", p, exc)
+                if args.verbose:
+                    LOG.exception("Debug traceback")
+                rc = 1
+    finally:
+        if hetero_ex is not None:
+            hetero_ex.close()
     return rc
 
 

@@ -115,8 +115,6 @@ def run_benchmark(
         raise ValueError("Benchmark duration must be positive.")
     if sample_rate <= 0:
         raise ValueError("Benchmark sample rate must be positive.")
-    if abs(freq_offset) >= sample_rate / 2.0:
-        raise ValueError("Benchmark offset must be within half the sample rate.")
 
     overrides: dict[str, Any] = dict(base_kwargs) if base_kwargs else {}
     mode = overrides.get("demod_mode")
@@ -124,6 +122,10 @@ def run_benchmark(
     center_freq, target_freq, offset = _resolve_freqs(
         center_freq, target_freq, freq_offset
     )
+    # validate the RESOLVED offset: --fc/--ft can imply an out-of-band
+    # tuning the raw freq_offset parameter never sees
+    if abs(offset) >= sample_rate / 2.0:
+        raise ValueError("Benchmark offset must be within half the sample rate.")
     LOG.info(
         "Running benchmark: %.2f s at %.2f MS/s, demod=%s, offset %.1f kHz",
         seconds,

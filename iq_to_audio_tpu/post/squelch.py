@@ -160,13 +160,15 @@ def _as_frames(audio: np.ndarray) -> np.ndarray:
 
 
 def _box_mean(x: np.ndarray, width: int) -> np.ndarray:
-    width = max(int(width), 1)
+    x = np.asarray(x, dtype=np.float32)
+    # cap at the signal length: convolve(mode="same") returns max(len, width)
+    # values, and a gain vector longer than the frames breaks broadcasting
+    # for sub-window-length clips
+    width = min(max(int(width), 1), max(x.size, 1))
     if width == 1:
-        return np.asarray(x, dtype=np.float32)
+        return x
     taps = np.full(width, 1.0 / width, dtype=np.float32)
-    return np.convolve(np.asarray(x, dtype=np.float32), taps, mode="same").astype(
-        np.float32
-    )
+    return np.convolve(x, taps, mode="same").astype(np.float32)
 
 
 def _envelope(frames: np.ndarray, width: int) -> np.ndarray:
@@ -233,7 +235,13 @@ def _hold_open(mask: np.ndarray, before: int, after: int) -> np.ndarray:
 
 
 def _fade_gain(mask: np.ndarray, fade: int) -> np.ndarray:
-    """Boolean mask -> float gain with triangular ramps at gate edges."""
+    """Boolean mask -> float gain with triangular ramps at gate edges.
+
+    Parity note: like the reference (``squelch.py:85-96``, same
+    max-normalised kernel + clip), the effective ramp saturates in
+    ~sqrt(2*fade) samples rather than ``fade`` — the clip of an
+    unnormalised triangular convolution IS the documented gate shape, so
+    it is kept bit-for-bit rather than "fixed" into a different curve."""
     gate = mask.astype(np.float32, copy=False)
     if fade <= 0:
         return gate
@@ -369,6 +377,7 @@ def _write_audio(path: Path, frames: np.ndarray, rate: float, codec: str | None)
 
 
 def process_audio_file(path: Path, options: AudioPostOptions) -> SquelchFileResult:
+    bytes_in = path.stat().st_size  # BEFORE overwrite mode rewrites the file
     data, sample_rate, codec = _read_audio(path)
     cleaned, floor_db, threshold_db = apply_squelch(
         data, float(sample_rate), options.config
@@ -390,7 +399,7 @@ def process_audio_file(path: Path, options: AudioPostOptions) -> SquelchFileResu
         samples_out=n_out,
         duration_in=n_in / float(sample_rate),
         duration_out=n_out / float(sample_rate),
-        bytes_in=path.stat().st_size,
+        bytes_in=bytes_in,
         bytes_out=out_path.stat().st_size,
         noise_floor_db=floor_db,
         threshold_db=threshold_db,

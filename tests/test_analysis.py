@@ -89,6 +89,25 @@ class TestWaterfall:
         hot = ref[1] > ref[1].max() - 80.0
         np.testing.assert_allclose(ref[1][hot], dev[1][hot], atol=0.3)
 
+    def test_window_starts_exact_across_chunks(self):
+        """Every yielded window's claimed start index must be the true
+        global position of its samples, whatever the chunk boundaries —
+        the old cursor accounting drifted earlier by carry.size per block
+        and stamped non-monotonic waterfall times."""
+        from iq_to_audio_tpu.analysis.spectrum import _windowed_blocks
+
+        nfft, hop = 8, 2
+        sig = (np.arange(100) + 1j * np.arange(100)).astype(np.complex64)
+        chunks = [sig[0:20], sig[20:45], sig[45:100]]
+        starts = []
+        for start, batch in _windowed_blocks(iter(chunks), nfft=nfft, hop=hop):
+            for k, win in enumerate(batch):
+                s = start + k * hop
+                starts.append(s)
+                np.testing.assert_array_equal(win, sig[s : s + nfft])
+        assert starts == list(range(0, starts[-1] + 1, hop))  # exact + monotonic
+        assert starts[-1] == 100 - nfft  # nothing lost at the tail
+
     def test_tail_carry_across_chunks(self):
         """Windows spanning chunk boundaries must be produced."""
         fs = 48_000.0

@@ -121,6 +121,41 @@ def test_multi_target_outputs(tmp_path, capture):
     assert (tmp_path / f"audio_{int(CENTER - 30_000)}.wav").exists()
 
 
+def test_multi_capture_same_stem_and_artifacts(tmp_path):
+    """Two --in captures with the SAME filename in different directories
+    must not clobber each other's outputs, and shared --dump-iq /
+    --plot-stages hints get per-capture suffixes instead of each capture
+    overwriting the previous one's artifacts."""
+    iq = make_nfm_iq(FS, 0.4, 25_000.0)
+    paths = []
+    for d in ("day1", "day2"):
+        sub = tmp_path / d
+        sub.mkdir()
+        p = sub / f"baseband_{int(CENTER)}Hz_cap.wav"
+        write_stereo_wav(p, np.column_stack([iq.real, iq.imag]), int(FS))
+        paths.append(p)
+    out = tmp_path / "audio.wav"
+    dump = tmp_path / "chan.cf32"
+    rc = main(
+        [
+            "--cli",
+            "--in", str(paths[0]),
+            "--in", str(paths[1]),
+            "--ft", str(int(TARGET)),
+            "--out", str(out),
+            "--dump-iq", str(dump),
+            "--mix-sign", "1",
+        ]
+    )
+    assert rc == 0
+    outs = sorted(q.name for q in tmp_path.glob("audio_*.wav"))
+    dumps = sorted(q.name for q in tmp_path.glob("chan_*.cf32"))
+    assert len(outs) == 2, outs  # unique per capture, no clobbering
+    assert len(dumps) == 2, dumps
+    for q in tmp_path.glob("chan_*.cf32"):
+        assert q.stat().st_size > 0
+
+
 def test_pass_through_demod_none(tmp_path, capture, capsys):
     out = tmp_path / "slice.wav"
     rc = main(

@@ -103,6 +103,30 @@ class TestBatch:
         summary = process_audio_batch([p], options)
         assert summary.results[0].output_path == p
 
+    def test_overwrite_reports_true_input_size(self, tmp_path):
+        """bytes_in must be captured BEFORE overwrite mode rewrites the
+        file, or every size delta reports zero."""
+        p = tmp_path / "rec.wav"
+        with WavStreamWriter(p, 16_000, 1, "pcm_s16le") as w:
+            w.write_float(make_burst_audio())
+        size_before = p.stat().st_size
+        options = AudioPostOptions(config=SquelchConfig(), overwrite=True)
+        summary = process_audio_batch([p], options)
+        r = summary.results[0]
+        assert r.bytes_in == size_before
+        assert r.bytes_out == p.stat().st_size
+        assert r.bytes_out < r.bytes_in  # trimming removed silence
+
+    def test_short_clip_does_not_crash(self, tmp_path):
+        """Clips shorter than the envelope smoothing window (40 ms default)
+        must process, not die on a gain/frames broadcast error."""
+        from iq_to_audio_tpu.post.squelch import apply_squelch
+
+        clip = np.full(1000, 0.5, np.float32)  # ~21 ms at 48 kHz
+        cleaned, floor_db, thr_db = apply_squelch(clip, 48_000.0, SquelchConfig())
+        assert cleaned.shape[0] <= clip.shape[0]
+        assert np.isfinite(floor_db) and np.isfinite(thr_db)
+
     def test_missing_path_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             gather_audio_targets(tmp_path / "nope", AudioPostOptions(config=SquelchConfig()))
