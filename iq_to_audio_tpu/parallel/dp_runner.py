@@ -167,18 +167,21 @@ def run_captures_dp(
     # --- per-capture mixer sign (host float64 probe) -------------------------
     signs = []
     chunk = ddc_plan.chunk_size
-    warm_blocks = {}
+    # the probe needs only a snippet (same cap as the serial warm-up,
+    # pipeline.py) — not a full converted chunk held for the whole run
+    probe_len = min(chunk, max(int(sample_rate * 0.05), 4 * len(taps), 131_072))
     for g, job in enumerate(jobs):
         if mix_sign_override is not None:
             signs.append(int(mix_sign_override))
             continue
         with IQReader(
-            Path(job.in_path), chunk, iq_order, specs[g],
+            Path(job.in_path), probe_len, iq_order, specs[g],
             sample_rate=sample_rate if specs[g].container == "raw" else None,
             prefetch_depth=0,
         ) as r:
             warm = r.read_block()
-        warm_blocks[g] = warm
+        if warm is None or warm.size == 0:
+            raise ValueError(f"Input {job.in_path} contains no samples.")
         signs.append(
             choose_mix_sign(warm, sample_rate, offsets[g][0], taps, decimation)
         )
@@ -211,7 +214,8 @@ def run_captures_dp(
         codec=codec,
         iq_order=iq_order,
         mode=demod_mode,
-        deemph_alpha=math.exp(-1.0 / (fs_channel * deemph_us * 1e-6)),
+        # same tau guard as the serial decoder (demod/nfm.py::setup)
+        deemph_alpha=math.exp(-1.0 / (fs_channel * max(deemph_us * 1e-6, 1e-6))),
         agc_enabled=agc_enabled,
         captures=G if G > 1 else 1,
         j_lanes=j_lanes,
@@ -239,10 +243,17 @@ def run_captures_dp(
             ]
         elif len(outs) == 1 and K > 1:
             outs = [_annotate(Path(outs[0]), f) for f in job.target_freqs]
+        if len(outs) != K:
+            raise ValueError(
+                f"{job.in_path}: {len(outs)} output path(s) for {K} target "
+                "frequencies — supply one shared path or one per target."
+            )
         ws = [AudioWriter(Path(p)) for p in outs]
         writers.append(ws)
 
     # --- aligned streaming loop ------------------------------------------------
+    # readers enter inside the try: a failed __enter__ (mono WAV, vanished
+    # file) must still close the already-open writers and earlier readers
     readers = [
         IQReader(
             Path(job.in_path), chunk, iq_order, specs[g],
@@ -251,9 +262,11 @@ def run_captures_dp(
         )
         for g, job in enumerate(jobs)
     ]
-    for r in readers:
-        r.__enter__()
+    entered: list[IQReader] = []
     try:
+        for r in readers:
+            r.__enter__()
+            entered.append(r)
         total_frames = min(r.total_frames for r in readers)
         if len({r.total_frames for r in readers}) > 1:
             LOG.warning(
@@ -293,8 +306,11 @@ def run_captures_dp(
             for g in range(G):
                 for k in range(K):
                     w = writers[g][k]
-                    seg = np.clip(audio_np[g * K + k, :count], -0.99, 0.99)
-                    w.peak = max(w.peak, float(np.abs(seg).max(initial=0.0)))
+                    raw_seg = audio_np[g * K + k, :count]
+                    # pre-clip peak (the single-capture path's contract:
+                    # the report must show the amplitude the clipper cost)
+                    w.peak = max(w.peak, float(np.abs(raw_seg).max(initial=0.0)))
+                    seg = np.clip(raw_seg, -0.99, 0.99)
                     w.write_s16(
                         np.round(seg * 32767.0).astype(np.int16)
                     )
@@ -306,16 +322,19 @@ def run_captures_dp(
             if extra > 0:
                 for g in range(G):
                     for k in range(K):
-                        seg = np.clip(
-                            last_audio[g * K + k, last_count : last_count + extra],
-                            -0.99,
-                            0.99,
+                        raw_seg = last_audio[
+                            g * K + k, last_count : last_count + extra
+                        ]
+                        writers[g][k].peak = max(
+                            writers[g][k].peak,
+                            float(np.abs(raw_seg).max(initial=0.0)),
                         )
+                        seg = np.clip(raw_seg, -0.99, 0.99)
                         writers[g][k].write_s16(
                             np.round(seg * 32767.0).astype(np.int16)
                         )
     finally:
-        for r in readers:
+        for r in entered:
             r.close()
         for ws in writers:
             for w in ws:

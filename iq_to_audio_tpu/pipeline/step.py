@@ -546,7 +546,13 @@ def build_chunk_step(
     else:
         channelizer = "conv"
     os_plan = None
-    pair_kernel_dev = jnp.asarray(ddc_kernel_np, dtype=jnp.float32)
+    # the pair kernel feeds ONLY the stage-snapshot path (conv channelizer +
+    # --plot-stages); skip the device upload for every other run
+    pair_kernel_dev = (
+        jnp.asarray(ddc_kernel_np, dtype=jnp.float32)
+        if want_stages and channelizer != "fft"
+        else None
+    )
     if channelizer == "fft":
         from ..ops.ddc import bank_from_kernel
         from ..ops.osfir import OverlapSavePlan

@@ -281,6 +281,26 @@ class TestMultiCaptureDP:
         )
         return path
 
+    def test_mismatched_output_paths_fail_fast(self, tmp_path):
+        """3 targets with 2 explicit outputs must raise up front, before
+        any file is created (used to IndexError mid-stream)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from iq_to_audio_tpu.parallel.dp_runner import CaptureJob, run_captures_dp
+
+        center = 145_000_000.0
+        p = self._write_capture(tmp_path, "m", 25_000.0, 1_000.0)
+        jobs = [
+            CaptureJob(
+                in_path=p,
+                target_freqs=[center + 25_000.0, center - 30_000.0, center + 40_000.0],
+                output_paths=[tmp_path / "o1.wav", tmp_path / "o2.wav"],
+            )
+        ]
+        with pytest.raises(ValueError, match="output path"):
+            run_captures_dp(jobs, mesh=make_mesh(8, dp=1), mix_sign_override=1)
+        assert not list(tmp_path.glob("o*.wav"))
+
     def test_two_captures_two_channels_match_sequential(self, tmp_path):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
