@@ -556,7 +556,12 @@ def main(argv: list[str] | None = None) -> int:
                 index,
                 len(configs),
             )
-            sink = progress_sink if (index == 1 and progress_sink is not None) else _make_sink()
+            use_session_sink = (
+                index == 1
+                and progress_sink is not None
+                and getattr(progress_sink, "is_live", True)
+            )
+            sink = progress_sink if use_session_sink else _make_sink()
             try:
                 if hetero_ex is not None:
                     result = hetero_ex.run(config, progress_sink=sink)

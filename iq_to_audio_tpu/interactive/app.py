@@ -61,17 +61,11 @@ from .workers import PreviewWorker, SnapshotWorker
 
 LOG = logging.getLogger(__name__)
 
-#: demod mode -> (label, description); mirrored from the reference
-#: DEMOD_OPTIONS (app.py:104-130)
-DEMOD_OPTIONS = {
-    "nfm": ("Narrowband FM", "Quadrature discriminator + de-emphasis"),
-    "am": ("AM", "Envelope detector with DC blocking"),
-    "usb": ("USB", "Upper sideband, optional AGC"),
-    "lsb": ("LSB", "Lower sideband, optional AGC"),
-    "none": ("IQ pass-through", "Write the tuned/decimated IQ slice"),
-}
-
 _CLICK_DRAG_THRESHOLD_PX = 5.0
+
+#: snapshot FFT sizes above this are clamped (matches the largest
+#: SpectrumOptionsPanel choice, reference state.py nfft range)
+_MAX_SNAPSHOT_NFFT = 1 << 19
 
 
 class _SigintRelay(QObject):
@@ -124,11 +118,19 @@ class InteractiveWindow(QMainWindow):
         if base_kwargs:
             self.state.bandwidth = base_kwargs.get("bandwidth", self.state.bandwidth)
             self.state.demod_mode = base_kwargs.get("demod_mode", self.state.demod_mode)
+            if base_kwargs.get("center_freq") is not None:
+                # an explicit --fc pins the center; file metadata must not
+                # overwrite it (reference honors kwargs center_freq/source)
+                self.state.center_freq = float(base_kwargs["center_freq"])
+                self.state.center_freq_source = (
+                    base_kwargs.get("center_freq_source") or "cli"
+                )
             for f in base_kwargs.get("target_freqs") or []:
                 self.state.add_target(f)
         self.result = InteractiveSessionResult()
         self._pool = QThreadPool.globalInstance()
         self._snapshot: SnapshotData | None = None
+        self._snapshot_nfft: int | None = None
         self._snapshot_worker = None
         self._preview_worker = None
         self._press_xy = None
@@ -199,7 +201,7 @@ class InteractiveWindow(QMainWindow):
         self.status_panel.run_requested.connect(self._confirm_run)
         self.status_panel.stop_requested.connect(self._stop_workers)
         self.spectrum_options = SpectrumOptionsPanel(self.state)
-        self.spectrum_options.changed.connect(self._render_snapshot)
+        self.spectrum_options.changed.connect(self._spectrum_settings_changed)
         self.spectrum_options.full_psd_btn.clicked.connect(self._analyze_full)
         self.spectrum_options.export_btn.clicked.connect(self._export_spectrum)
         self.waterfall_options = WaterfallOptionsPanel(self.state)
@@ -258,11 +260,15 @@ class InteractiveWindow(QMainWindow):
         except RuntimeError:
             self.state.sample_rate = None
         self.channel_panel.show_rate(self.state.effective_sample_rate)
-        freq = detect_center_frequency(path)
-        if freq.value is not None:
-            self.state.center_freq = freq.value
-            self.state.center_freq_source = freq.source
-            self.recording_panel.show_center(freq.value, freq.source)
+        if self.state.center_freq_source == "cli" and self.state.center_freq:
+            # --fc wins over whatever the file claims
+            self.recording_panel.show_center(self.state.center_freq, "cli")
+        else:
+            freq = detect_center_frequency(path)
+            if freq.value is not None:
+                self.state.center_freq = freq.value
+                self.state.center_freq_source = freq.source
+                self.recording_panel.show_center(freq.value, freq.source)
         self._push_recent_outputs(selected_path=path)
         self._update_status_controls()
         self._schedule_snapshot()
@@ -305,6 +311,23 @@ class InteractiveWindow(QMainWindow):
         )
         self.digital_post_page.update_recent_capture(output_dir=resolved)
 
+    def _current_spec(self):
+        """The effective input spec: the manual override when set (it wins
+        even when detection failed), else the detection result."""
+        if self.state.input_format_override and self.state.input_path is not None:
+            spec, _ = resolve_input_format(
+                self.state.input_path, requested=self.state.input_format_override
+            )
+            return spec
+        return self._input_spec
+
+    @property
+    def _iq_order(self) -> str:
+        """--iq-order rides base_kwargs; the display must mirror what the
+        pipeline will actually process (else a qi capture renders
+        frequency-flipped and clicked targets tune the wrong channel)."""
+        return self.state.base_kwargs.get("iq_order") or "iq"
+
     def _schedule_snapshot(self):
         self._refresh_format_status()  # override changes land here
         if self.state.input_path is None:
@@ -315,11 +338,7 @@ class InteractiveWindow(QMainWindow):
         if not rate:
             self._status("Enter a sample rate to preview this capture.")
             return
-        spec = self._input_spec
-        if self.state.input_format_override:
-            spec, _ = resolve_input_format(
-                self.state.input_path, requested=self.state.input_format_override
-            )
+        spec = self._current_spec()
         if self._snapshot_worker is not None:
             self._snapshot_worker.cancel()
         worker = SnapshotWorker(
@@ -327,15 +346,41 @@ class InteractiveWindow(QMainWindow):
             spec,
             rate,
             self.state.snapshot_seconds,
-            nfft=min(self.state.spectrum_nfft, 1 << 18),
+            iq_order=self._iq_order,
+            nfft=min(self.state.spectrum_nfft, _MAX_SNAPSHOT_NFFT),
             max_slices=self.state.waterfall_slices,
         )
         worker.signals.finished.connect(self._snapshot_ready)
         worker.signals.failed.connect(self._status)
         worker.signals.progress.connect(self.status_panel.set_progress)
         self._snapshot_worker = worker
+        self._snapshot_nfft = min(self.state.spectrum_nfft, _MAX_SNAPSHOT_NFFT)
         self._status("Gathering spectrum snapshot…")
         self._pool.start(worker)
+
+    def _spectrum_settings_changed(self):
+        """Spectrum-panel knob turned.  Smoothing/theme/range only need a
+        redraw; an FFT-size change needs the PSD recomputed — from the
+        snapshot's retained raw samples when they cover the window (no
+        file IO), else by re-streaming the capture."""
+        want_nfft = min(self.state.spectrum_nfft, _MAX_SNAPSHOT_NFFT)
+        if self._snapshot is not None and want_nfft != getattr(
+            self, "_snapshot_nfft", want_nfft
+        ):
+            from .workers import snapshot_from_retained
+
+            snap = snapshot_from_retained(
+                self._snapshot,
+                nfft=want_nfft,
+                max_slices=self.state.waterfall_slices,
+            )
+            if snap is None:
+                self._schedule_snapshot()
+                return
+            self._snapshot = snap
+            self._snapshot_nfft = want_nfft
+            self._update_waterfall()
+        self._render_snapshot()
 
     def _snapshot_ready(self, snap: SnapshotData):
         self._snapshot = snap
@@ -380,6 +425,7 @@ class InteractiveWindow(QMainWindow):
         )
         self.ax.set_xlabel("Frequency (Hz)", color=theme["fg"])
         self.ax.set_ylabel("dBFS/Hz", color=theme["fg"])
+        self.span.disconnect()
         self.span = SpanController(self.ax, self._span_selected)
         self._draw_targets()
         self.canvas.draw_idle()
@@ -410,8 +456,12 @@ class InteractiveWindow(QMainWindow):
     def _analyze_full(self):
         """Average the ENTIRE capture into the spectrum (reference README
         'Analyze entire recording' toggle)."""
-        if self.state.input_path is None or self._input_spec is None:
+        if self.state.input_path is None:
             self._status("Open a recording first.")
+            return
+        spec = self._current_spec()
+        if spec is None:
+            self._status("Pick an input format override first — detection failed.")
             return
         rate = self.state.effective_sample_rate
         if not rate:
@@ -420,6 +470,7 @@ class InteractiveWindow(QMainWindow):
         from ._qt import QRunnable, QObject, Signal, Slot
 
         window = self
+        iq_order = self._iq_order
 
         class _FullPsdWorker(QRunnable):
             class Signals(QObject):
@@ -438,9 +489,10 @@ class InteractiveWindow(QMainWindow):
                 try:
                     result = compute_full_psd(
                         window.state.input_path,
-                        window._input_spec,
+                        spec,
                         rate,
-                        nfft=min(window.state.spectrum_nfft, 1 << 18),
+                        iq_order=iq_order,
+                        nfft=min(window.state.spectrum_nfft, _MAX_SNAPSHOT_NFFT),
                         progress_cb=self.signals.progress.emit,
                     )
                     self.signals.finished.emit(result)

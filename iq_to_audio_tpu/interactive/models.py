@@ -53,6 +53,14 @@ class StatusProgressSink(ProgressSink):
         self._progress_cb = progress_cb
         self._cancel_callback: Callable[[], None] | None = None
 
+    @property
+    def is_live(self) -> bool:
+        """Whether anything observes this sink.  A callback-less sink (the
+        Confirm & Run hand-off after the window closed) reports False so
+        the CLI driver can substitute its tqdm sink instead of running a
+        long job with zero progress output."""
+        return self._status_cb is not None or self._progress_cb is not None
+
     def start(self, phases, *, overall_total: float) -> None:
         if self._progress_cb:
             self._progress_cb(0.0)

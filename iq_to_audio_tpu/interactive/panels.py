@@ -35,6 +35,19 @@ _FORMAT_CHOICES = [
 ]
 
 
+def repolish(widget) -> None:
+    """Re-apply the stylesheet after a dynamic property change.  Qt caches
+    the resolved QSS per widget; without unpolish/polish a toggled
+    ``[dim]``/``[error]`` selector never changes the rendered color."""
+    style = getattr(widget, "style", None)
+    if not callable(style):
+        return
+    s = style()
+    if s is not None and hasattr(s, "unpolish"):
+        s.unpolish(widget)
+        s.polish(widget)
+
+
 class RecordingPanel(PanelGroup):
     """File / format / center-frequency / snapshot / output controls."""
 
@@ -115,6 +128,7 @@ class RecordingPanel(PanelGroup):
         self.format_status.setText(text)
         self.format_status.setProperty("dim", not error)
         self.format_status.setProperty("error", error)
+        repolish(self.format_status)
 
     def _browse(self):
         path, _ = QFileDialog.getOpenFileName(
@@ -205,9 +219,15 @@ class DemodPanel(PanelGroup):
         self.combo = QComboBox()
         for key, label, _ in self._MODES:
             self.combo.addItem(label, key)
+        # reflect the CLI's --demod before wiring the change handler — the
+        # panel must show what will actually run, not always the first mode
+        keys = [key for key, _, _ in self._MODES]
+        mode = {"ssb": "usb", "fm": "nfm"}.get(state.demod_mode, state.demod_mode)
+        initial = keys.index(mode) if mode in keys else 0
+        self.combo.setCurrentIndex(initial)
         self.combo.currentIndexChanged.connect(self._mode_changed)
         self.add(self.combo)
-        self.description = QLabel(self._MODES[0][2])
+        self.description = QLabel(self._MODES[initial][2])
         self.description.setWordWrap(True)
         self.description.setProperty("dim", True)
         self.add(self.description)
@@ -344,6 +364,7 @@ class TargetsPanel(PanelGroup):
                 label.setText("—")
                 label.setProperty("dim", True)
                 remove.setEnabled(False)
+            repolish(label)
 
 
 class StatusPanel(PanelGroup):

@@ -494,7 +494,11 @@ class DigitalPostPage(QWidget):
         key = self.decoder_combo.currentData()
         get_decoder(key)  # validate the preset key early
         custom = self.command_edit.text().strip()
-        command = tuple(shlex.split(custom)) if custom else self.composed_command()
+        try:
+            command = tuple(shlex.split(custom)) if custom else self.composed_command()
+        except ValueError as exc:  # unbalanced quotes in the free-form args
+            self.status.emit(f"Bad command syntax: {exc}")
+            return
         try:
             backend = self._backend()
             backend.ensure_connection()

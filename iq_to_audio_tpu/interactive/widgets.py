@@ -78,6 +78,17 @@ class SpanController:
         center = 0.5 * (xmin + xmax)
         self._on_select(center, xmax - xmin)
 
+    def disconnect(self) -> None:
+        """Detach from the canvas.  SpanSelector registers mpl *canvas*
+        callbacks that survive ``ax.clear()`` — a replaced controller must
+        drop them or every re-render stacks another live selector."""
+        self._on_select = lambda center, bandwidth: None
+        try:
+            self.selector.set_active(False)
+            self.selector.disconnect_events()
+        except Exception:  # headless canvases may lack the event machinery
+            pass
+
     def show_selection(self, center_hz: float, bandwidth_hz: float):
         for ln in self._edge_lines:
             ln.remove()

@@ -96,19 +96,21 @@ def compute_full_psd(
     cancelled: Callable[[], bool] | None = None,
 ):
     """Averaged PSD over the whole capture (reference ``workers.py:164-286``)."""
-    total_bytes = path.stat().st_size
     consumed = 0
+    with IQReader(
+        path,
+        max(nfft, 1 << 19),
+        iq_order,
+        spec,
+        sample_rate=sample_rate if spec.container == "raw" else None,
+    ) as reader:
+        total = reader.total_frames
+        # a capture shorter than the requested FFT still analyzes: clamp to
+        # the capture length (matches gather_snapshot's nfft_eff)
+        nfft_eff = min(nfft, total) if total else nfft
 
-    def _chunks():
-        nonlocal consumed
-        with IQReader(
-            path,
-            max(nfft, 1 << 19),
-            iq_order,
-            spec,
-            sample_rate=sample_rate if spec.container == "raw" else None,
-        ) as reader:
-            total = reader.total_frames
+        def _chunks():
+            nonlocal consumed
             for block in reader:
                 if cancelled and cancelled():
                     return
@@ -117,11 +119,49 @@ def compute_full_psd(
                     progress_cb(min(consumed / total, 1.0))
                 yield block
 
-    freqs, avg_psd, _, frames = streaming_waterfall(
-        _chunks(), sample_rate, nfft=nfft, max_slices=1
-    )
-    del total_bytes
+        freqs, avg_psd, _, frames = streaming_waterfall(
+            _chunks(), sample_rate, nfft=nfft_eff, max_slices=1
+        )
     return freqs, avg_psd, frames
+
+
+def snapshot_from_retained(
+    snap: SnapshotData,
+    *,
+    seconds: float | None = None,
+    nfft: int = 262_144,
+    max_slices: int = 400,
+) -> SnapshotData | None:
+    """Recompute a snapshot from its retained raw samples — no file IO.
+
+    This is what ``SnapshotData.retained`` exists for: when the retained
+    buffer covers the whole snapshot window (the common case — 2 s at
+    2.5 MS/s is 5 M samples, under the 8 M cap), FFT-size / slice-count
+    changes re-render instantly instead of re-streaming the capture.
+    Returns None when the retained buffer is too short for the request
+    (caller falls back to a fresh file pass).
+    """
+    want_seconds = snap.seconds if seconds is None else min(seconds, snap.seconds)
+    want = int(want_seconds * snap.sample_rate)
+    covered = int(round(snap.seconds * snap.sample_rate))
+    if want <= 0 or snap.retained.size < min(want, covered):
+        return None
+    samples = snap.retained[:want] if snap.retained.size > want else snap.retained
+    nfft_eff = min(nfft, samples.size)
+    if nfft_eff < 2:
+        return None
+    freqs, avg_psd, waterfall, frames = streaming_waterfall(
+        iter([samples]), snap.sample_rate, nfft=nfft_eff, max_slices=max_slices
+    )
+    return SnapshotData(
+        freqs=freqs,
+        psd_db=avg_psd,
+        waterfall=waterfall,
+        frames=frames,
+        sample_rate=snap.sample_rate,
+        retained=snap.retained,
+        seconds=samples.size / snap.sample_rate,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +201,11 @@ class SnapshotWorker(QRunnable):
             if not self._cancelled:
                 self.signals.finished.emit(snap)
         except Exception as exc:  # surfaced in the status bar
+            if self._cancelled:
+                # a cancelled chunk generator can leave the stream shorter
+                # than one FFT frame; that failure is self-inflicted and
+                # must not clobber the replacement worker's status line
+                return
             LOG.exception("Snapshot failed")
             self.signals.failed.emit(str(exc))
 
@@ -261,17 +306,23 @@ class DockerLaunchWorker(QRunnable):
 
     def cancel(self):
         self._cancelled = True
-        try:
-            if self._container_id is not None:
-                self.backend.client.containers.get(self._container_id).kill()
-        except Exception:  # pragma: no cover
-            LOG.debug("Container kill failed", exc_info=True)
+        if self._container_id is not None:
+            self.backend.kill_container(self._container_id)
+
+    def _note_container(self, container_id: str):
+        """run_and_stream hands the id over right after start; if Stop was
+        already pressed, kill immediately instead of racing the stream."""
+        self._container_id = container_id
+        if self._cancelled:
+            self.backend.kill_container(container_id)
 
     @Slot()
     def run(self):
         try:
             code = self.backend.run_and_stream(
-                self.request, log_callback=self.signals.log.emit
+                self.request,
+                log_callback=self.signals.log.emit,
+                on_container=self._note_container,
             )
             self.signals.finished.emit(code)
         except Exception as exc:
@@ -292,9 +343,13 @@ class DockerProbeWorker(QRunnable):
         try:
             backend = self.backend_factory()
             conn = backend.probe()
+            if not conn.available:
+                # don't let a failed image-info fetch mask the real
+                # connectivity message
+                self.signals.result.emit(False, conn.message)
+                return
             info = backend.get_image_info()
-            msg = conn.message if not conn.available else info.format_status()
-            self.signals.result.emit(conn.available, msg)
+            self.signals.result.emit(True, info.format_status())
         except Exception as exc:
             self.signals.result.emit(False, str(exc))
 

@@ -303,8 +303,13 @@ class DockerBackend:
         request: DockerLaunchRequest,
         *,
         log_callback: Callable[[str], None] | None = None,
+        on_container: Callable[[str], None] | None = None,
     ) -> int:
         """Launch detached, stream logs, wait, and map the exit status.
+
+        ``on_container`` receives the container id right after a successful
+        start, before log streaming begins — callers use it to kill the
+        container from another thread (the GUI's Stop Container button).
 
         Raises :class:`DockerLaunchError` on any non-zero exit.
         """
@@ -333,6 +338,8 @@ class DockerBackend:
         except _sdk_errors() as exc:
             _raise_as(DockerLaunchError, exc, "Failed to start backend container.")
 
+        if on_container is not None:
+            on_container(container.id)
         try:
             for line in self._log_lines(container):
                 emit(line)
@@ -348,6 +355,14 @@ class DockerBackend:
                 else f"Backend container exited with status {code}."
             )
         return code
+
+    def kill_container(self, container_id: str) -> None:
+        """Best-effort kill of a running backend container by id (the
+        Stop Container path — safe to call from any thread)."""
+        try:
+            self._client.containers.get(container_id).kill()
+        except _sdk_errors() as exc:
+            LOG.debug("Container kill failed: %s", exc)
 
     def _log_lines(self, container) -> Iterable[str]:
         try:

@@ -453,7 +453,7 @@ class TestDigitalPostPage:
                 def ensure_connection(self):
                     return None
 
-                def run_and_stream(self, request, log_callback=None):
+                def run_and_stream(self, request, log_callback=None, on_container=None):
                     if log_callback:
                         log_callback("decoding…")
                     return 0
@@ -572,7 +572,7 @@ class TestDecoderOptionStacks:
                 def ensure_connection(self):
                     return None
 
-                def run_and_stream(self, request, log_callback=None):
+                def run_and_stream(self, request, log_callback=None, on_container=None):
                     captured["command"] = request.command
                     return 0
 
@@ -729,3 +729,188 @@ class TestShimAsyncPool:
             QThreadPool.set_async(False)
         np.testing.assert_allclose(async_snap.psd_db, sync_snap.psd_db, rtol=1e-6)
         assert async_snap.sample_rate == sync_snap.sample_rate
+
+
+class TestSessionSeedingAndSinks:
+    """Round-3 review fixes: CLI kwargs must actually reach the session."""
+
+    def test_cli_center_freq_pins_over_metadata(self, qapp, tmp_path):
+        """--fc wins over the filename/metadata detection (the spectrum
+        must render at the CLI center, and build_configs must carry it)."""
+        fs = 96_000.0
+        iq = make_tone_iq(fs, 0.25, 10_000.0)
+        path = write_wav_iq(tmp_path / "baseband_145000000Hz_fc.wav", iq, int(fs))
+        win = InteractiveWindow(
+            base_kwargs={"center_freq": 446_000_000.0, "center_freq_source": "cli"}
+        )
+        try:
+            win.state.snapshot_seconds = 0.25
+            win._load_file(path)
+            assert win.state.center_freq == 446_000_000.0
+            assert win.state.center_freq_source == "cli"
+            win.state.add_target(446_010_000.0)
+            configs = win.state.build_configs()
+            assert configs[0].center_freq == 446_000_000.0
+        finally:
+            win.close()
+
+    def test_iq_order_reaches_snapshot_worker(self, qapp, tmp_path):
+        fs = 96_000.0
+        iq = make_tone_iq(fs, 0.25, 10_000.0)
+        path = write_wav_iq(tmp_path / "baseband_145000000Hz_qi.wav", iq, int(fs))
+        win = InteractiveWindow(base_kwargs={"iq_order": "qi"})
+        try:
+            win.state.snapshot_seconds = 0.25
+            win._load_file(path)
+            assert win._iq_order == "qi"
+            assert win._snapshot_worker._kw["iq_order"] == "qi"
+        finally:
+            win.close()
+
+    def test_demod_panel_reflects_cli_mode(self, qapp):
+        win = InteractiveWindow(base_kwargs={"demod_mode": "usb"})
+        try:
+            panel = win.demod_panel
+            assert panel.combo.currentData() == "usb"
+            assert "Upper sideband" in panel.description.text()
+            assert panel.agc_check.isEnabled()
+        finally:
+            win.close()
+
+    def test_confirm_sink_reports_not_live(self, qapp, tmp_path):
+        """The Confirm & Run sink has no observers once the window closed;
+        it must say so, so the CLI substitutes its tqdm sink."""
+        from iq_to_audio_tpu.interactive.models import StatusProgressSink
+
+        assert StatusProgressSink().is_live is False
+        assert StatusProgressSink(status_cb=lambda m: None).is_live is True
+        win, _ = _loaded_window(qapp, tmp_path, name="baseband_145000000Hz_sk.wav")
+        try:
+            win.state.add_target(145_010_000.0)
+            win._confirm_run()
+            assert win.result.progress_sink is not None  # API parity
+            assert win.result.progress_sink.is_live is False
+        finally:
+            win.close()
+
+    def test_analyze_full_honours_override(self, qapp, tmp_path, monkeypatch):
+        """A manual format override must drive 'Analyze entire recording'
+        even when auto-detection failed (headerless capture)."""
+        fs = 96_000.0
+        iq = make_tone_iq(fs, 0.25, 10_000.0)
+        raw = (
+            np.stack([iq.real, iq.imag], axis=-1)
+            .astype(np.float32)
+            .tobytes()
+        )
+        path = tmp_path / "capture.bin"  # opaque name: detection fails
+        path.write_bytes(raw)
+        win = InteractiveWindow()
+        try:
+            win._load_file(path)
+            assert win._input_spec is None  # detection really failed
+            win.state.input_format_override = "raw-cf32"
+            win.state.sample_rate_override = fs
+            statuses: list[str] = []
+            monkeypatch.setattr(win, "_status", statuses.append)
+            win._analyze_full()
+            assert not any("Open a recording first" in s for s in statuses)
+            assert any("frames" in s for s in statuses)  # PSD really computed
+        finally:
+            win.close()
+
+
+class TestSnapshotRetained:
+    def test_nfft_change_rerenders_from_retained(self, qapp, tmp_path):
+        """FFT-size changes recompute from SnapshotData.retained — no file
+        IO (the capture is deleted to prove it)."""
+        win, path = _loaded_window(
+            qapp, tmp_path, name="baseband_145000000Hz_rt.wav", seconds=1.0
+        )
+        try:
+            assert win._snapshot is not None
+            assert win._snapshot.retained.size == 96_000  # covers the window
+            path.unlink()  # any re-read would now fail
+            win.spectrum_options.nfft_combo.setCurrentIndex(0)  # 65_536
+            win.spectrum_options._apply()
+            assert win._snapshot.freqs.size == 65_536
+            assert win._snapshot_nfft == 65_536
+        finally:
+            win.close()
+
+    def test_snapshot_from_retained_short_buffer_refuses(self):
+        from iq_to_audio_tpu.interactive.models import SnapshotData
+        from iq_to_audio_tpu.interactive.workers import snapshot_from_retained
+
+        snap = SnapshotData(
+            freqs=np.zeros(4),
+            psd_db=np.zeros(4),
+            waterfall=None,
+            frames=1,
+            sample_rate=96_000.0,
+            retained=np.zeros(1_000, np.complex64),  # far short of 1 s
+            seconds=1.0,
+        )
+        assert snapshot_from_retained(snap, nfft=4_096) is None
+
+    def test_cancelled_snapshot_does_not_emit_failed(self, qapp, tmp_path):
+        """A cancel that truncates the stream below one FFT frame must not
+        surface a spurious error over the replacement worker's status."""
+        from iq_to_audio_tpu.interactive.workers import SnapshotWorker
+        from iq_to_audio_tpu.io.formats import detect_input_format
+
+        fs = 96_000.0
+        iq = make_tone_iq(fs, 0.25, 10_000.0)
+        path = write_wav_iq(tmp_path / "c.wav", iq, int(fs))
+        spec = detect_input_format(path).spec
+        worker = SnapshotWorker(path, spec, fs, 0.25)
+        failures: list[str] = []
+        worker.signals.failed.connect(failures.append)
+        worker.cancel()
+        worker.run()  # direct call: deterministic
+        assert failures == []
+
+
+class TestDockerStop:
+    def test_cancel_kills_container_via_handoff(self):
+        """run_and_stream hands the container id to the worker; Stop then
+        reaches backend.kill_container (reference workers.py:452-525)."""
+        from iq_to_audio_tpu.interactive.workers import DockerLaunchWorker
+
+        killed: list[str] = []
+
+        class _FakeBackend:
+            def run_and_stream(self, request, log_callback=None, on_container=None):
+                on_container("cid-123")
+                log_callback("line")
+                return 0
+
+            def kill_container(self, cid):
+                killed.append(cid)
+
+        worker = DockerLaunchWorker(_FakeBackend(), request=None)
+        worker.run()
+        assert worker._container_id == "cid-123"
+        worker.cancel()
+        assert killed == ["cid-123"]
+
+    def test_cancel_before_start_kills_on_handoff(self):
+        from iq_to_audio_tpu.interactive.workers import DockerLaunchWorker
+
+        killed: list[str] = []
+
+        class _FakeBackend:
+            def run_and_stream(self, request, log_callback=None, on_container=None):
+                on_container("cid-9")
+                raise RuntimeError("killed mid-stream")
+
+            def kill_container(self, cid):
+                killed.append(cid)
+
+        worker = DockerLaunchWorker(_FakeBackend(), request=None)
+        worker.cancel()  # user smashed Stop before the container started
+        failures: list[str] = []
+        worker.signals.failed.connect(failures.append)
+        worker.run()
+        assert killed == ["cid-9"]  # killed the moment the id arrived
+        assert failures == []  # cancelled: error suppressed
