@@ -5,8 +5,9 @@ Same mode set as the reference factory (reference
 ``lsb``. Unlike the reference's stateful decoder objects, decoders here
 are *pure functions over state pytrees* so they trace into the single
 jitted chunk step: ``setup`` precomputes host-side constants,
-``init_state`` builds the carried pytree, and ``process(state, x)`` is
-jax-traceable.
+``init_state`` builds the carried pytree, and ``process(state, yr, yi)``
+is jax-traceable over the float32 (re, im) baseband pair (see
+``base.Decoder`` for the full contract).
 """
 
 from .am import AMDecoder

@@ -6,12 +6,13 @@ import jax.numpy as jnp
 
 from ..ops.iir import dc_blocker
 from .base import Decoder
+from .ssb import DC_RADIUS
 
 
 class AMDecoder(Decoder):
     name = "am"
 
-    def __init__(self, dc_radius: float = 0.995):
+    def __init__(self, dc_radius: float = DC_RADIUS):
         if not 0.0 < dc_radius < 1.0:
             raise ValueError("radius must be between 0 and 1")
         self.dc_radius = dc_radius

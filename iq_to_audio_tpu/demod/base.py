@@ -34,8 +34,6 @@ class Decoder(ABC):
     parameters share one compiled executable."""
 
     name: str = "decoder"
-    #: sample-rate multiplier of the audio output relative to input (1 here)
-    audio_rate_ratio: float = 1.0
 
     def cache_key(self) -> tuple:
         """Hashable configuration identity (override per decoder)."""

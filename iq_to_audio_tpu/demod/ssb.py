@@ -44,9 +44,11 @@ class SSBDecoder(Decoder):
         self.agc_decay = agc_decay
 
     def cache_key(self) -> tuple:
+        # sideband deliberately excluded: process() is sideband-invariant
+        # (real(conj(x)) == real(x)), so usb and lsb share one compiled
+        # executable — recompiles are expensive on tunneled runtimes
         return (
             "ssb",
-            self.sideband,
             self.agc_enabled,
             self.dc_radius,
             self.agc_target,

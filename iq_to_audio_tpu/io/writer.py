@@ -10,6 +10,7 @@ loop from blocking on disk, mirroring the reference's writer-thread design.
 from __future__ import annotations
 
 import logging
+import math
 import queue
 import threading
 from pathlib import Path
@@ -41,6 +42,10 @@ class AudioWriter:
         self.output_path = Path(output_path)
         self.output_rate = int(output_rate)
         self.peak = 0.0
+        # running sum of squares / count of written samples, for the
+        # capture-level RMS the reference surfaces via DecoderStats
+        self._sumsq = 0.0
+        self._count = 0
         self._writer = WavStreamWriter(
             self.output_path, self.output_rate, 1, "pcm_s16le", append=append
         )
@@ -74,9 +79,19 @@ class AudioWriter:
         if peak > self.peak:
             self.peak = peak
         safe = np.clip(samples, -0.99, 0.99).astype(np.float32, copy=False)
+        self._sumsq += float(np.dot(safe.astype(np.float64), safe.astype(np.float64)))
+        self._count += safe.size
         self._submit(safe)
         if self._error:
             raise RuntimeError("audio writer failed") from self._error
+
+    @property
+    def rms_dbfs(self) -> float:
+        """RMS level of everything written so far, in dBFS (-200 when
+        nothing was written) — the reference's DecoderStats metric."""
+        if self._count == 0:
+            return -200.0
+        return 10.0 * math.log10(max(self._sumsq / self._count, 1e-20))
 
     def write_s16(self, samples: np.ndarray) -> None:
         """Enqueue audio that was already s16-encoded (e.g. on device).
@@ -96,6 +111,9 @@ class AudioWriter:
         peak = float(np.max(np.abs(samples.astype(np.int32)))) / 32767.0
         if peak > self.peak:
             self.peak = peak
+        s = samples.astype(np.int64)
+        self._sumsq += float(np.dot(s, s)) / (32767.0 * 32767.0)
+        self._count += samples.size
         self._submit(samples)
 
     def _submit(self, payload: np.ndarray) -> None:

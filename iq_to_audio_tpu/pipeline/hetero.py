@@ -57,6 +57,7 @@ from ..ref.chain import choose_mix_sign
 from ..utils.freq import detect_center_frequency
 from .config import ProcessingConfig
 from .filters import compute_decimation, design_channel_filter
+from ..demod import DecoderStats
 from .pipeline import ProcessingPipeline, ProcessingResult
 from .progress import PhaseState, ProgressSink, ProgressTracker
 from .segmented import (
@@ -1030,6 +1031,7 @@ class HeteroExecutor:
                         "never completed"
                     )
                 peaks: list[float] = []
+                rms_list: list[float] = []
                 for c, final in enumerate(final_paths):
                     paths_c = [_seg_channel_paths(item["path"])[c] for item in ordered]
                     skips_c = [item["skip"] for item in ordered]
@@ -1039,7 +1041,8 @@ class HeteroExecutor:
                             plan.fs_channel, plan.input_spec,
                         )
                     else:
-                        peak_c, _total = splice_audio(paths_c, skips_c, final)
+                        peak_c, _total, rms_c = splice_audio(paths_c, skips_c, final)
+                        rms_list.append(rms_c)
                     peaks.append(peak_c)
 
             LOG.info(
@@ -1070,6 +1073,7 @@ class HeteroExecutor:
                 mix_sign=plan.mix_sign,
                 audio_peak=peaks[0] if peaks else 0.0,
                 audio_peaks=peaks,
+                stats=[DecoderStats(rms_dbfs=r) for r in rms_list],
                 output_paths=final_paths,
                 loop_seconds=loop_seconds,
                 input_samples=plan.total_samples,

@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..demod import create_decoder
+from ..demod import DecoderStats, create_decoder
 from ..io.formats import InputFormatSpec, resolve_input_format
 from ..io.probe import SampleRateProbe, probe_sample_rate
 from ..io.reader import IQReader, convert_to_complex
@@ -71,6 +71,8 @@ class ProcessingResult:
     audio_peak: float
     #: per-channel peaks when multiple targets were batched (channel 0 first)
     audio_peaks: list[float] = field(default_factory=list)
+    #: per-channel audio RMS (reference surfaces this via DecoderStats)
+    stats: list[DecoderStats] = field(default_factory=list)
     #: per-channel output paths actually written
     output_paths: list[Path] = field(default_factory=list)
     #: wall-clock seconds spent in the chunk loop (compile excluded)
@@ -1182,6 +1184,7 @@ class ProcessingPipeline:
                 except Exception as exc:  # pragma: no cover - plotting best-effort
                     LOG.warning("Failed to save stage plots: %s", exc)
 
+            rms_list: list[float] = []
             if pass_through:
                 peaks = [w.peak for w in slice_writers]
                 for freq, pk in zip(freqs, peaks):
@@ -1192,11 +1195,13 @@ class ProcessingPipeline:
                     )
             else:
                 peaks = [w.peak for w in audio_writers]
-                for freq, pk in zip(freqs, peaks):
+                rms_list = [w.rms_dbfs for w in audio_writers]
+                for freq, pk, rms in zip(freqs, peaks, rms_list):
                     LOG.info(
-                        "[%d] Audio peak level %.2f dBFS.",
+                        "[%d] Audio peak level %.2f dBFS, RMS %.2f dBFS.",
                         int(freq),
                         20.0 * math.log10(max(pk, 1e-6)),
+                        rms,
                     )
             report("Processing complete")
 
@@ -1210,6 +1215,7 @@ class ProcessingPipeline:
                 mix_sign=mix_sign,
                 audio_peak=peaks[0] if peaks else 0.0,
                 audio_peaks=peaks,
+                stats=[DecoderStats(rms_dbfs=r) for r in rms_list],
                 output_paths=list(output_paths),
                 loop_seconds=loop_seconds,
                 input_samples=processed_samples,

@@ -194,18 +194,20 @@ def splice_audio(
     audio_skips: list[int],
     out_path: Path,
     output_rate: int = 48_000,
-) -> tuple[float, int]:
+) -> tuple[float, int, float]:
     """Concatenate segment WAVs (dropping each lead-in) into ``out_path``.
 
-    Returns ``(peak, total_samples)`` where ``peak`` is the exact peak of
-    the written (already clipped+quantised) sample stream, matching the
-    writers' written-sample peak semantics.
+    Returns ``(peak, total_samples, rms_dbfs)`` where ``peak`` is the exact
+    peak of the written (already clipped+quantised) sample stream, matching
+    the writers' written-sample peak semantics, and ``rms_dbfs`` is the
+    capture-level RMS (the DecoderStats metric; -200 when empty).
     """
     from ..io.riff import WavStreamWriter, parse_wav_header
 
     out_path = Path(out_path)
     peak_q = 0
     total = 0
+    sumsq = 0.0
     writer = WavStreamWriter(out_path, int(output_rate), 1, "pcm_s16le")
     try:
         for path, skip in zip(segment_paths, audio_skips):
@@ -224,8 +226,11 @@ def splice_audio(
             if payload:
                 samples = np.frombuffer(payload, dtype="<i2")
                 peak_q = max(peak_q, int(np.max(np.abs(samples.astype(np.int32)))))
+                s64 = samples.astype(np.int64)
+                sumsq += float(np.dot(s64, s64)) / (32767.0 * 32767.0)
                 total += samples.size
                 writer.write_raw(payload)
     finally:
         writer.close()
-    return peak_q / 32767.0, total
+    rms_dbfs = 10.0 * math.log10(max(sumsq / total, 1e-20)) if total else -200.0
+    return peak_q / 32767.0, total, rms_dbfs

@@ -159,8 +159,6 @@ def chunk_step_impl(
     if not pass_through:
         audio_ch, demod_state, inter = decoder.process(state["demod"], yr, yi)
         new_state["demod"] = demod_state
-        power = jnp.mean(jnp.square(audio_ch.astype(jnp.float32)), axis=-1)
-        out["rms_dbfs"] = 10.0 * jnp.log10(power + 1e-18)
         if rs_plan is None or rs_plan.identity:
             audio48 = audio_ch
             cap = m

@@ -124,7 +124,11 @@ class RefDCBlocker:
     """One-pole DC blocker y[n] = x[n] - x[n-1] + r*y[n-1] (reference
     ``decoders/common.py:6-30``), vectorised with lfilter + carried state."""
 
-    def __init__(self, radius: float = 0.995):
+    def __init__(self, radius: float | None = None):
+        if radius is None:
+            from ..demod.ssb import DC_RADIUS  # single source of truth
+
+            radius = DC_RADIUS
         self.radius = radius
         self.x_prev = 0.0
         self.y_prev = 0.0
@@ -168,17 +172,31 @@ class RefAGC:
 def _varying_first_order(a: np.ndarray, b: np.ndarray, y0: float):
     """g[n] = a[n]*g[n-1] + b[n] vectorised blockwise in float64.
 
-    Uses g[n] = A[n]*(y0 + sum_{k<=n} b[k]/A[k]) with A = cumprod(a),
-    evaluated in 4096-sample blocks so A never underflows.
+    Uses g[n] = A[n]*(y0 + sum_{k<=n} b[k]/A[k]) with A = cumprod(a).  The
+    block length is sized from the smallest coefficient so cumprod stays
+    far above the float64 denormal floor (a_min**block >= ~1e-250) — a
+    fixed 4096 block silently zeroed the tail for fast decays (a < ~0.87).
     """
     g = np.empty_like(b)
     prev = float(y0)
     n = b.size
+    if n == 0:
+        return g, prev
+    amin = float(a.min())
+    if amin <= 0.0:
+        # a zero coefficient hard-resets the chain; the cumprod identity
+        # divides by it, so fall back to the exact scalar recurrence
+        for i in range(n):
+            prev = a[i] * prev + b[i]
+            g[i] = prev
+        return g, prev
     block = 4096
+    if amin < 1.0:
+        block = max(8, min(4096, int(-575.0 / np.log(amin))))
     for start in range(0, n, block):
         stop = min(start + block, n)
         A = np.cumprod(a[start:stop])
-        B = A * np.cumsum(b[start:stop] / np.where(A == 0, 1.0, A))
+        B = A * np.cumsum(b[start:stop] / A)
         g[start:stop] = A * prev + B
         prev = float(g[stop - 1])
     return g, g[-1]

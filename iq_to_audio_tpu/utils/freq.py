@@ -109,14 +109,19 @@ def _file_tags(path: Path) -> dict[str, str]:
         return {}
     tags = {k.lower(): v for k, v in info.tags.items()}
     for packed in list(tags.values()):
-        for line in packed.replace(";", "\n").splitlines():
+        for line in packed.splitlines():
             line = line.strip()
-            sep = "=" if "=" in line else ":" if ":" in line else None
-            if not line or sep is None:
-                continue
-            key, _, sub = line.partition(sep)
-            if key.strip():
-                tags.setdefault(key.strip().lower(), sub.strip())
+            if not line or line.startswith(";"):
+                continue  # comment line (reference utils.py:213-214)
+            # some recorders pack several pairs onto one line with ";"
+            for part in line.split(";"):
+                part = part.strip()
+                sep = "=" if "=" in part else ":" if ":" in part else None
+                if not part or sep is None:
+                    continue
+                key, _, sub = part.partition(sep)
+                if key.strip():
+                    tags.setdefault(key.strip().lower(), sub.strip())
     return tags
 
 
@@ -147,10 +152,26 @@ def _parse_frequency_text(text: str | None) -> float | None:
         pass
     else:
         return plain if plain > 0 else None
-    m = _TEXT_FREQ.search(cleaned)
+    m = _TEXT_FREQ.match(cleaned)
     if m is None:
         return None
-    return _scaled(m["mag"], m["scale"])
+    rest = cleaned[m.end():]
+    if not any(ch.isdigit() for ch in rest):
+        # trailing words are fine ("145.5 MHz USB"); trailing digits mean
+        # the regex truncated a grouped number ("145 500 000" -> 145)
+        return _scaled(m["mag"], m["scale"])
+    compact = "".join(cleaned.split())
+    if compact != cleaned:
+        try:
+            plain = float(compact)
+        except ValueError:
+            pass
+        else:
+            return plain if plain > 0 else None
+        m2 = _TEXT_FREQ.match(compact)
+        if m2 and not any(ch.isdigit() for ch in compact[m2.end():]):
+            return _scaled(m2["mag"], m2["scale"])
+    return None
 
 
 def _scaled(magnitude: str, scale: str) -> float | None:

@@ -250,6 +250,26 @@ class TestIIR:
             parts.append(np.asarray(y))
         assert error_db(np.concatenate(parts), np.asarray(whole)) < -90.0
 
+    def test_ref_agc_fast_decay_no_underflow(self):
+        # a fixed 4096 cumprod block underflowed for decay > ~0.16,
+        # zeroing the float64 twin's tail; the block is now sized from the
+        # smallest coefficient
+        rng = np.random.default_rng(6)
+        x = (rng.normal(size=10_000) * 0.05).astype(np.float64)
+        for decay in (0.2, 0.5, 0.999, 1.0):
+            agc = RefAGC(decay=decay)
+            got = agc.process(x.copy())
+            gain = 1.0
+            expected = np.empty_like(x)
+            target = agc.target
+            for i, s in enumerate(x):
+                m = abs(s)
+                if m > 1e-6:
+                    gain += decay * (target / m - gain)
+                expected[i] = s * gain
+            assert error_db(got, expected) < -100.0, f"decay={decay}"
+            assert np.abs(got[-100:]).max() > 0.0  # tail not zeroed
+
 
 class TestDDC:
     """The fused mix+filter+decimate conv must match the reference chain

@@ -125,6 +125,9 @@ def test_golden_all_modes(tmp_path, mode, agc, gen):
     assert result.audio_peak > 0.01
     rms = float(np.sqrt(np.mean(got[4800:43200] ** 2)))
     assert rms > 0.005
+    # capture-level RMS surfaced via DecoderStats (reference base.py:9-13)
+    whole_rms_db = 20.0 * np.log10(np.sqrt(np.mean(got.astype(np.float64) ** 2)))
+    assert result.stats and abs(result.stats[0].rms_dbfs - whole_rms_db) < 0.1
 
 
 @pytest.mark.parametrize("mode,toneoff", [("usb", 1_000.0), ("lsb", -1_000.0)])
@@ -707,3 +710,17 @@ def test_channelizer_auto_selection(monkeypatch):
     assert build().channelizer == "conv"           # explicit pin wins
     monkeypatch.setenv("IQ2A_CHANNELIZER", "fft")
     assert build(want_stages=True).channelizer == "fft"  # pin outranks auto
+
+
+def test_usb_lsb_share_compiled_executable():
+    """Sideband is excluded from the decoder cache key: process() is
+    sideband-invariant, so usb and lsb must not recompile the chunk step."""
+    from iq_to_audio_tpu.demod import create_decoder
+
+    usb = create_decoder("usb", deemph_us=300.0, agc_enabled=True)
+    lsb = create_decoder("lsb", deemph_us=300.0, agc_enabled=True)
+    assert usb.cache_key() == lsb.cache_key()
+    assert hash(usb) == hash(lsb) and usb == lsb
+    # but different parameters still split executables
+    off = create_decoder("usb", deemph_us=300.0, agc_enabled=False)
+    assert usb.cache_key() != off.cache_key()

@@ -119,8 +119,9 @@ def test_segmented_matches_serial(tmp_path, mode, agc, limit_db):
         seg_paths.append(out)
 
     spliced_out = tmp_path / "spliced.wav"
-    peak, n = splice_audio(seg_paths, [s.audio_skip for s in segs],
-                           spliced_out)
+    peak, n, rms_dbfs = splice_audio(seg_paths, [s.audio_skip for s in segs],
+                                     spliced_out)
+    assert -60.0 < rms_dbfs < 0.0  # capture-level RMS surfaced for stats
 
     a, sr_a = read_wav(serial_out)
     b, sr_b = read_wav(spliced_out)

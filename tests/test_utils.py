@@ -82,3 +82,36 @@ class TestMetadataDetection:
         result = detect_center_frequency(path)
         assert result.value == pytest.approx(96_500_000.0)
         assert result.source == "metadata:frequency"
+
+    def test_comment_line_cannot_shadow_real_tag(self, tmp_path):
+        # a ';'-opened COMMENT line must be ignored entirely, even when its
+        # content looks like a key=value pair (the reference skips such
+        # lines outright, utils.py:213-214)
+        path = tmp_path / "plain.wav"
+        self._write_with_tag(path, b"; frequency=off\nfrequency=96500000")
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(96_500_000.0)
+        assert result.source == "metadata:frequency"
+
+    def test_grouped_digits_parse_whole_number(self, tmp_path):
+        # space-grouped digits must not truncate to the leading group
+        # (a 145 Hz "center" would outrank the correct filename candidate)
+        path = tmp_path / "baseband_145500000Hz.wav"
+        self._write_with_tag(path, b"frequency=145 500 000")
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(145_500_000.0)
+
+    def test_dot_grouped_digits_rejected_not_truncated(self, tmp_path):
+        # ambiguous dot-grouping can't be trusted: reject the tag so the
+        # filename candidate (the correct value) wins
+        path = tmp_path / "baseband_145500000Hz.wav"
+        self._write_with_tag(path, b"frequency=145.500.000")
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(145_500_000.0)
+        assert result.source.startswith("filename")
+
+    def test_trailing_words_after_frequency_ok(self, tmp_path):
+        path = tmp_path / "plain.wav"
+        self._write_with_tag(path, b"frequency=145.5 MHz USB dial")
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(145_500_000.0)
