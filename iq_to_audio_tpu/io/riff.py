@@ -101,10 +101,14 @@ def parse_wav_header(path: Path | str) -> WavInfo:
 
             if cid == b"ds64" and csize >= 28:
                 raw = f.read(min(csize, 28))
+                if len(raw) < 16:  # truncated file: chunk body cut short
+                    break
                 _riff_sz, data_sz = struct.unpack("<QQ", raw[0:16])
                 ds64_data_size = data_sz
             elif cid == b"fmt " and csize >= 16:
                 raw = f.read(min(csize, 40))
+                if len(raw) < 16:  # truncated file: chunk body cut short
+                    break
                 audio_format, channels, rate, _byte_rate, _align, bits = struct.unpack(
                     "<HHIIHH", raw[0:16]
                 )

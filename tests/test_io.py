@@ -304,3 +304,77 @@ class TestProbe:
         assert probe.wave == 2_500_000.0
         assert probe.override is None
         assert probe.consistent
+
+
+class TestRiffRobustness:
+    """The parser must terminate on arbitrary garbage and fail only with
+    WavFormatError (the reader's probe layer catches exactly that plus
+    OSError — any other exception type would crash format detection)."""
+
+    @staticmethod
+    def _valid_wav_bytes(tmp_path) -> bytes:
+        path = tmp_path / "seed.wav"
+        frames = np.zeros((64, 2), np.float32)
+        write_stereo_wav(path, frames, 48_000)
+        return path.read_bytes()
+
+    def test_every_truncation_parses_or_raises(self, tmp_path):
+        from iq_to_audio_tpu.io.riff import WavFormatError
+
+        blob = self._valid_wav_bytes(tmp_path)
+        target = tmp_path / "t.wav"
+        for cut in range(0, len(blob), 7):
+            target.write_bytes(blob[:cut])
+            try:
+                info = parse_wav_header(target)
+            except WavFormatError:
+                continue
+            # a successful parse of a truncated file must stay in-bounds
+            assert info.data_offset + info.data_size <= cut
+
+    def test_byte_mutations_never_hang_or_crash(self, tmp_path):
+        from iq_to_audio_tpu.io.riff import WavFormatError
+
+        blob = bytearray(self._valid_wav_bytes(tmp_path))
+        target = tmp_path / "m.wav"
+        rng = np.random.default_rng(7)
+        for _ in range(300):
+            mutated = bytearray(blob)
+            for _ in range(rng.integers(1, 4)):
+                mutated[int(rng.integers(0, len(mutated)))] = int(rng.integers(0, 256))
+            target.write_bytes(mutated)
+            try:
+                info = parse_wav_header(target)
+            except WavFormatError:
+                continue
+            assert info.data_offset >= 12
+            assert info.data_size >= 0
+
+    def test_zero_size_chunk_chain_terminates(self, tmp_path):
+        # a pathological file of back-to-back zero-size chunks must not
+        # loop forever and must still fail cleanly (no fmt/data found)
+        from iq_to_audio_tpu.io.riff import WavFormatError
+
+        target = tmp_path / "z.wav"
+        body = b"".join(struct.pack("<4sI", b"JUNK", 0) for _ in range(500))
+        target.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+        with pytest.raises(WavFormatError):
+            parse_wav_header(target)
+
+    def test_corrupt_info_subchunk_size(self, tmp_path):
+        # an INFO sub-chunk whose declared size runs past the LIST body
+        # must clamp, keep whatever decoded, and never raise
+        target = tmp_path / "i.wav"
+        fmt = struct.pack("<HHIIHH", 1, 2, 48_000, 48_000 * 4, 4, 16)
+        info = struct.pack("<4sI", b"ICMT", 0xFFFF) + b"frequency=96500000\0"
+        lst = b"INFO" + info
+        data = b"\0\0\0\0"
+        blob = (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sI", b"LIST", len(lst)) + lst + b"\0" * (len(lst) & 1)
+            + struct.pack("<4sI", b"data", len(data)) + data
+        )
+        target.write_bytes(blob)
+        info_parsed = parse_wav_header(target)
+        assert info_parsed.sample_rate == 48_000
