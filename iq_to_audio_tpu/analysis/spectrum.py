@@ -6,7 +6,7 @@ scaling, fftshifted bins, hop = nfft/4 sliding windows with a carried
 tail between blocks, and pairwise time-averaging so the waterfall never
 holds more than ``max_slices`` rows.
 
-FFTs go through a pluggable backend. The default is SciPy/NumPy —
+FFTs go through a pluggable backend. The default is NumPy (pocketfft) —
 snapshot sizes are small and host FFTs avoid a device round-trip — while
 ``backend="jax"`` batches every window of a block into one device FFT
 for accelerated sweeps over large captures (on accelerators whose
@@ -109,16 +109,12 @@ def _run_fft(x: np.ndarray, nfft: int, backend: str) -> np.ndarray:
             x = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, short)])
         if backend == "matmul":
             if nfft > _DFT_BASIS_MAX:
-                from scipy.fft import fft as sfft
-
-                return np.asarray(sfft(x, n=nfft))
+                return np.fft.fft(x, n=nfft)
             return _dft_matmul(x, nfft)
         import jax.numpy as jnp
 
         return np.asarray(jnp.fft.fft(jnp.asarray(x, dtype=jnp.complex64), axis=-1))
-    from scipy.fft import fft as sfft
-
-    return np.asarray(sfft(x, n=nfft))
+    return np.fft.fft(x, n=nfft)
 
 
 def _hann_scale(length: int, sample_rate: float) -> tuple[np.ndarray, float]:

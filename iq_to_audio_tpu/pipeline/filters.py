@@ -1,7 +1,11 @@
 """Host-side filter design and decimation math.
 
 Filter design is cheap one-shot float64 host work (the reference also does
-it on host via scipy: ``processing.py:599-620``), so it stays NumPy/SciPy.
+it on host via scipy: ``processing.py:599-620``).  The design itself is
+first-party NumPy — Kaiser's published beta formula plus the windowed-sinc
+construction — so the framework carries no runtime SciPy dependency;
+``tests/test_filters.py`` cross-checks the taps against ``scipy.signal``
+when SciPy happens to be importable.
 """
 
 from __future__ import annotations
@@ -9,7 +13,38 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from scipy.signal import firwin, kaiser_beta
+
+
+def kaiser_beta(atten_db: float) -> float:
+    """Kaiser's empirical beta for a target stopband attenuation in dB
+    (the same piecewise formula scipy.signal.kaiser_beta implements)."""
+    a = float(atten_db)
+    if a > 50.0:
+        return 0.1102 * (a - 8.7)
+    if a > 21.0:
+        return 0.5842 * (a - 21.0) ** 0.4 + 0.07886 * (a - 21.0)
+    return 0.0
+
+
+def firwin_kaiser_lowpass(
+    num_taps: int, cutoff: float, beta: float, fs: float
+) -> np.ndarray:
+    """Windowed-sinc lowpass with a Kaiser window, unity DC gain.
+
+    Equivalent construction to ``scipy.signal.firwin(num_taps, cutoff,
+    window=("kaiser", beta), fs=fs)`` for a single passband that includes
+    DC: ideal-lowpass sinc at the normalised cutoff, Kaiser window
+    (``np.kaiser``), then scaled so the taps sum to 1.
+    """
+    if num_taps < 1:
+        raise ValueError("num_taps must be positive")
+    if not 0.0 < cutoff < fs / 2.0:
+        raise ValueError("cutoff must lie inside (0, fs/2)")
+    m = np.arange(num_taps, dtype=np.float64) - (num_taps - 1) / 2.0
+    c = 2.0 * cutoff / fs  # cutoff as a fraction of Nyquist
+    h = c * np.sinc(c * m)
+    h *= np.kaiser(num_taps, beta)
+    return h / h.sum()
 
 
 def design_channel_filter(sample_rate: float, bandwidth: float, decimation: int) -> np.ndarray:
@@ -31,7 +66,7 @@ def design_channel_filter(sample_rate: float, bandwidth: float, decimation: int)
     if num_taps % 2 == 0:
         num_taps += 1
     beta = kaiser_beta(80.0)
-    taps = firwin(num_taps, cutoff=cutoff, window=("kaiser", beta), fs=sample_rate)
+    taps = firwin_kaiser_lowpass(num_taps, cutoff, beta, sample_rate)
     return np.asarray(taps, dtype=np.float64)
 
 

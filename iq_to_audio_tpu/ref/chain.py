@@ -1,8 +1,11 @@
-"""Host-side float64 reference DSP chain (NumPy/SciPy).
+"""Host-side float64 reference DSP chain (pure NumPy).
 
 Semantics follow the upstream reference (cited per class); state handling is
 streaming-exact so chunked == whole, which is the invariant the TPU step is
-tested against.
+tested against.  The first-order recurrences (de-emphasis, DC blocker, AGC)
+are evaluated with the blockwise cumprod identity in ``_varying_first_order``
+— ``tests/test_filters.py`` cross-checks them against ``scipy.signal.lfilter``
+when SciPy happens to be importable, so the twin carries no SciPy dependency.
 """
 
 from __future__ import annotations
@@ -10,7 +13,14 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from scipy.signal import lfilter
+
+
+def _const_first_order(a1: float, b: np.ndarray, y0: float):
+    """y[n] = a1*y[n-1] + b[n] for constant ``a1`` — the lfilter([b0],
+    [1, -a1], x, zi=[a1*y0]) recurrence with b folded into ``b``."""
+    return _varying_first_order(
+        np.full(b.shape, float(a1), dtype=np.float64), b, y0
+    )
 
 
 class RefOscillator:
@@ -109,14 +119,13 @@ class RefDeemphasis:
         tau_sec = max(tau_us * 1e-6, 1e-6)
         self.alpha = math.exp(-1.0 / (sample_rate * tau_sec))
         self.beta = 1.0 - self.alpha
-        self.zi = np.zeros(1, dtype=np.float64)
+        self.y_prev = 0.0  # carried output (lfilter-zi-equivalent: zi = alpha*y)
 
     def process(self, samples: np.ndarray) -> np.ndarray:
         if samples.size == 0:
             return samples
-        out, self.zi = lfilter(
-            [self.beta], [1.0, -self.alpha], np.asarray(samples, np.float64), zi=self.zi
-        )
+        x = np.asarray(samples, np.float64)
+        out, self.y_prev = _const_first_order(self.alpha, self.beta * x, self.y_prev)
         return out
 
 
@@ -138,9 +147,8 @@ class RefDCBlocker:
             return samples
         x = np.asarray(samples, dtype=np.float64)
         u = x - np.concatenate(([self.x_prev], x[:-1]))
-        out, zf = lfilter([1.0], [1.0, -self.radius], u, zi=[self.radius * self.y_prev])
+        out, self.y_prev = _const_first_order(self.radius, u, self.y_prev)
         self.x_prev = float(x[-1])
-        self.y_prev = float(out[-1])
         return out
 
 
