@@ -23,6 +23,41 @@ from .riff import WavStreamWriter
 LOG = logging.getLogger(__name__)
 
 
+class RmsAccumulator:
+    """Running capture-level RMS over written samples, reported in dBFS
+    (the reference's DecoderStats metric, ``decoders/base.py:9-13``).
+
+    One implementation for every consumer — the float and s16 writer paths
+    here and the segment splicer (:func:`..pipeline.segmented.splice_audio`)
+    — so the floor/sentinel/normalisation constants cannot drift apart.
+    """
+
+    __slots__ = ("_sumsq", "_count")
+
+    def __init__(self):
+        self._sumsq = 0.0
+        self._count = 0
+
+    def add_float(self, samples: np.ndarray) -> None:
+        """Accumulate float samples in [-1, 1]."""
+        d = np.asarray(samples, dtype=np.float64)
+        self._sumsq += float(np.dot(d, d))
+        self._count += d.size
+
+    def add_s16(self, samples: np.ndarray) -> None:
+        """Accumulate s16-encoded samples (normalised by 32767)."""
+        s = np.asarray(samples).astype(np.int64)
+        self._sumsq += float(np.dot(s, s)) / (32767.0 * 32767.0)
+        self._count += s.size
+
+    @property
+    def dbfs(self) -> float:
+        """RMS in dBFS; -200.0 when nothing was accumulated."""
+        if self._count == 0:
+            return -200.0
+        return 10.0 * math.log10(max(self._sumsq / self._count, 1e-20))
+
+
 class AudioWriter:
     """Stream float32 mono audio into a 48 kHz pcm_s16le WAV.
 
@@ -42,10 +77,7 @@ class AudioWriter:
         self.output_path = Path(output_path)
         self.output_rate = int(output_rate)
         self.peak = 0.0
-        # running sum of squares / count of written samples, for the
-        # capture-level RMS the reference surfaces via DecoderStats
-        self._sumsq = 0.0
-        self._count = 0
+        self._rms = RmsAccumulator()
         self._writer = WavStreamWriter(
             self.output_path, self.output_rate, 1, "pcm_s16le", append=append
         )
@@ -79,8 +111,7 @@ class AudioWriter:
         if peak > self.peak:
             self.peak = peak
         safe = np.clip(samples, -0.99, 0.99).astype(np.float32, copy=False)
-        self._sumsq += float(np.dot(safe.astype(np.float64), safe.astype(np.float64)))
-        self._count += safe.size
+        self._rms.add_float(safe)
         self._submit(safe)
         if self._error:
             raise RuntimeError("audio writer failed") from self._error
@@ -89,9 +120,7 @@ class AudioWriter:
     def rms_dbfs(self) -> float:
         """RMS level of everything written so far, in dBFS (-200 when
         nothing was written) — the reference's DecoderStats metric."""
-        if self._count == 0:
-            return -200.0
-        return 10.0 * math.log10(max(self._sumsq / self._count, 1e-20))
+        return self._rms.dbfs
 
     def write_s16(self, samples: np.ndarray) -> None:
         """Enqueue audio that was already s16-encoded (e.g. on device).
@@ -111,9 +140,7 @@ class AudioWriter:
         peak = float(np.max(np.abs(samples.astype(np.int32)))) / 32767.0
         if peak > self.peak:
             self.peak = peak
-        s = samples.astype(np.int64)
-        self._sumsq += float(np.dot(s, s)) / (32767.0 * 32767.0)
-        self._count += samples.size
+        self._rms.add_s16(samples)
         self._submit(samples)
 
     def _submit(self, payload: np.ndarray) -> None:

@@ -203,11 +203,12 @@ def splice_audio(
     capture-level RMS (the DecoderStats metric; -200 when empty).
     """
     from ..io.riff import WavStreamWriter, parse_wav_header
+    from ..io.writer import RmsAccumulator
 
     out_path = Path(out_path)
     peak_q = 0
     total = 0
-    sumsq = 0.0
+    rms = RmsAccumulator()
     writer = WavStreamWriter(out_path, int(output_rate), 1, "pcm_s16le")
     try:
         for path, skip in zip(segment_paths, audio_skips):
@@ -226,11 +227,9 @@ def splice_audio(
             if payload:
                 samples = np.frombuffer(payload, dtype="<i2")
                 peak_q = max(peak_q, int(np.max(np.abs(samples.astype(np.int32)))))
-                s64 = samples.astype(np.int64)
-                sumsq += float(np.dot(s64, s64)) / (32767.0 * 32767.0)
+                rms.add_s16(samples)
                 total += samples.size
                 writer.write_raw(payload)
     finally:
         writer.close()
-    rms_dbfs = 10.0 * math.log10(max(sumsq / total, 1e-20)) if total else -200.0
-    return peak_q / 32767.0, total, rms_dbfs
+    return peak_q / 32767.0, total, rms.dbfs

@@ -200,11 +200,16 @@ def _varying_first_order(a: np.ndarray, b: np.ndarray, y0: float):
         return g, prev
     block = 4096
     if amin < 1.0:
-        block = max(8, min(4096, int(-575.0 / np.log(amin))))
+        # floor 1, not 8: an extreme coefficient (a_min < ~3e-32) needs a
+        # block shorter than 8 to keep a_min**block above the denormal range
+        block = max(1, min(4096, int(-575.0 / np.log(amin))))
     for start in range(0, n, block):
         stop = min(start + block, n)
         A = np.cumprod(a[start:stop])
-        B = A * np.cumsum(b[start:stop] / A)
+        # belt-and-braces: block sizing keeps A >= ~1e-250, but degenerate
+        # parameters (sub-denormal coefficients) must degrade to finite
+        # output, not divide-by-zero inf
+        B = A * np.cumsum(b[start:stop] / np.where(A == 0.0, 1.0, A))
         g[start:stop] = A * prev + B
         prev = float(g[stop - 1])
     return g, g[-1]

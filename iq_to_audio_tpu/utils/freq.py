@@ -152,13 +152,19 @@ def _parse_frequency_text(text: str | None) -> float | None:
         pass
     else:
         return plain if plain > 0 else None
-    m = _TEXT_FREQ.match(cleaned)
+    m = _TEXT_FREQ.search(cleaned)
     if m is None:
         return None
+    scale = m["scale"].strip()
     rest = cleaned[m.end():]
-    if not any(ch.isdigit() for ch in rest):
-        # trailing words are fine ("145.5 MHz USB"); trailing digits mean
-        # the regex truncated a grouped number ("145 500 000" -> 145)
+    # Grouped-digit guard: a SCALE-LESS match immediately continued by more
+    # digit groups means the regex truncated a grouped number
+    # ("145 500 000" -> 145, "145.500.000" -> 145.500) — reparse the whole
+    # value instead of returning the leading group.  An explicit scale
+    # letter terminates the number unambiguously ("96.5M 2024-01-01",
+    # "145.5 MHz ch 2" keep the reference's search() semantics,
+    # reference utils.py:280).
+    if scale or not re.match(r"[ .,']*\d", rest):
         return _scaled(m["mag"], m["scale"])
     compact = "".join(cleaned.split())
     if compact != cleaned:

@@ -599,3 +599,15 @@ def test_j_lanes_pipeline_end_to_end(tmp_path, monkeypatch):
     diff = np.abs(outs["plain"] - outs["jconv"])
     assert diff.max() <= 2.0 / 32767.0  # f32 reassociation at s16 resolution
     assert float(np.mean(diff > 0)) < 2e-3
+
+    def test_ref_twin_degenerate_coefficients_stay_finite(self):
+        # sub-denormal cumprod blocks must degrade to finite output, not
+        # divide-by-zero inf (block floor is 1, plus an A==0 guard)
+        from iq_to_audio_tpu.ref.chain import RefDCBlocker, RefDeemphasis
+
+        x = np.random.default_rng(8).normal(size=2_000)
+        with np.errstate(all="raise"):
+            deemph = RefDeemphasis(tau_us=1.0, sample_rate=8_000.0)  # a=e^-125
+            assert np.isfinite(deemph.process(x.copy())).all()
+            blk = RefDCBlocker(radius=1e-40)
+            assert np.isfinite(blk.process(x.copy())).all()

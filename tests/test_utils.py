@@ -115,3 +115,22 @@ class TestMetadataDetection:
         self._write_with_tag(path, b"frequency=145.5 MHz USB dial")
         result = detect_center_frequency(path)
         assert result.value == pytest.approx(145_500_000.0)
+
+    @pytest.mark.parametrize(
+        "tag,expected",
+        [
+            # search() semantics (reference utils.py:280): leading tokens
+            # and trailing annotations must not drop the tag
+            (b"frequency=RX 145.5 MHz", 145_500_000.0),
+            (b"frequency=~145.5MHz", 145_500_000.0),
+            (b"frequency=145.5 MHz ch 2", 145_500_000.0),
+            (b"frequency=96.5M 2024-01-01", 96_500_000.0),
+            (b"frequency=145 kHz backup 7", 145_000.0),
+        ],
+    )
+    def test_decorated_tag_values_parse(self, tmp_path, tag, expected):
+        path = tmp_path / "plain.wav"
+        self._write_with_tag(path, tag)
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(expected)
+        assert result.source == "metadata:frequency"
