@@ -130,6 +130,8 @@ def interleave_kernel(kernel_np: np.ndarray, iq_order: str = "iq") -> np.ndarray
     """
     out_ch, in_ch, L = kernel_np.shape
     assert in_ch == 2, kernel_np.shape
+    if iq_order not in {"iq", "qi", "iq_inv", "qi_inv"}:
+        raise ValueError(f"Unsupported iq_order '{iq_order}'")
     first, second = (0, 1) if iq_order.startswith("iq") else (1, 0)
     qsign = -1.0 if iq_order.endswith("_inv") else 1.0
     ki = np.zeros((out_ch, 1, 2 * L), dtype=np.float32)
@@ -242,14 +244,10 @@ def ddc_apply_il(
             preferred_element_type=jnp.float32,
         )  # (1, 2C, m)
         bb = out[0].reshape(-1, 2, m)
-    br, bi = bb[:, 0], bb[:, 1]
-    cos, sin = lowrate_osc(phase0_fixed, inc_lo_fixed, m)
-    yr = br * cos - bi * sin
-    yi = br * sin + bi * cos
+    yr, yi, phase_next = mix_and_advance(
+        bb[:, 0], bb[:, 1], phase0_fixed, inc_lo_fixed, m
+    )
     new_itail = f[2 * N - 2 * (L - 1) :] if L > 1 else itail
-    phase_next = jnp.asarray(phase0_fixed, jnp.uint32) + jnp.asarray(
-        inc_lo_fixed, jnp.uint32
-    ) * jnp.uint32(m)
     return yr, yi, new_itail, phase_next
 
 
@@ -262,30 +260,21 @@ def bank_from_kernel(kernel_np: np.ndarray, os_plan) -> np.ndarray:
     fold shift/scale are baked in); a bare ``int`` FFT size yields the
     plain fold-free responses.
     """
-    from .osfir import OverlapSavePlan
+    from .osfir import OverlapSavePlan, taps_fft
 
-    if isinstance(os_plan, OverlapSavePlan):
-        fft_size, shift, scale = os_plan.fft_size, os_plan.h_shift, os_plan.h_scale
-    else:
-        fft_size, shift, scale = int(os_plan), 0, 1.0
+    fft_size = (
+        os_plan.fft_size if isinstance(os_plan, OverlapSavePlan) else int(os_plan)
+    )
     C = kernel_np.shape[0] // 2
-    L = kernel_np.shape[2]
-    ramp = None
-    if shift or scale != 1.0:
-        k = np.arange(fft_size, dtype=np.float64)
-        ramp = scale * np.exp(2j * np.pi * k * shift / fft_size)
     bank = np.empty((C, fft_size), dtype=np.complex64)
     for c in range(C):
         g = (
             kernel_np[2 * c, 0][::-1].astype(np.float64)
             + 1j * kernel_np[2 * c + 1, 0][::-1].astype(np.float64)
         )
-        padded = np.zeros(fft_size, dtype=np.complex128)
-        padded[:L] = g
-        spec = np.fft.fft(padded)
-        if ramp is not None:
-            spec = spec * ramp
-        bank[c] = spec.astype(np.complex64)
+        # taps_fft owns the fold convention (shift/scale phase ramp) — one
+        # source of truth for both channelizers' frequency responses
+        bank[c] = taps_fft(g, os_plan)
     return bank
 
 
@@ -314,17 +303,13 @@ def ddc_apply_fft(
     x = (xr + 1j * xi).astype(jnp.complex64)
     tail_c = (tail[0] + 1j * tail[1]).astype(jnp.complex64)
     dec, _ = os_fir_bank(os_plan, h_bank, x, tail_c)  # (C, m) complex
-    br, bi = jnp.real(dec), jnp.imag(dec)
-    cos, sin = lowrate_osc(phase0_fixed, inc_lo_fixed, m)
-    yr = br * cos - bi * sin
-    yi = br * sin + bi * cos
+    yr, yi, phase_next = mix_and_advance(
+        jnp.real(dec), jnp.imag(dec), phase0_fixed, inc_lo_fixed, m
+    )
     if L > 1:
         new_tail = jnp.stack([xr[N - (L - 1) :], xi[N - (L - 1) :]])
     else:
         new_tail = tail
-    phase_next = jnp.asarray(phase0_fixed, jnp.uint32) + jnp.asarray(
-        inc_lo_fixed, jnp.uint32
-    ) * jnp.uint32(m)
     return yr, yi, new_tail, phase_next
 
 
@@ -340,6 +325,30 @@ def lowrate_osc(phase0_fixed: jnp.ndarray, inc_lo_fixed: jnp.ndarray, m: int):
     )[..., None] * n
     angle = ph.astype(jnp.float32) * jnp.float32(_RAD_PER_COUNT)
     return jnp.cos(angle), jnp.sin(angle)
+
+
+def mix_and_advance(
+    br: jnp.ndarray,
+    bi: jnp.ndarray,
+    phase0_fixed: jnp.ndarray,
+    inc_lo_fixed: jnp.ndarray,
+    m: int,
+):
+    """Low-rate mix epilogue shared by every channelizer backend (conv,
+    interleaved conv, Pallas, FFT bank): rotate the decimated baseband by
+    the per-channel oscillator and advance the uint32 phase by exactly
+    ``m`` low-rate steps (exact modular arithmetic).  One implementation so
+    the backends cannot drift numerically.
+
+    Returns ``(yr, yi, phase_next)``.
+    """
+    cos, sin = lowrate_osc(phase0_fixed, inc_lo_fixed, m)
+    yr = br * cos - bi * sin
+    yi = br * sin + bi * cos
+    phase_next = jnp.asarray(phase0_fixed, jnp.uint32) + jnp.asarray(
+        inc_lo_fixed, jnp.uint32
+    ) * jnp.uint32(m)
+    return yr, yi, phase_next
 
 
 def ddc_apply(
@@ -394,17 +403,13 @@ def ddc_apply(
             preferred_element_type=jnp.float32,
         )  # (1, 2C, N/D)
         bb = out[0].reshape(-1, 2, m)  # (C, 2, m)
-    br, bi = bb[:, 0], bb[:, 1]
-    cos, sin = lowrate_osc(phase0_fixed, inc_lo_fixed, m)
-    yr = br * cos - bi * sin
-    yi = br * sin + bi * cos
+    yr, yi, phase_next = mix_and_advance(
+        bb[:, 0], bb[:, 1], phase0_fixed, inc_lo_fixed, m
+    )
     if L > 1:
         new_tail = jnp.stack([xr[N - (L - 1) :], xi[N - (L - 1) :]])
     else:
         new_tail = tail
-    phase_next = jnp.asarray(phase0_fixed, jnp.uint32) + jnp.asarray(
-        inc_lo_fixed, jnp.uint32
-    ) * jnp.uint32(m)
     return yr, yi, new_tail, phase_next
 
 

@@ -159,6 +159,11 @@ class OverlapSavePlan:
             F <<= 1
             B = D * ((F - L + 1) // D)
         K = max(1, min(max_chunk // B, int(round(target_chunk / B)) or 1))
+        # the carried tail is L-1 samples sliced from the CHUNK, so the
+        # chunk must hold at least that many — a small target_chunk with a
+        # long filter would otherwise silently corrupt every chunk after
+        # the first (the conv planner enforces the same floor, ddc.py)
+        K = max(K, -(-(L - 1) // B))
         return OverlapSavePlan(
             num_taps=L,
             fft_size=F,
@@ -186,6 +191,11 @@ class OverlapSavePlan:
         N = int(chunk_size)
         if N % D:
             raise ValueError(f"chunk {N} must be a multiple of decimation {D}")
+        if N < L - 1:
+            raise ValueError(
+                f"chunk {N} is shorter than the carried tail (num_taps-1 = "
+                f"{L - 1}); pick a chunk of at least L-1 samples"
+            )
         base = OverlapSavePlan.create(
             L, D, target_chunk=N, fft_size=fft_size, max_chunk=max(N, 1 << 22)
         )
@@ -213,13 +223,47 @@ def taps_fft(taps: np.ndarray, plan: "OverlapSavePlan | int") -> np.ndarray:
         fft_size, shift, scale = plan.fft_size, plan.h_shift, plan.h_scale
     else:
         fft_size, shift, scale = int(plan), 0, 1.0
-    padded = np.zeros(fft_size, dtype=np.float64)
-    padded[: len(taps)] = np.asarray(taps, dtype=np.float64)
+    taps = np.asarray(taps)
+    # complex128 padding: also serves complex bandpass taps (the FFT
+    # channelizer bank, ddc.bank_from_kernel)
+    padded = np.zeros(fft_size, dtype=np.complex128)
+    padded[: len(taps)] = taps.astype(np.complex128)
     spec = np.fft.fft(padded)
     if shift or scale != 1.0:
         k = np.arange(fft_size, dtype=np.float64)
         spec = spec * scale * np.exp(2j * np.pi * k * shift / fft_size)
     return spec.astype(np.complex64)
+
+
+def _frame_spectra(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
+    """Shared overlap-save framing: tail-concat, end-pad, frame gather,
+    forward FFT, and the new carried tail.  One implementation for the
+    single-filter (:func:`os_fir_decimate`) and bank (:func:`os_fir_bank`)
+    paths so the padding/tail conventions cannot drift.
+
+    Returns ``(spec, new_tail)`` with ``spec`` shaped ``(..., K, F)``.
+    """
+    L, F, B, K, N = (
+        plan.num_taps,
+        plan.fft_size,
+        plan.block,
+        plan.num_frames,
+        plan.chunk_size,
+    )
+    assert x.shape[-1] == N, (x.shape, N)
+    x_ext = jnp.concatenate([tail, x], axis=-1)
+    pad = (K - 1) * B + F - x_ext.shape[-1]
+    if pad > 0:
+        widths = [(0, 0)] * (x_ext.ndim - 1) + [(0, pad)]
+        x_ext = jnp.pad(x_ext, widths)
+    idx = (
+        jnp.arange(K, dtype=jnp.int32)[:, None] * B
+        + jnp.arange(F, dtype=jnp.int32)[None, :]
+    )
+    frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, F)
+    spec = jnp.fft.fft(frames, axis=-1)
+    new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
+    return spec, new_tail
 
 
 def os_fir_decimate(
@@ -242,9 +286,8 @@ def os_fir_decimate(
     ``(..., N // D)``; with ``return_filtered=True`` additionally returns the
     full-rate filtered chunk (used for stage snapshots only).
     """
-    L, F, B, D, K, N = (
+    L, B, D, K, N = (
         plan.num_taps,
-        plan.fft_size,
         plan.block,
         plan.decimation,
         plan.num_frames,
@@ -256,15 +299,7 @@ def os_fir_decimate(
             "return_filtered needs the full-rate inverse FFT; use a "
             "fold=1 plan (stage snapshots run on the conv channelizer)"
         )
-    x_ext = jnp.concatenate([tail, x], axis=-1)
-    pad = (K - 1) * B + F - x_ext.shape[-1]
-    if pad > 0:
-        widths = [(0, 0)] * (x_ext.ndim - 1) + [(0, pad)]
-        x_ext = jnp.pad(x_ext, widths)
-    idx = jnp.arange(K, dtype=jnp.int32)[:, None] * B + jnp.arange(F, dtype=jnp.int32)[None, :]
-    frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, F)
-    spec = jnp.fft.fft(frames, axis=-1)
-    new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
+    spec, new_tail = _frame_spectra(plan, x, tail)
     if plan.fold > 1:
         dec = _folded_ifft_decimate(plan, spec * h_fft, x.shape[:-1])
         return dec, new_tail
@@ -323,27 +358,10 @@ def os_fir_bank(
 
     Returns ``(dec, new_tail)`` with ``dec`` of shape ``(C, N // D)``.
     """
-    L, F, B, D, K, N = (
-        plan.num_taps,
-        plan.fft_size,
-        plan.block,
-        plan.decimation,
-        plan.num_frames,
-        plan.chunk_size,
-    )
+    B, D, K, N = plan.block, plan.decimation, plan.num_frames, plan.chunk_size
     assert x.shape == (N,), (x.shape, N)
-    x_ext = jnp.concatenate([tail, x])
-    pad = (K - 1) * B + F - x_ext.shape[-1]
-    if pad > 0:
-        x_ext = jnp.pad(x_ext, (0, pad))
-    idx = (
-        jnp.arange(K, dtype=jnp.int32)[:, None] * B
-        + jnp.arange(F, dtype=jnp.int32)[None, :]
-    )
-    frames = jnp.take(x_ext, idx, axis=-1)  # (K, F)
-    spec = jnp.fft.fft(frames, axis=-1)
+    spec, new_tail = _frame_spectra(plan, x, tail)  # (K, F)
     prod = spec[None, :, :] * h_bank[:, None, :]  # (C, K, F)
-    new_tail = x[N - (L - 1) :] if L > 1 else x[:0]
     if plan.fold > 1:
         dec = _folded_ifft_decimate(plan, prod, (h_bank.shape[0],))
         return dec, new_tail

@@ -45,16 +45,18 @@ def pallas_available() -> bool:
 def build_poly_kernel(conv_kernel: np.ndarray, decimation: int) -> np.ndarray:
     """Repack the conv kernel ``(2C, 2, L)`` (tap axis reversed, see
     ``ddc.bandpass_kernel``) into the polyphase tensor ``(K, F, 2C)`` with
-    ``F = 2*D`` features ((re, im) x phase) and ``K = ceil(L/D)+1`` taps.
+    ``F = 2*D`` features ((re, im) x phase) and ``K = (L-1)//D + 1`` taps.
 
     Derivation: the conv output ``out[o, m] = sum_j k[o, i, j] x[i, mD + j]``
     with ``j = kD + p`` becomes ``sum_{k,p} k[o, i, kD+p] x[i, (m+k)D + p]``,
     and ``x[i, (m+k)D + p]`` is exactly ``X[m+k, f]`` for the reshaped input
-    ``X[t, f] = x_pair[i, tD + p]`` with ``f = i*D + p``.
+    ``X[t, f] = x_pair[i, tD + p]`` with ``f = i*D + p``.  ``K`` is exactly
+    the largest block index ``(L-1)//D`` plus one — an extra block would be
+    all-zero yet still cost one MXU matmul per output tile.
     """
     out_ch, in_ch, L = conv_kernel.shape
     D = decimation
-    K = -(-L // D) + 1
+    K = (L - 1) // D + 1
     w = np.zeros((K, in_ch * D, out_ch), dtype=np.float32)
     for j in range(L):
         k, p = divmod(j, D)
@@ -143,12 +145,19 @@ _W_BLOCK_BYTES = 4 << 20
 
 
 def choose_k_block(k_taps: int, f_pad: int, o_pad: int) -> int:
-    """Largest tap-block (multiple of 8) whose VMEM-resident W slice fits
-    the budget; the whole tensor when it already fits."""
+    """Largest tap-block (multiple of 8 when possible) whose VMEM-resident
+    W slice fits the budget; the whole tensor when it already fits.
+
+    Very wide geometries (``f_pad * o_pad`` in the thousands after the
+    128-lane padding) can make even an 8-tap block exceed the budget — then
+    degrade to the largest block that fits (floor 1) instead of returning a
+    block Mosaic cannot allocate."""
     fit = _W_BLOCK_BYTES // max(1, f_pad * o_pad * 4)
     if fit >= k_taps:
         return k_taps
-    return max(8, (fit // 8) * 8)
+    if fit >= 8:
+        return (fit // 8) * 8
+    return max(1, fit)
 
 
 def pallas_poly_fir_il(

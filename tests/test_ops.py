@@ -611,3 +611,28 @@ def test_j_lanes_pipeline_end_to_end(tmp_path, monkeypatch):
             assert np.isfinite(deemph.process(x.copy())).all()
             blk = RefDCBlocker(radius=1e-40)
             assert np.isfinite(blk.process(x.copy())).all()
+
+
+class TestPlannerGuards:
+    def test_osfir_plan_chunk_covers_tail(self):
+        from iq_to_audio_tpu.ops.osfir import OverlapSavePlan
+
+        # a tiny target_chunk with a long filter must still produce a
+        # chunk >= L-1 (the carried tail is sliced from the chunk)
+        plan = OverlapSavePlan.create(10_000, 5_000, target_chunk=4_096,
+                                      fft_size=16_384)
+        assert plan.chunk_size >= plan.num_taps - 1
+
+    def test_osfir_for_chunk_rejects_short_chunk(self):
+        from iq_to_audio_tpu.ops.osfir import OverlapSavePlan
+
+        with pytest.raises(ValueError, match="carried tail"):
+            OverlapSavePlan.for_chunk(10_000, 5_000, 5_000)
+
+    def test_interleave_kernel_rejects_unknown_order(self):
+        from iq_to_audio_tpu.ops.ddc import interleave_kernel
+
+        k = np.zeros((2, 2, 9), np.float32)
+        for bad in ("IQ", "i/q", "qi_inverse", ""):
+            with pytest.raises(ValueError, match="iq_order"):
+                interleave_kernel(k, bad)

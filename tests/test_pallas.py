@@ -134,7 +134,7 @@ def test_poly_kernel_packing_roundtrip():
     conv_k = rng.normal(size=(4, 2, 37)).astype(np.float32)
     w = pallas_ddc.build_poly_kernel(conv_k, decimation=5)
     K, F, O = w.shape
-    assert F == 10 and O == 4 and K == -(-37 // 5) + 1
+    assert F == 10 and O == 4 and K == (37 - 1) // 5 + 1  # exact, no zero block
     for j in range(37):
         k, p = divmod(j, 5)
         for i in range(2):
@@ -143,7 +143,7 @@ def test_poly_kernel_packing_roundtrip():
     ki = interleave_kernel(conv_k, "iq")
     wi = pallas_ddc.build_poly_kernel(ki, decimation=10)
     Ki, Fi, Oi = wi.shape
-    assert Fi == 10 and Oi == 4 and Ki == -(-74 // 10) + 1
+    assert Fi == 10 and Oi == 4 and Ki == (74 - 1) // 10 + 1
     for j in range(74):
         k, p = divmod(j, 10)
         np.testing.assert_array_equal(wi[k, p, :], ki[:, 0, j])
@@ -195,3 +195,13 @@ def test_pallas_big_l_tap_tiling(num_taps):
         )
     err = error_db(np.asarray(got), ref.T)
     assert err < -100.0, err
+
+
+def test_choose_k_block_degrades_below_eight():
+    # wide geometries where even an 8-tap block exceeds the budget must
+    # degrade to the largest fitting block, not return an unallocatable 8
+    kb = pallas_ddc.choose_k_block(100, 4096, 4096)  # 64 MiB per tap block
+    assert kb == 1
+    kb = pallas_ddc.choose_k_block(100, 1024, 1024)  # 4 MiB per tap: fit=1
+    assert 1 <= kb < 8
+    assert pallas_ddc.choose_k_block(5, 128, 128) == 5  # small: whole tensor
