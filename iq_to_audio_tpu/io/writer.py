@@ -57,6 +57,16 @@ class RmsAccumulator:
             return -200.0
         return 10.0 * math.log10(max(self._sumsq / self._count, 1e-20))
 
+    @property
+    def state(self) -> tuple[float, int]:
+        """(sum of squares, sample count) — checkpointable."""
+        return self._sumsq, self._count
+
+    def seed(self, sumsq: float, count: int) -> None:
+        """Restore a checkpointed accumulation (resume support)."""
+        self._sumsq = float(sumsq)
+        self._count = int(count)
+
 
 class AudioWriter:
     """Stream float32 mono audio into a 48 kHz pcm_s16le WAV.
@@ -121,6 +131,17 @@ class AudioWriter:
         """RMS level of everything written so far, in dBFS (-200 when
         nothing was written) — the reference's DecoderStats metric."""
         return self._rms.dbfs
+
+    @property
+    def rms_state(self) -> tuple[float, int]:
+        """Checkpointable (sumsq, count) of the RMS accumulator."""
+        return self._rms.state
+
+    def seed_rms(self, sumsq: float, count: int) -> None:
+        """Restore the RMS accumulation of an earlier run (resume keeps the
+        capture-level RMS covering the WHOLE capture, not just the samples
+        written after the checkpoint)."""
+        self._rms.seed(sumsq, count)
 
     def write_s16(self, samples: np.ndarray) -> None:
         """Enqueue audio that was already s16-encoded (e.g. on device).

@@ -1060,9 +1060,13 @@ class HeteroExecutor:
                 "IQ slice peak magnitude" if plan.pass_through
                 else "Audio peak level"
             )
-            for freq, peak_c in zip(freqs, peaks):
-                LOG.info("[%.0f] %s %.2f dBFS.", freq, peak_label,
-                         20.0 * math.log10(peak_c) if peak_c > 0 else -120.0)
+            for c, (freq, peak_c) in enumerate(zip(freqs, peaks)):
+                peak_db = 20.0 * math.log10(peak_c) if peak_c > 0 else -120.0
+                if c < len(rms_list):  # serial-parity log line (pipeline.py)
+                    LOG.info("[%.0f] %s %.2f dBFS, RMS %.2f dBFS.", freq,
+                             peak_label, peak_db, rms_list[c])
+                else:
+                    LOG.info("[%.0f] %s %.2f dBFS.", freq, peak_label, peak_db)
             return ProcessingResult(
                 sample_rate_probe=plan.probe,
                 center_freq=plan.center_freq,

@@ -551,6 +551,17 @@ class ProcessingPipeline:
                         AudioWriter(p, append=appending)
                         for p in output_paths
                     ]
+                    if appending:
+                        rms_states = resume_data.get("rms")
+                        if rms_states is None:
+                            LOG.warning(
+                                "Checkpoint predates RMS accumulation: the "
+                                "reported RMS will cover post-resume samples "
+                                "only."
+                            )
+                        else:
+                            for w, st in zip(audio_writers, rms_states):
+                                w.seed_rms(*st)
                 all_writers.extend(iq_writers)
                 all_writers.extend(slice_writers)
                 all_writers.extend(audio_writers)
@@ -707,6 +718,9 @@ class ProcessingPipeline:
                         "mix_sign": mix_sign,
                         "state": jax.tree_util.tree_map(np.asarray, st),
                         "peak": np.asarray(accs["peak"]) if "peak" in accs else None,
+                        # per-channel RMS accumulation so a resumed run still
+                        # reports the CAPTURE-level RMS, not post-resume only
+                        "rms": [w.rms_state for w in audio_writers],
                         "counters": {
                             "processed_samples": processed_samples,
                             "dec_emitted": dec_emitted,

@@ -219,17 +219,27 @@ def splice_audio(
                     f"fewer than its {skip}-sample lead-in; the worker run "
                     "was truncated."
                 )
+            remaining = info.data_size - 2 * skip
+            remaining -= remaining % 2
             with Path(path).open("rb") as f:
                 f.seek(info.data_offset + 2 * skip)
-                payload = f.read(info.data_size - 2 * skip)
-            if len(payload) % 2:
-                payload = payload[:-1]
-            if payload:
-                samples = np.frombuffer(payload, dtype="<i2")
-                peak_q = max(peak_q, int(np.max(np.abs(samples.astype(np.int32)))))
-                rms.add_s16(samples)
-                total += samples.size
-                writer.write_raw(payload)
+                # stream in bounded blocks: a segment's audio payload can be
+                # gigabytes, and slurping it whole (plus the int conversion
+                # copies) would spike peak memory to ~3x the payload size
+                while remaining > 0:
+                    payload = f.read(min(remaining, 8 << 20))
+                    if not payload:
+                        break
+                    take = len(payload) - (len(payload) % 2)
+                    payload = payload[:take]
+                    remaining -= take
+                    samples = np.frombuffer(payload, dtype="<i2")
+                    peak_q = max(
+                        peak_q, int(np.max(np.abs(samples.astype(np.int32))))
+                    )
+                    rms.add_s16(samples)
+                    total += samples.size
+                    writer.write_raw(payload)
     finally:
         writer.close()
     return peak_q / 32767.0, total, rms.dbfs

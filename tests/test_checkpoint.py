@@ -90,6 +90,12 @@ def test_resume_produces_identical_audio(tmp_path, capture):
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got[:, 0], ref[:, 0])
     assert result.audio_peak > 0.01
+    # capture-level RMS must cover the WHOLE capture, not post-resume only
+    # (the accumulator is checkpointed and reseeded on resume)
+    whole_rms_db = 20.0 * np.log10(
+        np.sqrt(np.mean(got[:, 0].astype(np.float64) ** 2))
+    )
+    assert result.stats and abs(result.stats[0].rms_dbfs - whole_rms_db) < 0.1
 
 
 def test_resume_respects_input_window(tmp_path, capture):
