@@ -126,7 +126,9 @@ def _hann_scale(length: int, sample_rate: float) -> tuple[np.ndarray, float]:
 
 def _psd_db(spectra: np.ndarray, scale: float) -> np.ndarray:
     shifted = np.fft.fftshift(np.asarray(spectra), axes=-1)
-    power = np.abs(shifted * np.conj(shifted)) / scale
+    # |X|^2 as real^2 + imag^2: no complex product / magnitude temporaries
+    # on the streaming-waterfall hot path
+    power = (np.square(shifted.real) + np.square(shifted.imag)) / scale
     return 10.0 * np.log10(power + _EPS)
 
 

@@ -60,10 +60,11 @@ def save_stage_psd(
     center_freq: float | None = None,
 ) -> None:
     """Save a multi-panel PNG of per-stage PSDs."""
-    import matplotlib
-
-    matplotlib.use("Agg", force=False)
-    import matplotlib.pyplot as plt
+    # direct Agg canvas, no pyplot: switching the PROCESS-wide backend
+    # would silently break a later interactive matplotlib session (the
+    # SpanSelector picker) in the same process
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
 
     stages = [s for s in _STAGE_ORDER if s in snapshots]
     stages += [s for s in snapshots if s not in stages]
@@ -71,7 +72,9 @@ def save_stage_psd(
         raise ValueError("No stage snapshots to plot.")
     cols = 2
     rows = (len(stages) + cols - 1) // cols
-    fig, axes = plt.subplots(rows, cols, figsize=(11, 3.0 * rows), squeeze=False)
+    fig = Figure(figsize=(11, 3.0 * rows))
+    FigureCanvasAgg(fig)
+    axes = fig.subplots(rows, cols, squeeze=False)
     for i, name in enumerate(stages):
         buf, rate = snapshots[name]
         ax = axes[i // cols][i % cols]
@@ -92,7 +95,6 @@ def save_stage_psd(
     output_path = Path(output_path)
     output_path.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(output_path, dpi=110)
-    plt.close(fig)
 
 
 def interactive_select_frequency(

@@ -49,6 +49,8 @@ _CODECS: tuple[_CodecRow, ...] = (
         wav_label="WAV PCM unsigned 8-bit",
         raw_label="RAW complex u8 (.cu8)",
         raw_suffixes=(".cu8",),
+        # "s8" aliases to the unsigned decode — reference parity (reference
+        # input_formats.py:105,152 maps PCM_S8/"s8" to pcm_u8 the same way)
         tokens=("u8", "cu8", "s8"),
     ),
     _CodecRow(

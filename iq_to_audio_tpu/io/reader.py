@@ -145,6 +145,11 @@ class IQReader:
         self._remaining = self._payload_size
         self._eof = False
         self._stop.clear()
+        # re-entry support: a stale error/queue from a previous pass must
+        # not poison a clean second pass (the error would otherwise
+        # resurface at the fresh run's EOF sentinel)
+        self._error = None
+        self._queue = None
         if self.prefetch_depth > 0:
             self._queue = queue.Queue(maxsize=self.prefetch_depth)
             self._thread = threading.Thread(

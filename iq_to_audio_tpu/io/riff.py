@@ -53,6 +53,9 @@ class WavInfo:
     data_size: int  # effective payload bytes (after ignore-length handling)
     declared_data_size: int  # raw size from the data chunk header
     tags: dict[str, str] = field(default_factory=dict)
+    #: RF64/BW64 container (sizes may live in a ds64 chunk the streaming
+    #: writer cannot re-finalize — append mode rejects these)
+    rf64: bool = False
 
     @property
     def bytes_per_frame(self) -> int:
@@ -121,7 +124,11 @@ def parse_wav_header(path: Path | str) -> WavInfo:
             elif cid == b"data":
                 data_offset = body
                 declared_data_size = csize
-                if is_rf64 and csize == 0xFFFFFFFF and ds64_data_size is not None:
+                if (
+                    is_rf64
+                    and csize in (0, 0xFFFFFFFF)
+                    and ds64_data_size is not None
+                ):
                     declared_data_size = ds64_data_size
             elif cid == b"LIST" and csize >= 4:
                 list_type = f.read(4)
@@ -129,7 +136,7 @@ def parse_wav_header(path: Path | str) -> WavInfo:
                     _parse_info_list(f, body + 4, min(csize - 4, 1 << 20), tags)
 
             step = csize
-            if cid == b"data" and is_rf64 and csize == 0xFFFFFFFF:
+            if cid == b"data" and is_rf64 and csize in (0, 0xFFFFFFFF):
                 if ds64_data_size is None:
                     break  # no ds64: data runs to EOF, nothing follows
                 # advance by the TRUE 64-bit size — stepping by the 32-bit
@@ -165,6 +172,7 @@ def parse_wav_header(path: Path | str) -> WavInfo:
         data_size=int(effective),
         declared_data_size=int(declared),
         tags=tags,
+        rf64=is_rf64,
     )
 
 
@@ -225,6 +233,14 @@ class WavStreamWriter:
         self._data_bytes = 0
         if append and self.path.exists():
             info = parse_wav_header(self.path)
+            if info.rf64:
+                # close() patches only the 32-bit RIFF/data fields; an RF64
+                # file's true sizes live in its ds64 chunk, which would go
+                # stale and hide every appended sample from readers
+                raise ValueError(
+                    f"Cannot append to {self.path}: RF64/BW64 containers "
+                    "cannot be re-finalized by the streaming writer."
+                )
             if (
                 info.sample_rate != self.sample_rate
                 or info.channels != self.channels

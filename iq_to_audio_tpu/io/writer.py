@@ -9,6 +9,7 @@ loop from blocking on disk, mirroring the reference's writer-thread design.
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import math
 import queue
@@ -170,7 +171,10 @@ class AudioWriter:
         else:
             try:
                 self._write_payload(payload)
-            except BaseException as exc:
+            except Exception as exc:
+                # Exception, not BaseException: a KeyboardInterrupt landing
+                # mid-write must propagate as itself (callers route
+                # interrupts differently from IO failures)
                 self._error = exc
                 raise RuntimeError("audio writer failed") from exc
 
@@ -195,7 +199,7 @@ class AudioWriter:
                 continue
             try:
                 self._write_payload(payload)
-            except BaseException as exc:  # surfaced on next write/close
+            except Exception as exc:  # surfaced on next write/close
                 self._error = exc
 
     def close(self) -> None:
@@ -210,10 +214,18 @@ class AudioWriter:
                 # NEVER patch the header while the drain thread may still
                 # be writing payload bytes on the same fd — leave the
                 # placeholder sizes (readers treat data as running to EOF)
-                # and surface the condition instead of corrupting the file
+                # and surface the condition instead of corrupting the file.
+                # The raw fd is still released (a wedged writer in a
+                # long-lived GUI process must not leak descriptors); the
+                # drain thread's next write then fails into _error, which
+                # is already latched.
                 self._error = self._error or RuntimeError(
                     "audio drain thread did not finish within 60 s"
                 )
+                with contextlib.suppress(Exception):
+                    if self._writer._fd is not None:
+                        self._writer._fd.close()
+                        self._writer._fd = None
                 raise RuntimeError("audio writer failed") from self._error
         self._writer.close()
         if self._error:
@@ -330,9 +342,13 @@ def read_wav(path: Path | str) -> tuple[np.ndarray, int]:
     from .riff import parse_wav_header
 
     info = parse_wav_header(path)
+    # drop a truncated trailing frame (data-to-EOF semantics make data_size
+    # whatever is on disk, incl. a capture cut mid-frame)
+    usable = info.data_size - (info.data_size % max(info.bytes_per_frame, 1))
     with Path(path).open("rb") as f:
         f.seek(info.data_offset)
-        payload = f.read(info.data_size)
+        payload = f.read(usable)
+    payload = payload[: len(payload) - (len(payload) % max(info.bytes_per_frame, 1))]
     codec = info.codec
     if codec == "pcm_u8":
         data = (np.frombuffer(payload, np.uint8).astype(np.float32) - 128.0) / 128.0

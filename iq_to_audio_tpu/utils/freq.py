@@ -26,7 +26,7 @@ LOG = logging.getLogger(__name__)
 
 # "145.5 M", "145500000", "433.92MHz", ... — magnitude + optional SI scale
 _TEXT_FREQ = re.compile(
-    r"(?P<mag>[-+]?\d+(?:\.\d+)?)(?P<scale>\s*[kKmMgG]?)\s*(?:[Hh][Zz])?"
+    r"(?P<mag>[-+]?\d+(?:\.\d+)?)(?P<scale>\s*[kKmMgG]?)\s*(?P<unit>[Hh][Zz])?"
 )
 # filename tokens must spell out the unit: "145500000Hz", "433920kHz"
 _NAME_FREQ = re.compile(r"(?i)(?P<mag>\d+(?:\.\d+)?)(?P<scale>[kmg]?)hz")
@@ -157,14 +157,14 @@ def _parse_frequency_text(text: str | None) -> float | None:
         return None
     scale = m["scale"].strip()
     rest = cleaned[m.end():]
-    # Grouped-digit guard: a SCALE-LESS match immediately continued by more
+    # Grouped-digit guard: a UNIT-LESS match immediately continued by more
     # digit groups means the regex truncated a grouped number
     # ("145 500 000" -> 145, "145.500.000" -> 145.500) — reparse the whole
     # value instead of returning the leading group.  An explicit scale
-    # letter terminates the number unambiguously ("96.5M 2024-01-01",
-    # "145.5 MHz ch 2" keep the reference's search() semantics,
-    # reference utils.py:280).
-    if scale or not re.match(r"[ .,']*\d", rest):
+    # letter OR a spelled-out Hz terminates the number unambiguously
+    # ("96.5M 2024-01-01", "145.5 MHz ch 2", "145500000 Hz 2024" keep the
+    # reference's search() semantics, reference utils.py:280).
+    if scale or m["unit"] or not re.match(r"[ .,']*\d", rest):
         return _scaled(m["mag"], m["scale"])
     compact = "".join(cleaned.split())
     if compact != cleaned:

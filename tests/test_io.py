@@ -378,3 +378,73 @@ class TestRiffRobustness:
         target.write_bytes(blob)
         info_parsed = parse_wav_header(target)
         assert info_parsed.sample_rate == 48_000
+
+
+class TestIoReviewRegressions:
+    """Round-3 review fixes (io/utils/analysis pass)."""
+
+    def test_rf64_zero_data_size_placeholder(self, tmp_path):
+        # a crashed RF64 writer can leave csize==0: with a ds64 present the
+        # true size wins; without one, data runs to EOF — the scan must not
+        # walk into the payload either way
+        frames = 100
+        payload = np.zeros(frames * 2, np.float32).tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 2, 96_000, 96_000 * 8, 8, 32)
+        ds64 = struct.pack("<QQQI", 0, len(payload), frames, 0)
+        with_ds64 = (
+            b"WAVE"
+            + b"ds64" + struct.pack("<I", len(ds64)) + ds64
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0) + payload
+        )
+        path = tmp_path / "z64.wav"
+        path.write_bytes(b"RF64" + struct.pack("<I", len(with_ds64)) + with_ds64)
+        info = parse_wav_header(path)
+        assert info.num_frames == frames and info.rf64
+        without_ds64 = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0) + payload
+        )
+        path2 = tmp_path / "z64b.wav"
+        path2.write_bytes(b"RF64" + struct.pack("<I", len(without_ds64)) + without_ds64)
+        info2 = parse_wav_header(path2)
+        assert info2.num_frames == frames  # to-EOF semantics
+
+    def test_rf64_append_rejected(self, tmp_path):
+        frames = 16
+        payload = np.zeros(frames * 2, np.float32).tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 2, 48_000, 48_000 * 8, 8, 32)
+        ds64 = struct.pack("<QQQI", 0, len(payload), frames, 0)
+        body = (
+            b"WAVE"
+            + b"ds64" + struct.pack("<I", len(ds64)) + ds64
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0xFFFFFFFF) + payload
+        )
+        path = tmp_path / "app64.wav"
+        path.write_bytes(b"RF64" + struct.pack("<I", len(body)) + body)
+        with pytest.raises(ValueError, match="RF64"):
+            WavStreamWriter(path, 48_000, 2, "pcm_f32le", append=True)
+
+    def test_read_wav_drops_truncated_final_frame(self, tmp_path):
+        from iq_to_audio_tpu.io.writer import read_wav
+
+        path = tmp_path / "cut.wav"
+        frames = np.linspace(-0.5, 0.5, 64, dtype=np.float32).reshape(-1, 2)
+        write_stereo_wav(path, frames, 48_000, codec="pcm_s16le")
+        blob = path.read_bytes()
+        path.write_bytes(blob[:-3])  # cut mid-frame (odd byte count too)
+        data, rate = read_wav(path)
+        assert rate == 48_000
+        assert data.shape == (31, 2)  # partial final frame dropped
+
+    def test_reader_reenter_clean_after_pass(self, tmp_path):
+        path = tmp_path / "twice.wav"
+        write_stereo_wav(path, np.zeros((500, 2), np.float32), 48_000)
+        spec = get_format("wav", "pcm_s16le")
+        reader = IQReader(path, 128, "iq", spec, prefetch_depth=2)
+        for _ in range(2):  # a second pass must start fresh (EOF/queue reset)
+            with reader:
+                total = sum(b.size for b in reader)
+            assert total == 500

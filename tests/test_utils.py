@@ -134,3 +134,11 @@ class TestMetadataDetection:
         result = detect_center_frequency(path)
         assert result.value == pytest.approx(expected)
         assert result.source == "metadata:frequency"
+
+    def test_hz_unit_terminates_number(self, tmp_path):
+        # an explicit Hz ends the number even when digit-leading text
+        # follows (the grouped-digit reparse must not reject it)
+        path = tmp_path / "plain.wav"
+        self._write_with_tag(path, b"frequency=145500000 Hz 2024-01-01")
+        result = detect_center_frequency(path)
+        assert result.value == pytest.approx(145_500_000.0)
