@@ -500,21 +500,42 @@ class InteractiveWindow(QMainWindow):
                     self.signals.failed.emit(str(exc))
 
         worker = _FullPsdWorker()
-
-        def _done(result):
-            freqs, psd, frames = result
-            if self._snapshot is not None:
-                self._snapshot.freqs = freqs
-                self._snapshot.psd_db = psd
-                self._snapshot.frames = frames
-            self._status(f"Full-capture spectrum averaged over {frames} frames.")
-            self._render_snapshot()
-
-        worker.signals.finished.connect(_done)
+        # bound-method slot: emitted from the pool thread, queued to the
+        # GUI thread (a closure connection would plot on the worker thread)
+        worker.signals.finished.connect(self._on_full_psd)
         worker.signals.failed.connect(self._status)
         worker.signals.progress.connect(self.status_panel.set_progress)
         self._status("Averaging entire recording…")
         self._pool.start(worker)
+
+    def _on_full_psd(self, result):
+        freqs, psd, frames = result
+        if self._snapshot is None:
+            # no snapshot to attach to (e.g. detection failed and the user
+            # supplied overrides, then analyzed directly): build a minimal
+            # one so the averaged PSD actually renders instead of being
+            # silently discarded behind a success message
+            from ..analysis.spectrum import WaterfallResult
+            from .models import SnapshotData
+
+            empty = np.zeros(0, dtype=np.float64)
+            self._snapshot = SnapshotData(
+                freqs=freqs,
+                psd_db=psd,
+                waterfall=WaterfallResult(
+                    freqs=freqs, times=empty, matrix=np.zeros((0, freqs.size))
+                ),
+                frames=frames,
+                sample_rate=float(self.state.sample_rate or 0.0),
+                retained=np.zeros(0, dtype=np.complex64),
+                seconds=0.0,
+            )
+        else:
+            self._snapshot.freqs = freqs
+            self._snapshot.psd_db = psd
+            self._snapshot.frames = frames
+        self._status(f"Full-capture spectrum averaged over {frames} frames.")
+        self._render_snapshot()
 
     def _retune_from_waterfall(self, freq: float):
         if self.state.add_target(freq):

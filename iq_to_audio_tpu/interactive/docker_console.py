@@ -40,6 +40,12 @@ class DockerConsole(QDialog):
     def append_log(self, text: str):
         self.log_view.appendPlainText(text.rstrip("\n"))
 
+    def append_error(self, message: str):
+        """Bound-method slot for worker failure signals (queued to the GUI
+        thread; a lambda connection would run on the worker's thread)."""
+        self.append_log(f"ERROR: {message}")
+        self.stop_btn.setEnabled(False)
+
     def mark_finished(self, exit_code: int):
         self.append_log(f"--- container exited with status {exit_code} ---")
         self.stop_btn.setEnabled(False)

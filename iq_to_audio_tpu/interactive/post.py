@@ -176,14 +176,18 @@ class AudioPostPage(QWidget):
         from .workers import AudioPostWorker
 
         worker = AudioPostWorker(targets, options)
-        worker.signals.progress.connect(
-            lambda done, total, p: self.progress.setValue(int(done / max(total, 1) * 1000))
-        )
+        # bound-method slots only: the worker emits from a pool thread, and
+        # a lambda connection would execute there (mutating widgets off the
+        # GUI thread); a QObject-bound method is queued to the GUI thread
+        worker.signals.progress.connect(self._on_batch_progress)
         worker.signals.finished.connect(self._show_summary)
         worker.signals.failed.connect(self.status.emit)
         self.table.setRowCount(0)
         self.status.emit(f"Processing {len(targets)} file(s)…")
         self._pool.start(worker)
+
+    def _on_batch_progress(self, done, total, _path):
+        self.progress.setValue(int(done / max(total, 1) * 1000))
 
     def _show_summary(self, summary):
         self.table.setRowCount(len(summary.results))
@@ -460,26 +464,26 @@ class DigitalPostPage(QWidget):
 
         return DockerBackend()
 
+    def _set_docker_status(self, _ok, msg):
+        """Bound-method slot: queued to the GUI thread (workers emit from
+        the pool thread — lambda connections would run there)."""
+        self.docker_status.setText(msg)
+
     def _probe(self):
         from .workers import DockerProbeWorker
 
         worker = DockerProbeWorker(self._backend)
-        worker.signals.result.connect(
-            lambda ok, msg: self.docker_status.setText(msg)
-        )
+        worker.signals.result.connect(self._set_docker_status)
         self._pool.start(worker)
 
     def _update_image(self):
         from .workers import DockerImageUpdateWorker
 
-        try:
-            backend = self._backend()
-        except Exception as exc:
-            self.docker_status.setText(str(exc))
-            return
         self.docker_status.setText("Pulling backend image…")
-        worker = DockerImageUpdateWorker(backend)
-        worker.signals.result.connect(lambda ok, msg: self.docker_status.setText(msg))
+        # factory form: docker.from_env's blocking engine HTTP happens on
+        # the pool thread, never in this click handler
+        worker = DockerImageUpdateWorker(self._backend)
+        worker.signals.result.connect(self._set_docker_status)
         self._pool.start(worker)
 
     def _launch(self):
@@ -499,20 +503,17 @@ class DigitalPostPage(QWidget):
         except ValueError as exc:  # unbalanced quotes in the free-form args
             self.status.emit(f"Bad command syntax: {exc}")
             return
-        try:
-            backend = self._backend()
-            backend.ensure_connection()
-        except Exception as exc:
-            self.status.emit(f"Docker unavailable: {exc}")
-            return
         request = DockerLaunchRequest(
             command=command, audio_dir=self._dir, decoder_key=key
         )
         console = DockerConsole(f"Decoder: {key}", self)
-        worker = DockerLaunchWorker(backend, request)
+        # factory form: backend construction + ensure_connection run on the
+        # pool thread (docker.from_env blocks on engine HTTP — an
+        # unreachable DOCKER_HOST must not freeze the GUI for its timeout)
+        worker = DockerLaunchWorker(self._backend, request)
         worker.signals.log.connect(console.append_log)
         worker.signals.finished.connect(console.mark_finished)
-        worker.signals.failed.connect(lambda msg: console.append_log(f"ERROR: {msg}"))
+        worker.signals.failed.connect(console.append_error)
         console.cancel_requested.connect(worker.cancel)
         self._console = console
         self._worker = worker

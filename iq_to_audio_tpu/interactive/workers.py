@@ -294,19 +294,25 @@ class _DockerSignals(QObject):
 
 class DockerLaunchWorker(QRunnable):
     """Launch a backend decoder container and stream its logs
-    (reference ``workers.py:452-525``)."""
+    (reference ``workers.py:452-525``).
 
-    def __init__(self, backend, request):
+    ``backend_or_factory`` may be a ready :class:`DockerBackend` or a
+    zero-arg factory; with a factory, construction AND the connectivity
+    check run on the pool thread — ``docker.from_env`` performs blocking
+    engine HTTP calls that must never run on the GUI thread."""
+
+    def __init__(self, backend_or_factory, request):
         super().__init__()
         self.signals = _DockerSignals()
-        self.backend = backend
+        self.backend = backend_or_factory if not callable(backend_or_factory) else None
+        self._factory = backend_or_factory if callable(backend_or_factory) else None
         self.request = request
         self._cancelled = False
         self._container_id = None
 
     def cancel(self):
         self._cancelled = True
-        if self._container_id is not None:
+        if self._container_id is not None and self.backend is not None:
             self.backend.kill_container(self._container_id)
 
     def _note_container(self, container_id: str):
@@ -319,6 +325,11 @@ class DockerLaunchWorker(QRunnable):
     @Slot()
     def run(self):
         try:
+            if self.backend is None:
+                self.backend = self._factory()
+                self.backend.ensure_connection()
+            if self._cancelled:
+                return
             code = self.backend.run_and_stream(
                 self.request,
                 log_callback=self.signals.log.emit,
@@ -354,16 +365,20 @@ class DockerProbeWorker(QRunnable):
             self.signals.result.emit(False, str(exc))
 
 class DockerImageUpdateWorker(QRunnable):
-    def __init__(self, backend):
+    def __init__(self, backend_or_factory):
         super().__init__()
         self.signals = _DockerProbeSignals()
-        self.backend = backend
+        self.backend = (
+            backend_or_factory if not callable(backend_or_factory) else None
+        )
+        self._factory = backend_or_factory if callable(backend_or_factory) else None
 
     @Slot()
     def run(self):
         try:
-            self.backend.pull_image()
-            info = self.backend.get_image_info()
+            backend = self.backend if self.backend is not None else self._factory()
+            backend.pull_image()
+            info = backend.get_image_info()
             self.signals.result.emit(True, info.format_status())
         except Exception as exc:
             self.signals.result.emit(False, str(exc))

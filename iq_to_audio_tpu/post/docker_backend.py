@@ -89,7 +89,13 @@ class DockerBackendConfig:
     image: str = DEFAULT_IMAGE
     audio_mount: Path = DEFAULT_AUDIO_TARGET
     environment: dict[str, str] = field(default_factory=dict)
-    auto_remove: bool = True
+    #: False: the runner removes the container itself after wait() (the
+    #: _await_exit finally).  Daemon-side AutoRemove races attach()/wait()
+    #: for fast-exiting commands (every digital preset defaults to
+    #: '--help', exiting in milliseconds) — the daemon can reap the
+    #: container first, turning a successful run into a NotFound error and
+    #: losing the exit code.  Known docker-py pitfall.
+    auto_remove: bool = False
     tty: bool = True
     stdin_open: bool = True
 
@@ -261,7 +267,10 @@ class DockerBackend:
                 ) from exc
             notify("Loading container into Docker...")
             try:
-                self._client.images.load(unpacked.read_bytes())
+                # stream the tar: backend images decompress to gigabytes,
+                # and read_bytes() would materialise the whole tar in RAM
+                with unpacked.open("rb") as tar_stream:
+                    self._client.images.load(tar_stream)
             except _sdk_errors() as exc:
                 raise DockerBackendError(
                     f"Failed to load bundled image into Docker: {exc}"

@@ -160,6 +160,10 @@ def _as_frames(audio: np.ndarray) -> np.ndarray:
 
 
 def _box_mean(x: np.ndarray, width: int) -> np.ndarray:
+    """Sliding mean with ``np.convolve(mode="same")`` zero-pad semantics,
+    evaluated in O(N) via a float64 cumulative sum — the direct convolution
+    is O(N*width) and a 10-minute 48 kHz capture with the ~1920-tap window
+    would cost ~5e10 multiply-adds per envelope."""
     x = np.asarray(x, dtype=np.float32)
     # cap at the signal length: convolve(mode="same") returns max(len, width)
     # values, and a gain vector longer than the frames breaks broadcasting
@@ -167,8 +171,17 @@ def _box_mean(x: np.ndarray, width: int) -> np.ndarray:
     width = min(max(int(width), 1), max(x.size, 1))
     if width == 1:
         return x
-    taps = np.full(width, 1.0 / width, dtype=np.float32)
-    return np.convolve(x, taps, mode="same").astype(np.float32)
+    # mode="same" keeps output sample i = mean of x[i-((width-1)//2+?) ...];
+    # precisely: out[i] = sum_{j} x[i + j - (width-1)//2 ... } — implement by
+    # padded cumsum so indices outside [0, N) contribute zero, matching
+    # convolve's zero extension
+    lead = (width - 1) // 2  # np.convolve("same") centre offset
+    cs = np.zeros(x.size + 1, dtype=np.float64)
+    np.cumsum(x, dtype=np.float64, out=cs[1:])
+    hi = np.minimum(np.arange(x.size) + lead + 1, x.size)
+    lo = np.maximum(np.arange(x.size) + lead + 1 - width, 0)
+    out = (cs[hi] - cs[lo]) * (1.0 / width)
+    return out.astype(np.float32)
 
 
 def _envelope(frames: np.ndarray, width: int) -> np.ndarray:
@@ -277,6 +290,10 @@ def apply_squelch(
     Returns ``(cleaned_frames, noise_floor_db, threshold_db)``.
     """
     frames = _as_frames(audio)
+    if frames.shape[0] == 0:
+        # empty input (e.g. a previous run trimmed everything): nothing to
+        # gate, and np.percentile on an empty envelope would raise
+        return frames.astype(np.float32, copy=False), _DB_FLOOR, _DB_FLOOR
     env_db = _to_db(_envelope(frames, max(1, round(config.window_seconds * sample_rate))))
     floor_db = config.resolve_noise_floor(env_db)
     threshold_db = floor_db + config.threshold_margin_db
@@ -323,8 +340,17 @@ def gather_audio_targets(path: Path, options: AudioPostOptions) -> list[Path]:
         raise FileNotFoundError(f"No such file or directory: {path}")
     allowed = tuple(s.lower() for s in options.allowed_suffixes) or supported_suffixes()
     targets: list[Path] = []
+    cleaned_tag = (options.cleaned_suffix or "-cleaned").lower()
     for p in candidates:
         if not p.is_file():
+            continue
+        if path.is_dir() and p.stem.lower().endswith(cleaned_tag):
+            # a directory re-run must not reprocess its own outputs (the
+            # batch would double with x-cleaned-cleaned.wav every pass);
+            # an explicitly-passed file is honoured verbatim.  Deliberate
+            # improvement over the reference, which re-gathers them.
+            LOG.info("Skipping %s: already carries the %r output suffix.",
+                     p, cleaned_tag)
             continue
         suffix = p.suffix.lower()
         if suffix in allowed:
@@ -350,7 +376,15 @@ def _read_audio(path: Path) -> tuple[np.ndarray, float, str | None]:
         data, sample_rate = read_wav(path)
         codec = parse_wav_header(path).codec or "pcm_s16le"
         if codec not in {"pcm_u8", "pcm_s16le", "pcm_f32le"}:
-            codec = "pcm_s16le"
+            # s32/f64 inputs are readable but the streaming writer cannot
+            # produce them: write float32 (lossless for the float32 frames
+            # in hand — a silent s16 coercion would downconvert bit depth,
+            # destructively so in overwrite mode) and say so
+            LOG.warning(
+                "%s: %s output is not supported; writing pcm_f32le.",
+                path, codec,
+            )
+            codec = "pcm_f32le"
         return data, float(sample_rate), codec
     sf = _soundfile()
     if sf is None:

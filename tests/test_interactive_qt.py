@@ -894,13 +894,39 @@ class TestDockerStop:
         worker.cancel()
         assert killed == ["cid-123"]
 
-    def test_cancel_before_start_kills_on_handoff(self):
+    def test_cancel_before_start_skips_launch(self):
+        """Stop pressed before the pool even ran the worker: the container
+        is never launched at all (strictly better than launch-then-kill)."""
+        from iq_to_audio_tpu.interactive.workers import DockerLaunchWorker
+
+        launched: list[str] = []
+
+        class _FakeBackend:
+            def run_and_stream(self, request, log_callback=None, on_container=None):
+                launched.append("ran")
+                return 0
+
+            def kill_container(self, cid):
+                pass
+
+        worker = DockerLaunchWorker(_FakeBackend(), request=None)
+        worker.cancel()  # user smashed Stop before the container started
+        failures: list[str] = []
+        worker.signals.failed.connect(failures.append)
+        worker.run()
+        assert launched == []  # never started
+        assert failures == []  # cancelled: not an error
+
+    def test_cancel_racing_start_kills_on_handoff(self):
+        """Stop landing after the launch began: the handoff callback kills
+        the container the moment its id arrives."""
         from iq_to_audio_tpu.interactive.workers import DockerLaunchWorker
 
         killed: list[str] = []
 
         class _FakeBackend:
             def run_and_stream(self, request, log_callback=None, on_container=None):
+                worker.cancel()  # Stop lands while the engine is starting
                 on_container("cid-9")
                 raise RuntimeError("killed mid-stream")
 
@@ -908,9 +934,22 @@ class TestDockerStop:
                 killed.append(cid)
 
         worker = DockerLaunchWorker(_FakeBackend(), request=None)
-        worker.cancel()  # user smashed Stop before the container started
         failures: list[str] = []
         worker.signals.failed.connect(failures.append)
         worker.run()
         assert killed == ["cid-9"]  # killed the moment the id arrived
         assert failures == []  # cancelled: error suppressed
+
+    def test_factory_connects_on_pool_thread(self):
+        """Factory form: backend construction + ensure_connection happen in
+        run() (the pool thread), and a connect failure surfaces as failed."""
+        from iq_to_audio_tpu.interactive.workers import DockerLaunchWorker
+
+        def bad_factory():
+            raise RuntimeError("engine unreachable")
+
+        worker = DockerLaunchWorker(bad_factory, request=None)
+        failures: list[str] = []
+        worker.signals.failed.connect(failures.append)
+        worker.run()
+        assert failures and "engine unreachable" in failures[0]

@@ -172,3 +172,54 @@ class TestBatch:
         frames, rate = sf.read(str(out), always_2d=True)
         assert rate == 16_000
         assert frames.shape[0] == summary.results[0].samples_out
+
+
+class TestBatchRerunHygiene:
+    def test_directory_rerun_skips_cleaned_outputs(self, tmp_path, caplog):
+        import logging
+
+        p = tmp_path / "rec.wav"
+        with WavStreamWriter(p, 16_000, 1, "pcm_s16le") as w:
+            w.write_float(make_burst_audio())
+        options = AudioPostOptions(config=SquelchConfig())
+        summary = process_audio_batch(gather_audio_targets(tmp_path, options), options)
+        assert summary.processed == 1
+        # second directory pass must not reprocess rec-cleaned.wav
+        with caplog.at_level(logging.INFO):
+            targets2 = gather_audio_targets(tmp_path, options)
+        assert targets2 == [p]
+        assert any("output suffix" in r.message for r in caplog.records)
+        # but an explicitly-passed cleaned file is honoured verbatim
+        cleaned = tmp_path / "rec-cleaned.wav"
+        assert gather_audio_targets(cleaned, options) == [cleaned]
+
+    def test_empty_audio_does_not_crash(self):
+        cleaned, floor_db, thr_db = apply_squelch(
+            np.zeros(0, np.float32), 16_000.0, SquelchConfig()
+        )
+        assert cleaned.shape[0] == 0
+        assert floor_db <= -120.0
+
+    def test_high_depth_wav_written_as_f32(self, tmp_path, caplog):
+        import logging
+        import struct
+
+        # hand-roll a pcm_s32le WAV (the streaming writer can't produce one)
+        frames = (np.linspace(-0.4, 0.4, 400) * 2**31).astype("<i4")
+        fmt = struct.pack("<HHIIHH", 1, 1, 16_000, 16_000 * 4, 4, 32)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", frames.nbytes) + frames.tobytes()
+        )
+        p = tmp_path / "deep.wav"
+        p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+        options = AudioPostOptions(config=SquelchConfig(trim_silence=False))
+        with caplog.at_level(logging.WARNING):
+            summary = process_audio_batch([p], options)
+        assert summary.failed == 0
+        assert any("pcm_f32le" in r.message for r in caplog.records)
+        from iq_to_audio_tpu.io.riff import parse_wav_header
+
+        out = p.with_name("deep-cleaned.wav")
+        assert parse_wav_header(out).codec == "pcm_f32le"
