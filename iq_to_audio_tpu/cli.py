@@ -51,13 +51,24 @@ LOG = logging.getLogger("iq_to_audio_tpu")
 
 
 def positive_float(value: str) -> float:
+    """argparse type: a strictly positive float."""
     try:
-        val = float(value)
+        parsed = float(value)
     except ValueError as exc:
         raise argparse.ArgumentTypeError(str(exc)) from exc
-    if val <= 0:
+    if parsed <= 0:
         raise argparse.ArgumentTypeError("Expected a positive value.")
-    return val
+    return parsed
+
+
+def _die(what: str, exc: Exception, verbose: bool) -> int:
+    """Uniform failure exit used by every CLI mode: one ERROR line, full
+    traceback only under ``--verbose``.  Must be called from inside the
+    ``except`` block so ``LOG.exception`` sees the active exception."""
+    LOG.error("%s: %s", what, exc)
+    if verbose:
+        LOG.exception("%s — debug traceback", what)
+    return 1
 
 
 DIGITAL_DECODER_KEYS: tuple[str, ...] = tuple(d.key for d in DIGITAL_DECODERS)
@@ -298,8 +309,7 @@ def _run_audio_post(args: argparse.Namespace) -> int:
     try:
         post_targets = gather_audio_targets(args.audio_post_path, post_options)
     except Exception as exc:
-        LOG.error("Unable to enumerate audio targets: %s", exc)
-        return 1
+        return _die("Unable to enumerate audio targets", exc, args.verbose)
     if not post_targets:
         LOG.error("No audio files found at %s.", args.audio_post_path)
         return 1
@@ -316,23 +326,20 @@ def _run_audio_post(args: argparse.Namespace) -> int:
     )
 
     def _progress(completed: int, total: int, current: Path) -> None:
-        if total <= 0:
-            LOG.info("Processing %s", current)
-        else:
-            pct = 100.0 * max(0, min(completed, total)) / total
+        if total > 0:
+            pct = 100.0 * min(max(completed, 0), total) / total
             LOG.info(" [%6.2f%%] %s", pct, current)
+        else:
+            LOG.info("Processing %s", current)
 
     summary = process_audio_batch(post_targets, post_options, progress_cb=_progress)
     for item in summary.results:
         LOG.info(
-            "%s -> %s | %.2fs -> %.2fs | %.1f%% retained | floor %.1f dB | threshold %.1f dB",
-            item.input_path,
-            item.output_path,
-            item.duration_in,
-            item.duration_out,
-            item.retained_ratio * 100.0,
-            item.noise_floor_db,
-            item.threshold_db,
+            "%s -> %s | %.2fs -> %.2fs | %.1f%% retained | floor %.1f dB "
+            "| threshold %.1f dB",
+            item.input_path, item.output_path, item.duration_in,
+            item.duration_out, item.retained_ratio * 100.0,
+            item.noise_floor_db, item.threshold_db,
         )
     if summary.errors:
         LOG.error("Audio post-processing failed on %d file(s).", summary.failed)
@@ -423,27 +430,26 @@ def main(argv: list[str] | None = None) -> int:
             "resume",
         )
     }
-    shared_kwargs.update(
-        center_freq_source="cli" if args.center_freq is not None else None,
-        demod_mode=args.demod,
-        fs_ch_target=args.fs_ch,
-        mix_sign_override=args.mix_sign,
-        input_format=input_fmt[0],
-        input_container=input_fmt[1],
-        input_format_source=input_fmt[2],
-    )
-    base_kwargs = dict(shared_kwargs)
-    base_kwargs.update(
-        target_freq=frequencies[0] if frequencies else 0.0,
-        target_freqs=list(frequencies),
-        output_path=args.output_path,
-        dump_iq_path=args.dump_iq,
-        plot_stages_path=args.plot_stages,
-    )
+    shared_kwargs |= {
+        "center_freq_source": "cli" if args.center_freq is not None else None,
+        "demod_mode": args.demod,
+        "fs_ch_target": args.fs_ch,
+        "mix_sign_override": args.mix_sign,
+        "input_format": input_fmt[0],
+        "input_container": input_fmt[1],
+        "input_format_source": input_fmt[2],
+    }
+    base_kwargs = {
+        **shared_kwargs,
+        "target_freq": frequencies[0] if frequencies else 0.0,
+        "target_freqs": list(frequencies),
+        "output_path": args.output_path,
+        "dump_iq_path": args.dump_iq,
+        "plot_stages_path": args.plot_stages,
+    }
 
     if args.benchmark:
-        benchmark_kwargs = dict(base_kwargs)
-        benchmark_kwargs.pop("target_freqs", None)
+        bench_kwargs = {k: v for k, v in base_kwargs.items() if k != "target_freqs"}
         try:
             return run_benchmark(
                 seconds=args.benchmark_seconds,
@@ -451,14 +457,11 @@ def main(argv: list[str] | None = None) -> int:
                 freq_offset=args.benchmark_offset,
                 center_freq=args.center_freq,
                 target_freq=frequencies[0] if frequencies else None,
-                base_kwargs=benchmark_kwargs,
+                base_kwargs=bench_kwargs,
                 channels=args.benchmark_channels,
             )
         except Exception as exc:
-            LOG.error("Benchmark failed: %s", exc)
-            if args.verbose:
-                LOG.exception("Benchmark error details")
-            return 1
+            return _die("Benchmark failed", exc, args.verbose)
 
     progress_sink = None
     configs: list[ProcessingConfig] = []
@@ -490,10 +493,7 @@ def main(argv: list[str] | None = None) -> int:
                 LOG.info("Interactive session cancelled.")
                 return 0
             except Exception as exc:
-                LOG.error("Interactive session failed: %s", exc)
-                if args.verbose:
-                    LOG.exception("Interactive error details")
-                return 1
+                return _die("Interactive session failed", exc, args.verbose)
 
     if not launch_gui:
         if args.input_path is None:
@@ -520,10 +520,7 @@ def main(argv: list[str] | None = None) -> int:
                 LOG.info("Preview cancelled by user.")
                 return 0
             except Exception as exc:
-                LOG.error("Preview failed: %s", exc)
-                if args.verbose:
-                    LOG.exception("Preview error details")
-                return 1
+                return _die("Preview failed", exc, args.verbose)
             LOG.info("Preview written to %s", preview_path)
             return 0
 
@@ -572,10 +569,7 @@ def main(argv: list[str] | None = None) -> int:
                 LOG.info("Processing cancelled by user.")
                 return 0
             except Exception as exc:
-                LOG.error("Processing failed: %s", exc)
-                if args.verbose:
-                    LOG.exception("Debug traceback")
-                return 1
+                return _die("Processing failed", exc, args.verbose)
             results.append((config, result))
     finally:
         if hetero_ex is not None:
@@ -748,10 +742,7 @@ def _run_multi_capture(
                 LOG.info("Processing cancelled by user.")
                 return 0
             except Exception as exc:
-                LOG.error("Processing failed for %s: %s", p, exc)
-                if args.verbose:
-                    LOG.exception("Debug traceback")
-                rc = 1
+                rc = _die(f"Processing failed for {p}", exc, args.verbose)
     finally:
         if hetero_ex is not None:
             hetero_ex.close()
