@@ -13,6 +13,7 @@ import math
 import jax.numpy as jnp
 
 from ..ops.iir import deemphasis
+from ..ops.trig import atan2_fast
 from .base import Decoder
 
 
@@ -21,10 +22,15 @@ def polar_discriminant(yr, yi, sr, si):
     ``decoders/nfm.py:11-24``), with the shifted sequence ``(sr, si)``
     supplied by the caller — the serial decoder shifts by the carried
     previous sample, the sharded step by the cross-shard halo.  Single
-    source of the discriminator formula for both paths."""
+    source of the discriminator formula for both paths.
+
+    The angle is the polynomial :func:`~iq_to_audio_tpu.ops.trig.atan2_fast`
+    (~1e-7 rad of exact; XLA:CPU's ``atan2`` is a scalar libm call measured
+    10x slower, and sharing one formula across backends removes a
+    cross-backend divergence source)."""
     pr = yr * sr + yi * si
     pi = yi * sr - yr * si
-    return jnp.arctan2(pi, pr).astype(jnp.float32)
+    return atan2_fast(pi, pr)
 
 
 class NFMDecoder(Decoder):

@@ -254,28 +254,97 @@ def ddc_apply_il(
 def bank_from_kernel(kernel_np: np.ndarray, os_plan) -> np.ndarray:
     """Recover the complex bandpass bank from a conv kernel built by
     :func:`bandpass_kernel` (undo the correlation tap-reversal), FFT'd to
-    ``(C, fft_size)`` complex64 for the overlap-save channelizer.
+    ``(C, fft_size)`` complex64 for the overlap-save channelizer — or to
+    the ``(C, fold, fft_size/fold)`` combine gains when the plan uses the
+    polyphase forward.
 
     ``os_plan`` is the :class:`~.osfir.OverlapSavePlan` the bank feeds (its
     fold shift/scale are baked in); a bare ``int`` FFT size yields the
     plain fold-free responses.
     """
-    from .osfir import OverlapSavePlan, taps_fft
+    from .osfir import taps_fft
 
-    fft_size = (
-        os_plan.fft_size if isinstance(os_plan, OverlapSavePlan) else int(os_plan)
-    )
     C = kernel_np.shape[0] // 2
-    bank = np.empty((C, fft_size), dtype=np.complex64)
+    rows = []
     for c in range(C):
         g = (
             kernel_np[2 * c, 0][::-1].astype(np.float64)
             + 1j * kernel_np[2 * c + 1, 0][::-1].astype(np.float64)
         )
-        # taps_fft owns the fold convention (shift/scale phase ramp) — one
-        # source of truth for both channelizers' frequency responses
-        bank[c] = taps_fft(g, os_plan)
-    return bank
+        # taps_fft owns the fold convention (shift/scale phase ramp, the
+        # polyphase combine-gain shape) — one source of truth for both
+        # channelizers' frequency responses
+        rows.append(taps_fft(g, os_plan))
+    # (C, F) flat responses, or (C, fold, F/fold) combine gains (poly plan)
+    return np.stack(rows)
+
+
+def complex_from_interleaved(f: jnp.ndarray, iq_order: str) -> jnp.ndarray:
+    """The ordered complex stream as a zero-copy VIEW of the scaled
+    interleaved float32 stream.
+
+    A complex64 array's memory layout IS ``[re, im]`` pairs, i.e. exactly the
+    interleaved ``IQIQ...`` stream — so ``f.view(complex64)`` reinterprets in
+    place and the reference's four IQ-order conventions
+    (``processing.py:268-279``) become unit elementwise transforms XLA fuses
+    into the consumer (no de-interleave relayout, no pair materialisation):
+
+    ========  ===================  =======================
+    order     stream pairs (a,b)   wanted i + 1j*q
+    ========  ===================  =======================
+    iq        (i, q)               v
+    iq_inv    (i, -q)... (i, q) with q negated -> conj(v)
+    qi        (q, i)               1j * conj(v)
+    qi_inv    (q, i), q negated    -1j * v
+    ========  ===================  =======================
+    """
+    v = f.view(jnp.complex64)
+    if iq_order == "iq":
+        return v
+    if iq_order == "iq_inv":
+        return jnp.conj(v)
+    if iq_order == "qi":
+        return jnp.complex64(1j) * jnp.conj(v)
+    if iq_order == "qi_inv":
+        return jnp.complex64(-1j) * v
+    raise ValueError(f"Unknown IQ order '{iq_order}'")
+
+
+def ddc_apply_fft_il(
+    plan: DDCPlan,
+    os_plan,
+    h_bank: jnp.ndarray,
+    f: jnp.ndarray,
+    tail: jnp.ndarray,
+    phase0_fixed: jnp.ndarray,
+    inc_lo_fixed: jnp.ndarray,
+    iq_order: str = "iq",
+):
+    """:func:`ddc_apply_fft` fed the scaled raw INTERLEAVED stream directly
+    (the production fft-channelizer path): the complex input is a zero-copy
+    view (:func:`complex_from_interleaved`), so the convert/de-interleave
+    passes over the full-rate data disappear into the overlap-save frame
+    gather.  State pytree is identical to :func:`ddc_apply_fft` (the
+    ``(2, L-1)`` pair tail — it is tiny, and keeping it preserves
+    checkpoint layout).
+    """
+    from .osfir import os_fir_bank
+
+    L, D, N = plan.num_taps, plan.decimation, plan.chunk_size
+    assert f.shape[-1] == 2 * N
+    m = plan.out_size
+    x = complex_from_interleaved(f, iq_order)
+    tail_c = (tail[0] + 1j * tail[1]).astype(jnp.complex64)
+    dec, _ = os_fir_bank(os_plan, h_bank, x, tail_c)  # (C, m) complex
+    yr, yi, phase_next = mix_and_advance(
+        jnp.real(dec), jnp.imag(dec), phase0_fixed, inc_lo_fixed, m
+    )
+    if L > 1:
+        tail_x = x[N - (L - 1) :]
+        new_tail = jnp.stack([jnp.real(tail_x), jnp.imag(tail_x)])
+    else:
+        new_tail = tail
+    return yr, yi, new_tail, phase_next
 
 
 def ddc_apply_fft(

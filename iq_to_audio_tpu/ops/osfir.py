@@ -20,13 +20,25 @@ TPU-native redesign of the reference's ``OverlapSaveFIR`` + ``Decimator``
   ``f | gcd(D, F)`` those samples are the length-``F/f`` inverse DFT of the
   product spectrum folded modulo ``F/f``.  A circular shift of ``L-1``
   samples (baked into the tap spectrum as a phase ramp) aligns the kept
-  samples to multiples of ``f``.  The plan prefers ``F = odd(D) * 2**k``
-  when the full ``f = D`` fold wins under DUCC's measured mixed-radix cost
-  (headline 2.5 MS/s decim-26: F=26624 folds the inverse FFT to 1024
-  points, ~2.4x less FFT work per input sample than the unfolded
-  power-of-two plan on the one-core host).  The reference runs the inverse
-  FFT at the full input rate and strides afterwards
-  (``processing.py:300-360``).
+  samples to multiples of ``f``.  The reference runs the inverse FFT at
+  the full input rate and strides afterwards (``processing.py:300-360``).
+* The full ``f = D`` fold needs ``D | F``, which for most decimations makes
+  ``F`` mixed-radix — so the **polyphase forward** computes the folded
+  product spectrum without ever running a non-power-of-two FFT.  With
+  ``F = D * Fp`` (``Fp`` a power of two), split each frame into its ``D``
+  decimation phases ``x_p[t] = x[D*t + p]`` and FFT those (``D`` batched
+  power-of-two FFTs).  Cooley-Tukey gives
+  ``X[q*Fp+s] = sum_p W_D^{pq} * W_F^{ps} * Xp[s]``, so the folded product
+  collapses to one precomputed per-branch gain:
+
+      folded[s] = sum_q (X*H)[q*Fp+s] = sum_p Xp[p,s] * Ghat[p,s],
+      Ghat[p,s] = W_F^{ps} * sum_q H[q*Fp+s] * W_D^{pq}
+
+  i.e. forward FFT work ``F*log2(Fp)`` instead of ``F*log2(F)`` (all
+  power-of-two), an ``O(F)`` combine, and a ``D``-times-smaller inverse.
+  Measured on the one-core host at the headline geometry (L=1601, D=26):
+  6.2 ns/sample vs 10.7 for the best unfolded power-of-two plan (-42%).
+  The identity is exact — same product spectrum, same folded samples.
 
 Chunked output is bit-identical to whole-signal filtering because the
 (L-1)-sample input tail is carried between chunks, exactly like the
@@ -65,12 +77,13 @@ class OverlapSavePlan:
     """Static (hashable) geometry of one streaming filter configuration."""
 
     num_taps: int  # L
-    fft_size: int  # F (power of two, or odd(D) * power of two)
+    fft_size: int  # F (power of two, or D * power of two when poly)
     block: int  # B: hop per frame, multiple of decimation
     decimation: int  # D
     num_frames: int  # K frames per chunk
     chunk_size: int  # N = K * B input samples per chunk
     fold: int = 1  # inverse-FFT alias fold factor, divides gcd(D, F)
+    poly: bool = False  # polyphase forward (full f=D fold, F = D * 2**k)
 
     @property
     def overlap(self) -> int:
@@ -116,20 +129,35 @@ class OverlapSavePlan:
         while odd % 2 == 0:
             odd //= 2
 
-        def _cost(F: int) -> float:
+        def work(n: int, pen: float = 1.0) -> float:
+            return n * math.log2(n) * pen if n > 1 else 0.0
+
+        def _cost(cand: tuple[int, bool]) -> float:
+            F, poly = cand
             b = D * ((F - L + 1) // D)
             if b < 1:
                 return float("inf")
+            if poly:
+                # polyphase forward: D batched FFTs of Fp = F/D points plus
+                # an O(F) gain-combine, then one Fp-point inverse — all
+                # power-of-two.  Branch arrays of F complex64 spill the
+                # one-core host's cache above ~256 KiB (measured at the
+                # headline L=1601/D=26: Fp 512/1024 -> 6.2/6.9 ns/sample,
+                # Fp 2048 -> 12.3).
+                Fp = F // D
+                pen = 1.0 if F * 8 <= (256 << 10) else 2.0
+                fwd = F * math.log2(Fp) * pen if Fp > 1 else 0.0
+                return (fwd + 1.3 * F * pen + work(Fp)) / b
             f = math.gcd(D, F)
-            def work(n: int) -> float:
-                # DUCC's odd(D)*2**k premium measured 1.3-1.6x per point at
-                # pipeline chunk sizes on the one-core host (not the ~1.16x
-                # its flop count suggests) — cache pressure of the larger
-                # mixed-radix twiddle sets
-                pen = 1.0 if n & (n - 1) == 0 else 1.45
-                return n * math.log2(n) * pen if n > 1 else 0.0
-            return (work(F) + work(F // f)) / b
+            # DUCC's odd(D)*2**k premium measured 1.3-1.6x per point at
+            # pipeline chunk sizes on the one-core host (not the ~1.16x
+            # its flop count suggests) — cache pressure of the larger
+            # mixed-radix twiddle sets
+            def pen_of(n: int) -> float:
+                return 1.0 if n & (n - 1) == 0 else 1.45
+            return (work(F, pen_of(F)) + work(F // f, pen_of(F // f))) / b
 
+        poly = False
         if fft_size is not None:
             F = int(fft_size)
             if F & (F - 1):  # honor an explicit odd(D)*2**k size verbatim
@@ -140,10 +168,10 @@ class OverlapSavePlan:
         else:
             lo = _next_pow2(max(2 * L, 4096, L - 1 + D))
             hi = max(lo, 1 << 18)
-            candidates = []
+            candidates: list[tuple[int, bool]] = []
             F = lo
             while F <= hi:
-                candidates.append(F)
+                candidates.append((F, False))
                 F <<= 1
             if odd > 1 and _nonpow2_fft_ok():
                 F = odd
@@ -151,9 +179,18 @@ class OverlapSavePlan:
                     F <<= 1
                 while F <= hi:
                     if F % D == 0 and F >= L - 1 + D:
-                        candidates.append(F)
+                        candidates.append((F, False))
                     F <<= 1
-            F = min(candidates, key=_cost)
+            if D > 1:
+                # full-fold candidates F = D * 2**k for the polyphase
+                # forward — exact for ANY decimation, no mixed-radix FFT
+                Fp = 256
+                while D * Fp < L - 1 + D:
+                    Fp <<= 1
+                while D * Fp <= 2 * hi:
+                    candidates.append((D * Fp, True))
+                    Fp <<= 1
+            F, poly = min(candidates, key=_cost)
         B = D * ((F - L + 1) // D)
         while B < 1:
             F <<= 1
@@ -171,7 +208,8 @@ class OverlapSavePlan:
             decimation=D,
             num_frames=K,
             chunk_size=K * B,
-            fold=math.gcd(D, F),
+            fold=D if poly else math.gcd(D, F),
+            poly=poly,
         )
 
     @staticmethod
@@ -209,6 +247,7 @@ class OverlapSavePlan:
             num_frames=K,
             chunk_size=N,
             fold=base.fold,
+            poly=base.poly,
         )
 
 
@@ -217,12 +256,16 @@ def taps_fft(taps: np.ndarray, plan: "OverlapSavePlan | int") -> np.ndarray:
 
     Pass the :class:`OverlapSavePlan` so the fold's circular shift and
     renormalisation are baked in; a bare ``int`` FFT size yields the plain
-    (fold-free) response.
+    (fold-free) response.  For a polyphase-forward plan the result is the
+    per-branch combine gain ``Ghat`` of shape ``(fold, F/fold)`` (see the
+    module doc) rather than the flat ``(F,)`` response.
     """
     if isinstance(plan, OverlapSavePlan):
         fft_size, shift, scale = plan.fft_size, plan.h_shift, plan.h_scale
+        poly, fold = plan.poly, plan.fold
     else:
         fft_size, shift, scale = int(plan), 0, 1.0
+        poly, fold = False, 1
     taps = np.asarray(taps)
     # complex128 padding: also serves complex bandpass taps (the FFT
     # channelizer bank, ddc.bank_from_kernel)
@@ -232,16 +275,25 @@ def taps_fft(taps: np.ndarray, plan: "OverlapSavePlan | int") -> np.ndarray:
     if shift or scale != 1.0:
         k = np.arange(fft_size, dtype=np.float64)
         spec = spec * scale * np.exp(2j * np.pi * k * shift / fft_size)
+    if poly:
+        # Ghat[p, s] = W_F^{ps} * sum_q H[q*Fp + s] * W_fold^{pq}; the inner
+        # sum is a DFT across the alias axis q (np.fft.fft along axis 0)
+        fp = fft_size // fold
+        g = np.fft.fft(spec.reshape(fold, fp), axis=0)
+        p = np.arange(fold, dtype=np.float64)[:, None]
+        s = np.arange(fp, dtype=np.float64)[None, :]
+        g = g * np.exp(-2j * np.pi * p * s / fft_size)
+        return g.astype(np.complex64)
     return spec.astype(np.complex64)
 
 
-def _frame_spectra(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
-    """Shared overlap-save framing: tail-concat, end-pad, frame gather,
-    forward FFT, and the new carried tail.  One implementation for the
-    single-filter (:func:`os_fir_decimate`) and bank (:func:`os_fir_bank`)
-    paths so the padding/tail conventions cannot drift.
+def _framed(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
+    """Shared overlap-save framing: tail-concat, end-pad, frame gather, and
+    the new carried tail.  One implementation for the single-filter
+    (:func:`os_fir_decimate`) and bank (:func:`os_fir_bank`) paths so the
+    padding/tail conventions cannot drift.
 
-    Returns ``(spec, new_tail)`` with ``spec`` shaped ``(..., K, F)``.
+    Returns ``(frames, new_tail)`` with ``frames`` shaped ``(..., K, F)``.
     """
     L, F, B, K, N = (
         plan.num_taps,
@@ -261,9 +313,52 @@ def _frame_spectra(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
         + jnp.arange(F, dtype=jnp.int32)[None, :]
     )
     frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, F)
-    spec = jnp.fft.fft(frames, axis=-1)
     new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
-    return spec, new_tail
+    return frames, new_tail
+
+
+def _frame_spectra(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
+    """Framing + full-``F`` forward FFT: ``(..., K, F)`` spectra."""
+    frames, new_tail = _framed(plan, x, tail)
+    return jnp.fft.fft(frames, axis=-1), new_tail
+
+
+def _poly_branch_spectra(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
+    """Framing + polyphase-branch forward FFTs for a ``plan.poly`` plan.
+
+    Each frame splits into its ``fold`` decimation phases
+    ``x_p[t] = frame[fold*t + p]`` and the branches are FFT'd batched —
+    ``fold`` power-of-two FFTs of ``F/fold`` points instead of one
+    length-``F`` mixed-radix FFT.  The branch split is folded INTO the
+    frame gather (one 3-D transposed index instead of gather + reshape +
+    transpose): one relayout pass over the full-rate data instead of two
+    (measured -1.4 ns/sample at the headline geometry on the one-core
+    host).  Returns ``(Xp, new_tail)`` with ``Xp`` shaped
+    ``(..., K, fold, F/fold)``.
+    """
+    L, F, B, K, N = (
+        plan.num_taps,
+        plan.fft_size,
+        plan.block,
+        plan.num_frames,
+        plan.chunk_size,
+    )
+    f, fp = plan.fold, plan.fft_size // plan.fold
+    assert x.shape[-1] == N, (x.shape, N)
+    x_ext = jnp.concatenate([tail, x], axis=-1)
+    pad = (K - 1) * B + F - x_ext.shape[-1]
+    if pad > 0:
+        widths = [(0, 0)] * (x_ext.ndim - 1) + [(0, pad)]
+        x_ext = jnp.pad(x_ext, widths)
+    # idx[k, p, t] = k*B + t*fold + p — the branch-transposed frame layout
+    idx = (
+        jnp.arange(K, dtype=jnp.int32)[:, None, None] * B
+        + jnp.arange(fp, dtype=jnp.int32)[None, None, :] * f
+        + jnp.arange(f, dtype=jnp.int32)[None, :, None]
+    )
+    xp = jnp.take(x_ext, idx, axis=-1)  # (..., K, f, Fp)
+    new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
+    return jnp.fft.fft(xp, axis=-1), new_tail
 
 
 def os_fir_decimate(
@@ -299,6 +394,10 @@ def os_fir_decimate(
             "return_filtered needs the full-rate inverse FFT; use a "
             "fold=1 plan (stage snapshots run on the conv channelizer)"
         )
+    if plan.poly:
+        xp, new_tail = _poly_branch_spectra(plan, x, tail)
+        folded = (xp * h_fft).sum(axis=-2)  # h_fft is Ghat (fold, Fp)
+        return _ifft_keep(plan, folded, x.shape[:-1]), new_tail
     spec, new_tail = _frame_spectra(plan, x, tail)
     if plan.fold > 1:
         dec = _folded_ifft_decimate(plan, spec * h_fft, x.shape[:-1])
@@ -320,16 +419,21 @@ def _folded_ifft_decimate(plan: OverlapSavePlan, prod: jnp.ndarray, lead):
     and the inverse DFT of the modulo-``F/fold`` folded spectrum yields
     them directly.  Returns ``(..., N // D)`` complex64.
     """
-    F, B, D, K, N, f = (
-        plan.fft_size,
+    f = plan.fold
+    folded = prod.reshape(*prod.shape[:-1], f, plan.fft_size // f).sum(axis=-2)
+    return _ifft_keep(plan, folded, lead)
+
+
+def _ifft_keep(plan: OverlapSavePlan, folded: jnp.ndarray, lead):
+    """Inverse DFT of the folded product spectrum and the kept decimated
+    samples: ``folded`` is ``(..., K, F/fold)``; returns ``(..., N // D)``."""
+    B, D, K, N, f = (
         plan.block,
         plan.decimation,
         plan.num_frames,
         plan.chunk_size,
         plan.fold,
     )
-    Fp = F // f
-    folded = prod.reshape(*prod.shape[:-1], f, Fp).sum(axis=-2)
     y = jnp.fft.ifft(folded, axis=-1)  # (..., K, Fp): y'[q] = y[L-1 + q*f]
     step = D // f
     keep = B // D
@@ -353,13 +457,24 @@ def os_fir_bank(
 
     Parameters
     ----------
-    h_bank: complex64 ``(C, F)`` — FFTs of the per-channel (bandpass) taps.
+    h_bank: complex64 ``(C, F)`` — FFTs of the per-channel (bandpass) taps
+    (``(C, fold, F/fold)`` combine gains for a ``plan.poly`` plan).
     x: complex64 ``(N,)``; tail: complex64 ``(L-1,)``.
 
     Returns ``(dec, new_tail)`` with ``dec`` of shape ``(C, N // D)``.
     """
-    B, D, K, N = plan.block, plan.decimation, plan.num_frames, plan.chunk_size
+    L, B, D, K, N = (
+        plan.num_taps,
+        plan.block,
+        plan.decimation,
+        plan.num_frames,
+        plan.chunk_size,
+    )
     assert x.shape == (N,), (x.shape, N)
+    if plan.poly:
+        xp, new_tail = _poly_branch_spectra(plan, x, tail)  # (K, f, Fp)
+        folded = (xp[None] * h_bank[:, None]).sum(axis=-2)  # (C, K, Fp)
+        return _ifft_keep(plan, folded, (h_bank.shape[0],)), new_tail
     spec, new_tail = _frame_spectra(plan, x, tail)  # (K, F)
     prod = spec[None, :, :] * h_bank[:, None, :]  # (C, K, F)
     if plan.fold > 1:

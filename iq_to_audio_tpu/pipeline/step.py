@@ -37,7 +37,7 @@ from jax import lax
 from ..demod.base import Decoder
 from ..ops.ddc import (
     DDCPlan,
-    ddc_apply_fft,
+    ddc_apply_fft_il,
     ddc_apply_il,
     ddc_fullrate_stages,
     interleave_kernel,
@@ -113,10 +113,10 @@ def chunk_step_impl(
                 "stage snapshots need the conv channelizer "
                 "(unset IQ2A_CHANNELIZER or use 'conv' with --plot-stages)"
             )
-        xr, xi = _device_convert(raw, codec, iq_order, n)
-        yr, yi, fir_tail, phase_next = ddc_apply_fft(
-            ddc_plan, os_plan, ddc_kernel, xr, xi,
-            state["fir_tail"], state["phase"], inc_lo,
+        f = _device_scale(raw, codec)
+        yr, yi, fir_tail, phase_next = ddc_apply_fft_il(
+            ddc_plan, os_plan, ddc_kernel, f,
+            state["fir_tail"], state["phase"], inc_lo, iq_order,
         )
     else:
         # interleaved-domain conv: the scaled raw stream goes straight into

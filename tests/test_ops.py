@@ -132,6 +132,62 @@ class TestOverlapSaveFIR:
         assert got.shape == ref.shape
         assert error_db(np.asarray(got), np.asarray(ref)) < -120.0
 
+    @pytest.mark.parametrize("decim", [26, 25])
+    def test_poly_forward_matches_unfolded(self, decim):
+        """The polyphase-forward full fold (Cooley-Tukey branch FFTs +
+        precomputed combine gains, module doc) is exactly the unfolded
+        overlap-save filter — for decimations with (26) and without (25)
+        a mixed-radix fallback."""
+        import dataclasses
+
+        fs = 2_500_000.0
+        taps = design_channel_filter(fs, 12_500.0, decim)
+        L = len(taps)
+        n = 8 * 26624 // decim * decim
+        plan = OverlapSavePlan.for_chunk(L, decim, n)
+        assert plan.poly and plan.fold == decim  # the planner must pick it
+        base = dataclasses.replace(
+            OverlapSavePlan.for_chunk(L, decim, n, fft_size=1 << 15),
+            fold=1, poly=False,
+        )
+        rng = np.random.default_rng(11)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        tail = jnp.zeros(L - 1, dtype=jnp.complex64)
+        ref, _ = os_fir_decimate(base, jnp.asarray(taps_fft(taps, base)),
+                                 jnp.asarray(x), tail)
+        got, _ = os_fir_decimate(plan, jnp.asarray(taps_fft(taps, plan)),
+                                 jnp.asarray(x), tail)
+        assert got.shape == ref.shape
+        assert error_db(np.asarray(got), np.asarray(ref)) < -110.0
+
+    def test_unfolded_bank(self):
+        """The fold=1 bank path (odd decimation, power-of-two FFT forced) —
+        regression for the bank's full-rate inverse slice."""
+        import dataclasses
+
+        decim, L = 25, 401
+        taps = (np.kaiser(L, 8.0) * np.sinc(
+            (1.0 / decim) * (np.arange(L) - L // 2))).astype(np.float64)
+        n = 4 * 25_000
+        plan = dataclasses.replace(
+            OverlapSavePlan.for_chunk(L, decim, n, fft_size=1 << 13),
+            fold=1, poly=False,
+        )
+        assert plan.fold == 1
+        from iq_to_audio_tpu.ops.osfir import os_fir_bank
+
+        h = np.stack([taps_fft(taps, plan), taps_fft(taps * 0.5, plan)])
+        rng = np.random.default_rng(13)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        tail = jnp.zeros(L - 1, dtype=jnp.complex64)
+        dec, _ = os_fir_bank(plan, jnp.asarray(h), jnp.asarray(x), tail)
+        ref = np.convolve(np.concatenate([np.zeros(L - 1), x]), taps)[
+            L - 1 : L - 1 + n
+        ][::decim]
+        assert dec.shape == (2, n // decim)
+        assert error_db(np.asarray(dec[0]), ref.astype(np.complex64)) < -90.0
+        assert error_db(np.asarray(dec[1]), 0.5 * ref.astype(np.complex64)) < -90.0
+
     def test_batched_channels(self):
         fs, decim = 250_000.0, 8
         taps = design_channel_filter(fs, 12_500.0, decim)
@@ -516,6 +572,57 @@ class TestFFTChannelizer:
             assert error_db(got, ref) < -90.0
             assert (np.asarray(ph_a) == np.asarray(ph_b)).all()
 
+    @pytest.mark.parametrize("iq_order", ["iq", "qi", "iq_inv", "qi_inv"])
+    def test_ddc_apply_fft_il_matches_pair(self, iq_order):
+        """The interleaved-view fft path (complex_from_interleaved: zero-copy
+        view + unit order transform) must match the pair-input variant."""
+        import numpy as np
+        import jax.numpy as jnp
+        from iq_to_audio_tpu.ops.ddc import (
+            DDCPlan, bandpass_kernel, bank_from_kernel,
+            ddc_apply_fft, ddc_apply_fft_il,
+        )
+        from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+        from iq_to_audio_tpu.ops.osfir import OverlapSavePlan
+        from iq_to_audio_tpu.pipeline.step import _device_convert
+
+        fs, decim, taps_len = 250_000.0, 5, 129
+        taps = np.kaiser(taps_len, 8.0) * np.sinc(
+            (1.0 / decim) * (np.arange(taps_len) - taps_len // 2)
+        )
+        incs = [nco_increment_fixed(20_000.0, fs)]
+        plan = DDCPlan.create(taps_len, decim, target_chunk=2 * 8192)
+        os_plan = OverlapSavePlan.for_chunk(taps_len, decim, plan.chunk_size)
+        kernel_np = bandpass_kernel(taps, incs)
+        bank = jnp.asarray(bank_from_kernel(kernel_np, os_plan))
+        inc_lo = jnp.asarray(
+            np.asarray([(i * decim) % (1 << 32) for i in incs], np.uint32)
+        )
+        n = plan.chunk_size
+        rng = np.random.default_rng(3)
+        raw = rng.integers(-30000, 30000, size=(2, 2 * n)).astype(np.int16)
+        tail_a = tail_b = jnp.zeros((2, taps_len - 1), jnp.float32)
+        ph_a = ph_b = jnp.zeros((1,), jnp.uint32)
+        for blk in raw:
+            f = jnp.asarray(blk).astype(jnp.float32) * jnp.float32(1 / 32768.0)
+            xr, xi = _device_convert(jnp.asarray(blk), "pcm_s16le", iq_order, n)
+            ar, ai, tail_a, ph_a = ddc_apply_fft(
+                plan, os_plan, bank, xr, xi, tail_a, ph_a, inc_lo
+            )
+            br, bi, tail_b, ph_b = ddc_apply_fft_il(
+                plan, os_plan, bank, f, tail_b, ph_b, inc_lo, iq_order
+            )
+            np.testing.assert_allclose(
+                np.asarray(br), np.asarray(ar), rtol=0, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(bi), np.asarray(ai), rtol=0, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(tail_b), np.asarray(tail_a), rtol=0, atol=1e-7
+            )
+            assert (np.asarray(ph_a) == np.asarray(ph_b)).all()
+
     def test_os_plan_for_chunk_geometry(self):
         from iq_to_audio_tpu.ops.osfir import OverlapSavePlan
 
@@ -636,3 +743,31 @@ class TestPlannerGuards:
         for bad in ("IQ", "i/q", "qi_inverse", ""):
             with pytest.raises(ValueError, match="iq_order"):
                 interleave_kernel(k, bad)
+
+
+def test_atan2_fast():
+    """Polynomial atan2 (ops/trig.py): accuracy vs np.arctan2 and the
+    quadrant/edge conventions the discriminator relies on."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from iq_to_audio_tpu.ops.trig import atan2_fast
+
+    rng = np.random.default_rng(21)
+    y = (rng.standard_normal(200_001) * 3).astype(np.float32)
+    x = (rng.standard_normal(200_001) * 3).astype(np.float32)
+    got = np.asarray(jax.jit(atan2_fast)(jnp.asarray(y), jnp.asarray(x)))
+    want = np.arctan2(y.astype(np.float64), x.astype(np.float64))
+    assert np.abs(got - want).max() < 5e-7
+    # axes and the 0/0 convention
+    for yy, xx, expect in [
+        (0.0, 0.0, 0.0),
+        (0.0, 1.0, 0.0),
+        (0.0, -1.0, np.pi),
+        (1.0, 0.0, np.pi / 2),
+        (-1.0, 0.0, -np.pi / 2),
+        (1.0, 1.0, np.pi / 4),
+        (-1.0, -1.0, -3 * np.pi / 4),
+    ]:
+        v = float(atan2_fast(jnp.float32(yy), jnp.float32(xx)))
+        assert abs(v - expect) < 1e-6, (yy, xx, v, expect)
