@@ -59,13 +59,19 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, math.ceil(math.log2(max(1, n))))
 
 
-def _nonpow2_fft_ok() -> bool:
-    """Whether mixed-radix FFT sizes are worth offering to the planner.
+def _cpu_tuned_plans_ok() -> bool:
+    """Whether the CPU-tuned plan families are worth offering.
 
-    CPU (DUCC) handles ``odd(D) * 2**k`` sizes at a ~16% per-point premium
-    — far cheaper than the fold they unlock.  Accelerator backends lower
-    non-power-of-two FFTs via Bluestein, which would cost more than the
-    unfolded power-of-two plan saves.
+    Mixed-radix sizes: CPU (DUCC) handles ``odd(D) * 2**k`` at a ~16%
+    per-point premium — far cheaper than the fold they unlock; accelerator
+    backends lower non-power-of-two FFTs via Bluestein, which costs more
+    than the unfolded power-of-two plan saves.  Polyphase-forward plans:
+    their cost constants (256 KiB cache knee, combine factor) are measured
+    on the host CPU, and their stride-``fold`` inner gather index is
+    exactly the de-interleave relayout that compiles into
+    chunk-length-proportional code on TPU backends (docs/performance.md
+    "Executable size") — an accelerator pinned to ``IQ2A_CHANNELIZER=fft``
+    stays on contiguous power-of-two framing.
     """
     import jax
 
@@ -173,7 +179,7 @@ class OverlapSavePlan:
             while F <= hi:
                 candidates.append((F, False))
                 F <<= 1
-            if odd > 1 and _nonpow2_fft_ok():
+            if odd > 1 and _cpu_tuned_plans_ok():
                 F = odd
                 while F < lo // 2:
                     F <<= 1
@@ -181,7 +187,7 @@ class OverlapSavePlan:
                     if F % D == 0 and F >= L - 1 + D:
                         candidates.append((F, False))
                     F <<= 1
-            if D > 1:
+            if D > 1 and _cpu_tuned_plans_ok():
                 # full-fold candidates F = D * 2**k for the polyphase
                 # forward — exact for ANY decimation, no mixed-radix FFT
                 Fp = 256
@@ -287,13 +293,13 @@ def taps_fft(taps: np.ndarray, plan: "OverlapSavePlan | int") -> np.ndarray:
     return spec.astype(np.complex64)
 
 
-def _framed(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
-    """Shared overlap-save framing: tail-concat, end-pad, frame gather, and
-    the new carried tail.  One implementation for the single-filter
-    (:func:`os_fir_decimate`) and bank (:func:`os_fir_bank`) paths so the
-    padding/tail conventions cannot drift.
+def _extended(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
+    """Shared overlap-save framing prefix: tail-concat, end-pad, and the new
+    carried tail.  ONE implementation for every forward path (plain frames
+    and polyphase branches) so the padding/tail conventions cannot drift.
 
-    Returns ``(frames, new_tail)`` with ``frames`` shaped ``(..., K, F)``.
+    Returns ``(x_ext, new_tail)`` with ``x_ext`` long enough for ``K``
+    frames of ``F`` starting every ``B`` samples.
     """
     L, F, B, K, N = (
         plan.num_taps,
@@ -308,12 +314,18 @@ def _framed(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
     if pad > 0:
         widths = [(0, 0)] * (x_ext.ndim - 1) + [(0, pad)]
         x_ext = jnp.pad(x_ext, widths)
+    new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
+    return x_ext, new_tail
+
+
+def _framed(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarray):
+    """Frame gather on the extended stream: ``(..., K, F)`` frames."""
+    x_ext, new_tail = _extended(plan, x, tail)
     idx = (
-        jnp.arange(K, dtype=jnp.int32)[:, None] * B
-        + jnp.arange(F, dtype=jnp.int32)[None, :]
+        jnp.arange(plan.num_frames, dtype=jnp.int32)[:, None] * plan.block
+        + jnp.arange(plan.fft_size, dtype=jnp.int32)[None, :]
     )
     frames = jnp.take(x_ext, idx, axis=-1)  # (..., K, F)
-    new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
     return frames, new_tail
 
 
@@ -336,28 +348,15 @@ def _poly_branch_spectra(plan: OverlapSavePlan, x: jnp.ndarray, tail: jnp.ndarra
     host).  Returns ``(Xp, new_tail)`` with ``Xp`` shaped
     ``(..., K, fold, F/fold)``.
     """
-    L, F, B, K, N = (
-        plan.num_taps,
-        plan.fft_size,
-        plan.block,
-        plan.num_frames,
-        plan.chunk_size,
-    )
+    x_ext, new_tail = _extended(plan, x, tail)
     f, fp = plan.fold, plan.fft_size // plan.fold
-    assert x.shape[-1] == N, (x.shape, N)
-    x_ext = jnp.concatenate([tail, x], axis=-1)
-    pad = (K - 1) * B + F - x_ext.shape[-1]
-    if pad > 0:
-        widths = [(0, 0)] * (x_ext.ndim - 1) + [(0, pad)]
-        x_ext = jnp.pad(x_ext, widths)
     # idx[k, p, t] = k*B + t*fold + p — the branch-transposed frame layout
     idx = (
-        jnp.arange(K, dtype=jnp.int32)[:, None, None] * B
+        jnp.arange(plan.num_frames, dtype=jnp.int32)[:, None, None] * plan.block
         + jnp.arange(fp, dtype=jnp.int32)[None, None, :] * f
         + jnp.arange(f, dtype=jnp.int32)[None, :, None]
     )
     xp = jnp.take(x_ext, idx, axis=-1)  # (..., K, f, Fp)
-    new_tail = x[..., N - (L - 1) :] if L > 1 else x[..., :0]
     return jnp.fft.fft(xp, axis=-1), new_tail
 
 

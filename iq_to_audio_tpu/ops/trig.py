@@ -55,8 +55,16 @@ def atan2_fast(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
-    # 0/0 -> 0: atan2(0, 0) is defined as 0 here
-    r = lo / jnp.where(hi == 0.0, jnp.float32(1.0), hi)
+    # lo == hi -> r = 1 exactly: besides the generic diagonal this covers
+    # inf/inf (plain division gives NaN — and one NaN angle would poison
+    # the de-emphasis IIR carry for the rest of the stream) and equal
+    # subnormal pairs (XLA:CPU flushes the quotient to 0).
+    # 0/0 -> 0: atan2(0, 0) is defined as 0 here.
+    r = jnp.where(
+        lo == hi,
+        jnp.where(hi == 0.0, jnp.float32(0.0), jnp.float32(1.0)),
+        lo / jnp.where(hi == 0.0, jnp.float32(1.0), hi),
+    )
     u = jnp.float32(2.0) * r * r - jnp.float32(1.0)
     p = jnp.float32(_ATAN_COEFFS[-1])
     for c in _ATAN_COEFFS[-2::-1]:

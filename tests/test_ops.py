@@ -771,3 +771,23 @@ def test_atan2_fast():
     ]:
         v = float(atan2_fast(jnp.float32(yy), jnp.float32(xx)))
         assert abs(v - expect) < 1e-6, (yy, xx, v, expect)
+    # non-finite / subnormal edges must stay finite (a single NaN angle
+    # would poison the de-emphasis IIR carry for the rest of the stream)
+    inf = float("inf")
+    for yy, xx, expect in [
+        (inf, inf, np.pi / 4),
+        (-inf, inf, -np.pi / 4),
+        (inf, -inf, 3 * np.pi / 4),
+        (-inf, -inf, -3 * np.pi / 4),
+        (inf, 1.0, np.pi / 2),
+        (1.0, inf, 0.0),
+    ]:
+        v = float(atan2_fast(jnp.float32(yy), jnp.float32(xx)))
+        assert np.isfinite(v), (yy, xx, v)
+        assert abs(v - expect) < 1e-6, (yy, xx, v, expect)
+    # subnormal pair: XLA:CPU flushes the inputs to zero, so the FTZ-correct
+    # answer is the 0/0 convention (0) — the requirement is finiteness, and
+    # either 0 or pi/4 is acceptable depending on the backend's FTZ mode
+    v = float(atan2_fast(jnp.float32(1e-38), jnp.float32(1e-38)))
+    assert np.isfinite(v)
+    assert min(abs(v - 0.0), abs(v - np.pi / 4)) < 1e-6
