@@ -193,6 +193,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Optional path to write channelized complex float32 IQ (cf32).")
     parser.add_argument("--plot-stages", dest="plot_stages", type=Path,
                         help="Save PSD plots for major pipeline stages to the given PNG path.")
+    parser.add_argument("--spectrum-png", dest="spectrum_png", type=Path,
+                        help="Render the capture's averaged PSD + waterfall to this PNG "
+                             "(headless analogue of the GUI snapshot; usable without --ft).")
+    parser.add_argument("--spectrum-seconds", dest="spectrum_seconds",
+                        type=positive_float, default=4.0,
+                        help="Seconds of IQ streamed into --spectrum-png (default: 4.0).")
     parser.add_argument("--chunk", dest="chunk_size", type=int, default=1_048_576,
                         help="Complex samples per processing chunk (default: 1,048,576).")
     parser.add_argument("--fft-workers", dest="fft_workers", type=int,
@@ -354,6 +360,46 @@ def _run_audio_post(args: argparse.Namespace) -> int:
     return 0
 
 
+def _render_capture_spectrum(
+    args: argparse.Namespace,
+    input_fmt: tuple[str | None, str | None, str | None],
+) -> None:
+    """``--spectrum-png``: stream a snapshot of the capture into a PSD +
+    waterfall PNG.  Headless analogue of the GUI snapshot page — the
+    reference renders waterfalls only inside its Qt GUI (reference
+    ``interactive/workers.py:36-161``)."""
+    from .analysis.visualize import save_capture_spectrum
+    from .io.formats import resolve_input_format
+    from .io.probe import probe_sample_rate
+    from .utils.freq import detect_center_frequency
+
+    codec, container, _src = input_fmt
+    spec, _source = resolve_input_format(
+        args.input_path, requested=codec, container_hint=container
+    )
+    if args.input_sample_rate is not None:
+        sample_rate = float(args.input_sample_rate)
+    elif spec.requires_sample_rate:
+        raise ValueError(
+            "Raw captures need --input-sample-rate for --spectrum-png."
+        )
+    else:
+        sample_rate = probe_sample_rate(args.input_path).value
+    center = args.center_freq
+    if center is None:
+        center = detect_center_frequency(args.input_path).value
+    out = save_capture_spectrum(
+        args.input_path,
+        args.spectrum_png,
+        spec=spec,
+        sample_rate=sample_rate,
+        seconds=args.spectrum_seconds,
+        center_freq=center,
+        iq_order=args.iq_order,
+    )
+    LOG.info("Capture spectrum written to %s", out)
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
@@ -498,8 +544,16 @@ def main(argv: list[str] | None = None) -> int:
     if not launch_gui:
         if args.input_path is None:
             parser.error("--in is required in CLI mode.")
-        if not frequencies and not args.probe_only:
+        if not frequencies and not args.probe_only and not args.spectrum_png:
             parser.error("Provide at least one --ft target frequency in CLI mode.")
+
+    if args.spectrum_png and not launch_gui:
+        try:
+            _render_capture_spectrum(args, input_fmt)
+        except Exception as exc:
+            return _die("Spectrum rendering failed", exc, args.verbose)
+        if not frequencies and not args.probe_only:
+            return 0  # spectrum-only invocation
 
     if args.preview_seconds is not None:
         if launch_gui:

@@ -199,6 +199,47 @@ def test_dump_iq_and_plot(tmp_path, capture):
     assert (tmp_path / "p.png").stat().st_size > 10_000
 
 
+def test_spectrum_png_only(tmp_path, capture):
+    """--spectrum-png without --ft renders the capture PSD+waterfall PNG and
+    exits cleanly (headless analogue of the GUI snapshot)."""
+    png = tmp_path / "spec.png"
+    rc = main(["--cli", "--in", str(capture), "--spectrum-png", str(png)])
+    assert rc == 0
+    assert png.stat().st_size > 10_000
+
+
+def test_spectrum_png_alongside_run(tmp_path, capture):
+    out = tmp_path / "audio.wav"
+    png = tmp_path / "spec.png"
+    rc = main(
+        [
+            "--cli",
+            "--in",
+            str(capture),
+            "--ft",
+            str(int(TARGET)),
+            "--out",
+            str(out),
+            "--spectrum-png",
+            str(png),
+            "--spectrum-seconds",
+            "0.5",
+        ]
+    )
+    assert rc == 0
+    assert png.stat().st_size > 10_000
+    assert out.exists()
+
+
+def test_spectrum_png_raw_needs_rate(tmp_path, capsys):
+    raw = tmp_path / "capture.cs16"
+    raw.write_bytes(np.zeros(65536, dtype=np.int16).tobytes())
+    rc = main(
+        ["--cli", "--in", str(raw), "--spectrum-png", str(tmp_path / "s.png")]
+    )
+    assert rc != 0  # clean failure, not a traceback
+
+
 def test_benchmark_smoke(capsys):
     rc = main(
         [
