@@ -285,12 +285,20 @@ def main() -> int:
         "unit": unit,
         "vs_baseline": round(realtime / 20.0, 2),
     }
-    if jax.default_backend() == "cpu" and seconds >= 30.0:
+    experiment_knobs = [
+        k for k in ("IQ2A_SUPER", "IQ2A_ACC", "IQ2A_GROUPS", "IQ2A_CHANNELIZER")
+        if os.environ.get(k)
+    ]
+    if jax.default_backend() == "cpu" and seconds >= 30.0 and not experiment_knobs:
         # secondary artifact: the CPU-backend result against the reference's
         # own 20x modern-CPU target (reference tests/BENCHMARKS.md:128-132),
         # captured as a file so the claim is driver-verifiable.  Gated on the
-        # full-size workload so smoke tests with tiny budgets never clobber it.
+        # full-size DEFAULT workload so neither smoke tests with tiny budgets
+        # nor geometry experiments (IQ2A_SUPER etc.) ever clobber it.
         (REPO / "BENCH_cpu.json").write_text(json.dumps(record) + "\n")
+    elif experiment_knobs:
+        logging.info("experiment knobs set (%s): BENCH_cpu.json left untouched",
+                     ",".join(experiment_knobs))
     print(json.dumps(record))
     return 0
 
