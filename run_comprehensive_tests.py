@@ -222,13 +222,19 @@ def run_e2e(quick: bool) -> list[dict]:
             "mode": mode,
             "elapsed": elapsed,
             "realtime": seconds / elapsed,
+            # wall time is dominated by one-time XLA compiles at these tiny
+            # (1.5 s) captures; the loop number is the steady-state rate
+            "loop_realtime": seconds / max(result.loop_seconds, 1e-9),
             "peak_dbfs": 20 * np.log10(max(result.audio_peak, 1e-6)),
             "artifacts": artifacts,
             "stats": asdict(stats) if stats else None,
             "log": log.text,
         }
         results.append(entry)
-        print(f"[e2e] {mode}: {elapsed:.2f}s ({entry['realtime']:.1f}x realtime)")
+        print(
+            f"[e2e] {mode}: {elapsed:.2f}s wall ({entry['realtime']:.1f}x; "
+            f"loop {entry['loop_realtime']:.1f}x realtime)"
+        )
     return results
 
 
@@ -312,15 +318,18 @@ def run_benchmarks(quick: bool) -> list[dict]:
     """Benchmark matrix: the headline config plus rate variants."""
     from iq_to_audio_tpu.pipeline.benchmark import run_benchmark
 
-    matrix = [("headline 2.5 MS/s NFM", 2_500_000.0)]
+    # the headline row mirrors bench.py's geometry (30 s non-quick) so the
+    # report's number is comparable to the recorded BENCH_cpu.json artifact
+    # instead of a setup-dominated short run
+    matrix = [("headline 2.5 MS/s NFM", 2_500_000.0, None)]
     if not quick:
-        matrix.append(("1.0 MS/s NFM", 1_000_000.0))
-        matrix.append(("8.0 MS/s NFM", 8_000_000.0))
+        matrix.append(("1.0 MS/s NFM", 1_000_000.0, 8.0))
+        matrix.append(("8.0 MS/s NFM", 8_000_000.0, 8.0))
     out = []
-    for label, rate in matrix:
+    for label, rate, secs in matrix:
         results: dict = {}
         run_benchmark(
-            seconds=1.0 if quick else 5.0,
+            seconds=1.0 if quick else (secs or 30.0),
             sample_rate=rate,
             freq_offset=25_000.0,
             center_freq=None,
@@ -353,7 +362,8 @@ def write_report(pytest_res, e2e_res, fixture_res, bench_res) -> Path:
     REPORT_DIR.mkdir(exist_ok=True)
     rows = "".join(
         f"<tr><td>{r['mode']}</td><td>{r['elapsed']:.2f}s</td>"
-        f"<td>{r['realtime']:.1f}x</td><td>{r['peak_dbfs']:.1f} dBFS</td>"
+        f"<td>{r['realtime']:.1f}x (loop {r.get('loop_realtime', 0):.1f}x)</td>"
+        f"<td>{r['peak_dbfs']:.1f} dBFS</td>"
         f"<td>{_stats_cell(r.get('stats'))}</td>"
         f"<td>{' '.join(f'<a href=e2e/{html.escape(a)}>{html.escape(a)}</a>' for a in r['artifacts'])}</td></tr>"
         for r in e2e_res
@@ -402,7 +412,7 @@ td,th{{border:1px solid #999;padding:4px 10px}}pre{{background:#f4f4f4;padding:1
 <p>{"PASSED" if pytest_res["ok"] else "FAILED"} in {pytest_res["seconds"]:.1f}s</p>
 <pre>{html.escape(pytest_res["tail"])}</pre>
 <h2>End-to-end demodulation</h2>
-<table><tr><th>mode</th><th>elapsed</th><th>realtime</th><th>peak</th><th>audio stats</th><th>artifacts</th></tr>
+<table><tr><th>mode</th><th>elapsed (incl. compile)</th><th>realtime</th><th>peak</th><th>audio stats</th><th>artifacts</th></tr>
 {rows}</table>
 {logs}
 {fixtures_html}
