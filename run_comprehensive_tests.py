@@ -321,12 +321,14 @@ def run_benchmarks(quick: bool) -> list[dict]:
     # the headline row mirrors bench.py's geometry (30 s non-quick) so the
     # report's number is comparable to the recorded BENCH_cpu.json artifact
     # instead of a setup-dominated short run
-    matrix = [("headline 2.5 MS/s NFM", 2_500_000.0, None)]
+    matrix = [("headline 2.5 MS/s NFM", 2_500_000.0, None, 1)]
     if not quick:
-        matrix.append(("1.0 MS/s NFM", 1_000_000.0, 8.0))
-        matrix.append(("8.0 MS/s NFM", 8_000_000.0, 8.0))
+        matrix.append(("1.0 MS/s NFM", 1_000_000.0, 8.0, 1))
+        matrix.append(("8.0 MS/s NFM", 8_000_000.0, 8.0, 1))
+        # 5 channels ride one shared channelizer pass (batched output axis)
+        matrix.append(("5-channel 2.5 MS/s NFM", 2_500_000.0, 10.0, 5))
     out = []
-    for label, rate, secs in matrix:
+    for label, rate, secs, channels in matrix:
         results: dict = {}
         run_benchmark(
             seconds=1.0 if quick else (secs or 30.0),
@@ -336,6 +338,7 @@ def run_benchmarks(quick: bool) -> list[dict]:
             target_freq=None,
             base_kwargs=None,
             results_out=results,
+            channels=channels,
         )
         results["label"] = label
         out.append(results)
