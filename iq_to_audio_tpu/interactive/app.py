@@ -166,6 +166,7 @@ class InteractiveWindow(QMainWindow):
         self.preview_action = act("Preview", "Ctrl+P", self._start_preview)
         self.run_action = act("Confirm && Run", "Ctrl+R", self._confirm_run)
         self.stop_action = act("Stop", "Esc", self._stop_workers)
+        act("Export Spectrum", "Ctrl+E", self._export_spectrum)
         act("Capture", None, lambda: self.pages.setCurrentIndex(0))
         act("Audio Post", None, lambda: self.pages.setCurrentIndex(1))
         act("Digital Post", None, lambda: self.pages.setCurrentIndex(2))
