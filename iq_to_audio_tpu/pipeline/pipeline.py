@@ -642,6 +642,7 @@ class ProcessingPipeline:
                         else (estimated_chunks or None)
                     ),
                     want_stages=cfg.plot_stages_path is not None,
+                    taps_np=np.asarray(taps),
                 )
                 state = step.init_state(seg_start)
                 accs = step.init_accs()
@@ -668,9 +669,13 @@ class ProcessingPipeline:
                     "codec": input_spec.codec,
                     "iq_order": cfg.iq_order,
                     "acc_chunks": step.acc_chunks,
-                    # conv and fft channelizers carry differently-shaped
-                    # state pytrees — a resume must use the same backend
-                    "channelizer": step.channelizer,
+                    # the fft channelizer carries a differently-shaped
+                    # state pytree ((2, L-1) pair) than conv/native (the
+                    # interleaved 2(L-1) raw tail) — a resume must use the
+                    # same LAYOUT family; conv and native interchange
+                    "channelizer": (
+                        "fft" if step.channelizer == "fft" else "conv"
+                    ),
                 }
                 stage_snapshots: dict[str, tuple[np.ndarray, float]] = {}
                 want_stages = cfg.plot_stages_path is not None

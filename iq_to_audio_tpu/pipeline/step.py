@@ -104,7 +104,24 @@ def chunk_step_impl(
     n = ddc_plan.chunk_size
     m = ddc_plan.out_size
     inc_lo = incs * jnp.uint32(ddc_plan.decimation)  # exact mod 2**32
-    if channelizer == "fft":
+    if channelizer == "native":
+        # C++ phase-split channelizer as an XLA CPU custom call
+        # (ops/native_ddc.py): consumes the UNSCALED raw chunk directly
+        # (convert fused into the kernel); carried state is the conv-path
+        # interleaved tail, so checkpoints interchange with the conv
+        # channelizer.
+        if with_stages:
+            raise ValueError(
+                "stage snapshots need the conv channelizer "
+                "(unset IQ2A_CHANNELIZER or use 'conv' with --plot-stages)"
+            )
+        from ..ops.native_ddc import ddc_apply_native
+
+        yr, yi, fir_tail, phase_next = ddc_apply_native(
+            ddc_plan, ddc_kernel, incs, raw, state["fir_tail"],
+            state["phase"], inc_lo, codec, iq_order,
+        )
+    elif channelizer == "fft":
         # overlap-save FFT channelizer (the reference's own kernel shape,
         # processing.py:300-346) for complex/FFT-capable backends; the
         # ddc_kernel slot carries the complex (C, F) bandpass bank
@@ -449,6 +466,7 @@ def build_chunk_step(
     super_chunks: int | None = None,
     est_total_chunks: int | None = None,
     want_stages: bool = False,
+    taps_np: np.ndarray | None = None,
 ) -> ChunkStep:
     c = len(incs_fixed)
     # accumulation window: batch as many chunks as fit the budget (>=1)
@@ -529,16 +547,35 @@ def build_chunk_step(
         padded_total = -(-est_total_chunks // super_chunks) * super_chunks
         acc_chunks = max(super_chunks, min(acc_chunks, padded_total))
 
-    # channelizer backend selection: the decimating conv (runs on minimal
-    # TPU backends, MXU-friendly) or the overlap-save FFT bank (the
-    # reference's own kernel shape, processing.py:300-346).  On CPU — a
-    # complex/FFT-capable backend — the FFT bank is ~4x faster end-to-end
-    # (measured 22x vs 5.7x realtime on the headline bench), so it is
-    # auto-selected there unless stage snapshots are needed (they tap the
-    # conv path) or IQ2A_CHANNELIZER pins a backend explicitly.
+    # channelizer backend selection, three interchangeable kernels:
+    #   conv   — decimating strided conv (minimal TPU backends, MXU);
+    #            accelerator default, and the only stage-snapshot path.
+    #   fft    — overlap-save FFT bank (the reference's own kernel shape,
+    #            processing.py:300-346) for complex/FFT-capable backends.
+    #   native — C++ phase-split custom call (ops/native_ddc.py): ~2x the
+    #            FFT bank's CPU throughput at the headline geometry,
+    #            -120 dB agreement with the conv path; CPU default when
+    #            the library builds.  Needs the real lowpass taps
+    #            (taps_np) and cannot produce stage snapshots.
+    # IQ2A_CHANNELIZER pins one explicitly.
     env_choice = os.environ.get("IQ2A_CHANNELIZER", "").lower()
+    native_ok = False
+    if taps_np is not None and not want_stages and (
+        env_choice == "native"
+        or (env_choice == "" and jax.default_backend() == "cpu")
+    ):
+        from ..ops.native_ddc import available as native_available
+
+        native_ok = native_available()
+        if env_choice == "native" and not native_ok:
+            LOG.warning(
+                "IQ2A_CHANNELIZER=native requested but the native library "
+                "is unavailable; falling back to the FFT bank"
+            )
     if env_choice in ("conv", "fft"):
         channelizer = env_choice
+    elif native_ok:
+        channelizer = "native"
     elif jax.default_backend() == "cpu" and not want_stages:
         channelizer = "fft"
     else:
@@ -551,7 +588,15 @@ def build_chunk_step(
         if want_stages and channelizer != "fft"
         else None
     )
-    if channelizer == "fft":
+    if channelizer == "native":
+        # the custom call takes the REVERSED real lowpass taps; the
+        # per-channel bandpass rotation is the separable oscillator inside
+        # the kernel (native/ddc.cpp), driven by the traced `incs` buffer
+        kernel_dev = jnp.asarray(
+            np.asarray(taps_np, dtype=np.float32)[::-1].copy()
+        )
+        kernel_il_np = None
+    elif channelizer == "fft":
         from ..ops.ddc import bank_from_kernel
         from ..ops.osfir import OverlapSavePlan
 
