@@ -203,6 +203,9 @@ _chunk_step = jax.jit(
     chunk_step_impl, static_argnames=_STATIC_ARGNAMES, donate_argnames=("state",)
 )
 
+# per-backend int32 scalar cache shared across ChunkStep instances
+_SCALAR_CACHE: dict[str, dict[int, jnp.ndarray]] = {}
+
 
 def superstep_impl(
     state,
@@ -377,8 +380,13 @@ class ChunkStep:
 
     def _scalar(self, value: int):
         """Cached int32 device scalars: rs_offset/slot repeat every chunk, so
-        re-uploading them would add two host->device RPCs per chunk."""
-        cache = self.__dict__.setdefault("_scalar_cache", {})
+        re-uploading them would add two host->device RPCs per chunk.  The
+        cache is PROCESS-global (keyed by backend): every pipeline run
+        builds a fresh ChunkStep, and re-creating the ~acc_chunks slot
+        scalars per run measured ~90 ms/pass on the CPU backend
+        (docs/probes cProfile, round 3)."""
+        key = jax.default_backend()
+        cache = _SCALAR_CACHE.setdefault(key, {})
         arr = cache.get(value)
         if arr is None:
             arr = jnp.int32(value)
@@ -490,6 +498,12 @@ def build_chunk_step(
         acc_chunks = max(1, min(acc_chunks, pow2))
     if acc_chunks_cap is not None:
         acc_chunks = max(1, min(acc_chunks, acc_chunks_cap))
+    if jax.default_backend() == "cpu":
+        # accumulator windows exist for tunneled-accelerator fetch
+        # economics (one D2H per window); on CPU a "fetch" is a memcpy,
+        # while every chunk step COPIES the whole non-donated accumulator
+        # (~2 x window bytes of traffic per chunk).  Small windows win.
+        acc_chunks = min(acc_chunks, 8)
     acc_env = os.environ.get("IQ2A_ACC")
     if acc_env:
         acc_chunks = max(1, min(acc_chunks, int(acc_env)))
