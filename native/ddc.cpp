@@ -71,7 +71,7 @@ namespace {
 constexpr double kTwoPi = 6.283185307179586476925286766559;
 constexpr float kRadPerCount = (float)(kTwoPi / 4294967296.0);
 
-constexpr int64_t kTileOutputs = 128;  // outputs per phase-split tile
+constexpr int64_t kTileOutputs = 256;  // outputs per phase-split tile
 
 // ---- scaled sample fetch (codec + stream position) -----------------------
 
@@ -198,6 +198,72 @@ static void zp_fill_s16_gather(const int16_t* raw, int64_t k_raw_base,
 // Per 16-output block: s_p accumulates in lanes via unit-stride loads from
 // the phase rows with the tap broadcast; row[p] folds s_p into y on the
 // fly.  4 blocks share each tap broadcast.
+//
+// Window synthesis is HYBRID to balance the load and shuffle ports: a
+// sliding-by-one unaligned load makes 15/16 of 64-byte loads straddle
+// cache lines (2 load slots each on this core — measured 2.3x on the
+// FIR), while building every window with valignd from aligned caches is
+// shuffle-port-bound (1 shuffle/cycle vs 2 FMAs).  So per 16-tap group
+// the 5 aligned cache vectors serve s=0 directly and the odd shifts via
+// valignd (port 5), while even shifts use plain unaligned loads (ports
+// 2/3) — both port groups run concurrently.
+
+#define IQ2A_WIN(Ahi, Alo, S)                                          \
+  _mm512_castsi512_ps(_mm512_alignr_epi32(                             \
+      _mm512_castps_si512(Ahi), _mm512_castps_si512(Alo), (S)))
+
+// One 16-tap hybrid group over ONE component's 4 output blocks.  Separate
+// per-component passes keep live registers at ~11 (5 cache + 4 acc + 2
+// temps): the fused-both-components version spilled heavily (measured 85
+// zmm stack stores in the group body).
+static inline void hyb_group(const float* zg, const float* hu, __m512& s0,
+                             __m512& s1, __m512& s2, __m512& s3) {
+  const __m512 a0 = _mm512_loadu_ps(zg);
+  const __m512 a1 = _mm512_loadu_ps(zg + 16);
+  const __m512 a2 = _mm512_loadu_ps(zg + 32);
+  const __m512 a3 = _mm512_loadu_ps(zg + 48);
+  const __m512 a4 = _mm512_loadu_ps(zg + 64);
+  {
+    const __m512 hv = _mm512_set1_ps(hu[0]);
+    s0 = _mm512_fmadd_ps(hv, a0, s0);
+    s1 = _mm512_fmadd_ps(hv, a1, s1);
+    s2 = _mm512_fmadd_ps(hv, a2, s2);
+    s3 = _mm512_fmadd_ps(hv, a3, s3);
+  }
+#define IQ2A_HYB_ODD(S)                                                \
+  {                                                                    \
+    const __m512 hv = _mm512_set1_ps(hu[S]);                           \
+    s0 = _mm512_fmadd_ps(hv, IQ2A_WIN(a1, a0, S), s0);                 \
+    s1 = _mm512_fmadd_ps(hv, IQ2A_WIN(a2, a1, S), s1);                 \
+    s2 = _mm512_fmadd_ps(hv, IQ2A_WIN(a3, a2, S), s2);                 \
+    s3 = _mm512_fmadd_ps(hv, IQ2A_WIN(a4, a3, S), s3);                 \
+  }
+#define IQ2A_HYB_EVEN(S)                                               \
+  {                                                                    \
+    const __m512 hv = _mm512_set1_ps(hu[S]);                           \
+    s0 = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zg + (S)), s0);           \
+    s1 = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zg + (S) + 16), s1);      \
+    s2 = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zg + (S) + 32), s2);      \
+    s3 = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zg + (S) + 48), s3);      \
+  }
+  IQ2A_HYB_ODD(1)
+  IQ2A_HYB_EVEN(2)
+  IQ2A_HYB_ODD(3)
+  IQ2A_HYB_EVEN(4)
+  IQ2A_HYB_ODD(5)
+  IQ2A_HYB_EVEN(6)
+  IQ2A_HYB_ODD(7)
+  IQ2A_HYB_EVEN(8)
+  IQ2A_HYB_ODD(9)
+  IQ2A_HYB_EVEN(10)
+  IQ2A_HYB_ODD(11)
+  IQ2A_HYB_EVEN(12)
+  IQ2A_HYB_ODD(13)
+  IQ2A_HYB_EVEN(14)
+  IQ2A_HYB_ODD(15)
+#undef IQ2A_HYB_ODD
+#undef IQ2A_HYB_EVEN
+}
 
 static void fir_combine_tile(const float* zpr, const float* zpi,
                              int64_t row_stride, const float* taps_p,
@@ -218,16 +284,13 @@ static void fir_combine_tile(const float* zpr, const float* zpi,
       __m512 s1r = _mm512_setzero_ps(), s1i = _mm512_setzero_ps();
       __m512 s2r = _mm512_setzero_ps(), s2i = _mm512_setzero_ps();
       __m512 s3r = _mm512_setzero_ps(), s3i = _mm512_setzero_ps();
-      for (int64_t u = 0; u < U; ++u) {
-        const __m512 hv = _mm512_set1_ps(hp[u]);
-        s0r = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zr + u), s0r);
-        s0i = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zi + u), s0i);
-        s1r = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zr + u + 16), s1r);
-        s1i = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zi + u + 16), s1i);
-        s2r = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zr + u + 32), s2r);
-        s2i = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zi + u + 32), s2i);
-        s3r = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zr + u + 48), s3r);
-        s3i = _mm512_fmadd_ps(hv, _mm512_loadu_ps(zi + u + 48), s3i);
+      // full zero-padded tap groups only: taps_p rows are zeroed to
+      // taps_stride and the zp pad region is zeroed once per channel, so
+      // the final partial group multiplies stale-free zeros instead of
+      // running a split-load scalar tail.
+      for (int64_t u = 0; u < U; u += 16) {
+        hyb_group(zr + u, hp + u, s0r, s1r, s2r, s3r);
+        hyb_group(zi + u, hp + u, s0i, s1i, s2i, s3i);
       }
       const __m512 rr = _mm512_set1_ps(rowr[p]);
       const __m512 ri = _mm512_set1_ps(rowi[p]);
@@ -344,18 +407,22 @@ static void ddc_run_avx512(const Raw* raw, int64_t n, const float* tail,
   const int64_t m = n / D;
   const int64_t U = (L + D - 1) / D;  // taps per phase (zero-padded)
   const int64_t row_fill = kTileOutputs + U - 1;  // zp entries per tile row
-  // +16 pad: the masked FIR loop issues full-width loads whose upper
-  // lanes can read past the fill region (values masked out at store)
+  // +16 pad: the FIR's cache/masked loads read whole vectors whose upper
+  // lanes can land past the fill region (values never used / masked out)
   const int64_t row_stride = ((row_fill + 15) & ~int64_t(15)) + 16;
   const int64_t taps_stride = (U + 15) & ~int64_t(15);
-  const int64_t col_count = m + U;  // col[i] for i in [0, m + U)
+  const int64_t col_count = (m + U + 15) & ~int64_t(15);
 
   // scratch layout (iq2a_ddc_scratch_floats): taps_p | rowr | rowi |
-  // ang/colr/coli | zpr | zpi
-  float* taps_p = scratch;
+  // ang/colr/coli | zpr | zpi — base 64-byte-aligned and every section a
+  // multiple of 16 floats, so the zp rows are cache-line-aligned (the
+  // hybrid FIR's even-shift loads are then genuinely split-free)
+  float* base = (float*)(((uintptr_t)scratch + 63) & ~(uintptr_t)63);
+  const int64_t d_pad = (D + 15) & ~int64_t(15);
+  float* taps_p = base;
   float* rowr = taps_p + D * taps_stride;
-  float* rowi = rowr + D;
-  float* ang = rowi + D;
+  float* rowi = rowr + d_pad;
+  float* ang = rowi + d_pad;
   float* colr = ang + col_count;
   float* coli = colr + col_count;
   float* zpr = coli + col_count;
@@ -384,6 +451,11 @@ static void ddc_run_avx512(const Raw* raw, int64_t n, const float* tail,
     }
     float* yrc = yr + c * m;
     float* yic = yi + c * m;
+    // the FIR runs whole zero-padded tap groups, whose upper windows can
+    // read past the fill region: those lanes must be 0.0 (a stale NaN
+    // would poison 0*NaN), so the zp arenas start zeroed
+    std::memset(zpr, 0, sizeof(float) * D * row_stride);
+    std::memset(zpi, 0, sizeof(float) * D * row_stride);
     for (int64_t t0 = 0; t0 < m; t0 += kTileOutputs) {
       const int64_t tc =
           (m - t0 < kTileOutputs) ? (m - t0) : kTileOutputs;
@@ -441,8 +513,11 @@ int64_t iq2a_ddc_scratch_floats(int64_t n, int64_t L, int64_t D) {
   const int64_t U = (L + D - 1) / D;
   const int64_t row_stride = ((kTileOutputs + U - 1 + 15) & ~int64_t(15)) + 16;
   const int64_t taps_stride = (U + 15) & ~int64_t(15);
-  const int64_t col_count = n / D + U;
-  return D * taps_stride + 2 * D + 3 * col_count + 2 * D * row_stride;
+  const int64_t col_count = (n / D + U + 15) & ~int64_t(15);
+  const int64_t d_pad = (D + 15) & ~int64_t(15);
+  // +16: 64-byte base alignment slack (the driver aligns the base up)
+  return 16 + D * taps_stride + 2 * d_pad + 3 * col_count +
+         2 * D * row_stride;
 #else
   const int64_t tile = 256;
   return 3 * ((tile - 1) * D + L);
