@@ -61,7 +61,8 @@ from ..demod import DecoderStats
 from .pipeline import ProcessingPipeline, ProcessingResult
 from .progress import PhaseState, ProgressSink, ProgressTracker
 from .segmented import (
-    WARM_SECONDS,
+    WARM_SECONDS,  # noqa: F401  (re-export: callers pin explicit leads)
+    warm_seconds_for,
     Segment,
     plan_segments,
     splice_audio,
@@ -98,7 +99,7 @@ class HeteroPlan:
 
 
 def _plan(config: ProcessingConfig, n_segments: int,
-          warm_seconds: float) -> HeteroPlan:
+          warm_seconds: float | None) -> HeteroPlan:
     """Probe the capture on the host and plan its segments (no device work)."""
     spec, _source = resolve_input_format(
         config.in_path,
@@ -171,6 +172,18 @@ def _plan(config: ProcessingConfig, n_segments: int,
             warm = convert_to_complex(raw, spec.codec, config.iq_order)
             mix_sign = choose_mix_sign(warm, sample_rate, offset, taps, decimation)
 
+    if warm_seconds is None:
+        # mode-aware lead-in (segmented.warm_seconds_for): NFM/AM converge
+        # orders of magnitude faster than the blanket 0.5 s ceiling, and
+        # lead-ins are pure overhead whenever one side drains the plan
+        warm_seconds = warm_seconds_for(
+            config.demod_mode,
+            config.agc_enabled,
+            fs_channel,
+            len(taps),
+            sample_rate,
+            deemph_us=config.deemph_us,
+        )
     segments = plan_segments(
         total,
         sample_rate,
@@ -236,12 +249,13 @@ class HeteroExecutor:
         *,
         cpu_workers: int = 1,
         n_segments: int = 8,
-        warm_seconds: float = WARM_SECONDS,
+        warm_seconds: float | None = None,
         child_env: dict[str, str] | None = None,
     ):
         self.cpu_workers = max(0, int(cpu_workers))
         self.n_segments = max(1, int(n_segments))
-        self.warm_seconds = float(warm_seconds)
+        #: None = mode-aware auto (segmented.warm_seconds_for)
+        self.warm_seconds = None if warm_seconds is None else float(warm_seconds)
         self._child_env = dict(child_env or {})
         self._procs: list[subprocess.Popen] = []
         self._cancel = threading.Event()

@@ -48,6 +48,45 @@ LOG = logging.getLogger(__name__)
 WARM_SECONDS = 0.5
 
 
+def warm_seconds_for(
+    demod_mode: str | None,
+    agc_enabled: bool,
+    fs_channel: float,
+    num_taps: int,
+    sample_rate: float,
+    deemph_us: float | None = None,
+) -> float:
+    """Shortest lead-in that parks every carried recurrence below the
+    -60 dB golden contract with >=60 dB of margin, per mode.
+
+    The blanket ``WARM_SECONDS`` (0.5 s) prices every mode for the
+    slowest pole in the framework (feedback AGC, ~0.999/sample); in a
+    CPU-drained burst run the 7 lead-ins of an 8-segment plan are then
+    ~12% pure overhead.  Convergence is mode-specific:
+
+    * pass-through: no recurrences — only the channel-filter input
+      history (L-1 samples) and the splice's frame alignment matter;
+    * NFM/AM: DC blocker pole 0.995 (-174 dB after 4096 channel samples)
+      and the de-emphasis pole exp(-1/(fs_ch*tau)) (16 time constants);
+    * SSB with AGC: gain pole ~0.999 -> 16384 channel samples (-142 dB).
+
+    Never returns more than ``WARM_SECONDS`` (the validated ceiling).
+    """
+    mode = (demod_mode or "").lower()
+    if mode in {"none", "pass", "iq"}:
+        ch_samples = 256.0
+    elif mode in {"usb", "lsb", "ssb"} and agc_enabled:
+        ch_samples = 16384.0
+    else:
+        ch_samples = 4096.0
+    if deemph_us and deemph_us > 0:
+        ch_samples = max(ch_samples, 16.0 * fs_channel * deemph_us * 1e-6)
+    lead = ch_samples / max(fs_channel, 1.0)
+    # at least the channel filter's full input history
+    lead = max(lead, 2.0 * num_taps / max(sample_rate, 1.0))
+    return float(min(WARM_SECONDS, lead))
+
+
 @dataclass(frozen=True)
 class Segment:
     """One worker's input window and output splice instructions."""

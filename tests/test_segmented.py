@@ -179,3 +179,88 @@ def test_segment_read_window_is_exact(tmp_path):
         full[start : start + num, 0] + 1j * full[start : start + num, 1],
     )
     assert err < -80.0, f"windowed-vs-full slice error {err:.1f} dB"
+
+
+class TestModeAwareLead:
+    """segmented.warm_seconds_for: the shortest safe lead per mode."""
+
+    def test_ordering_and_ceiling(self):
+        from iq_to_audio_tpu.pipeline.segmented import (
+            WARM_SECONDS,
+            warm_seconds_for,
+        )
+
+        fs_ch, taps, fs = 96_153.8, 1601, 2_500_000.0
+        w_pt = warm_seconds_for("none", False, fs_ch, taps, fs)
+        w_nfm = warm_seconds_for("nfm", True, fs_ch, taps, fs,
+                                 deemph_us=300.0)
+        w_am = warm_seconds_for("am", False, fs_ch, taps, fs)
+        w_ssb = warm_seconds_for("usb", True, fs_ch, taps, fs)
+        w_ssb_noagc = warm_seconds_for("lsb", False, fs_ch, taps, fs)
+        assert w_pt <= w_nfm <= w_ssb <= WARM_SECONDS
+        assert w_am == w_nfm  # same DC-blocker-bounded class
+        assert w_ssb_noagc < w_ssb  # the AGC pole is what costs
+        # pass-through still covers the channel filter's input history
+        assert w_pt >= 2 * taps / fs
+        # a huge de-emphasis time constant scales the lead (capped)
+        w_slow = warm_seconds_for("nfm", True, fs_ch, taps, fs,
+                                  deemph_us=50_000.0)
+        assert w_nfm < w_slow <= WARM_SECONDS
+
+    @pytest.mark.parametrize(
+        "mode,agc,limit_db",
+        [("nfm", True, -60.0), ("usb", True, -60.0)],
+    )
+    def test_auto_lead_matches_serial(self, tmp_path, mode, agc, limit_db):
+        """Segment splice at the MODE-AWARE (much shorter) lead still meets
+        the golden contract -- the lead sizing math is load-bearing."""
+        from iq_to_audio_tpu.pipeline.segmented import warm_seconds_for
+
+        seconds = 4.0
+        if mode == "nfm":
+            iq = make_nfm_iq(FS, seconds, OFFSET)
+        else:
+            iq = make_tone_iq(FS, seconds, OFFSET + 1_000.0)
+        cap = tmp_path / f"baseband_{int(CENTER)}Hz_auto.wav"
+        write_stereo_wav(cap, np.column_stack([iq.real, iq.imag]), int(FS))
+
+        def config(out, **kw):
+            return ProcessingConfig(
+                in_path=cap,
+                target_freq=CENTER + OFFSET,
+                demod_mode=mode,
+                agc_enabled=agc,
+                output_path=out,
+                mix_sign_override=1,
+                chunk_size=65_536,
+                **kw,
+            )
+
+        serial_out = tmp_path / "serial.wav"
+        ProcessingPipeline(config(serial_out)).run(None)
+
+        decim, fs_ch = compute_decimation(FS, 96_000.0)
+        plan = ResamplePlan.create(fs_ch, 48_000.0, 1)
+        warm = warm_seconds_for(mode, agc, fs_ch, 0, FS, deemph_us=300.0)
+        assert warm < 0.5
+        segs = plan_segments(len(iq), FS, decim, plan.up, plan.down, 3,
+                             warm_seconds=warm)
+        assert len(segs) == 3
+        seg_paths = []
+        for s in segs:
+            out = tmp_path / f"aseg_{s.index}.wav"
+            ProcessingPipeline(
+                config(
+                    out,
+                    input_start_sample=s.read_start,
+                    input_num_samples=s.read_samples,
+                )
+            ).run(None)
+            seg_paths.append(out)
+        spliced_out = tmp_path / "aspliced.wav"
+        splice_audio(seg_paths, [s.audio_skip for s in segs], spliced_out)
+        a, _ = read_wav(serial_out)
+        b, _ = read_wav(spliced_out)
+        assert a.shape == b.shape
+        err = error_db(b[:, 0], a[:, 0])
+        assert err < limit_db, f"auto-lead splice error {err:.1f} dB"
