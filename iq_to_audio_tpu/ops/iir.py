@@ -18,12 +18,46 @@ whole-signal output because the carry ``y[-1]`` is threaded between chunks.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 import jax.numpy as jnp
 from jax import lax
 
-_BLOCK = 1024
+_BLOCK = 1024  # accelerator block (MXU-shaped); see _block_size()
+
+
+def _block_size(a: float) -> int:
+    """Triangular-matmul block width, chosen per backend at trace time.
+
+    The closed block form costs B MACs per sample; on the MXU a (1024,
+    1024) triangular matmul is one well-shaped op and the cross-block
+    carry all but vanishes (a^1024 underflows), so big blocks win.  On
+    CPU those are real scalar FLOPs — 1024 per channel sample made the
+    de-emphasis rival the whole channelizer (measured ~1.2 ns per INPUT
+    sample at decim 26) — so the block should be as small as accuracy
+    allows.  Accuracy sets a floor: the cross-block carry is a
+    sequential f32 fold, and when ``a^B`` is not small the carry chain
+    stays live for many blocks and its rounding accumulates (measured:
+    a blanket B=64 pushed the SSB+AGC golden test from inside -60 dB to
+    -52.7 dB — the DC blocker's 0.995 pole kept carries alive for ~900
+    samples and the AGC amplified the drift).  So pick the smallest
+    power-of-two block with ``a^B <= 0.01`` — carries then localize
+    within ~2 blocks and the result matches the 1024-block numerics.
+    """
+    import jax
+
+    if jax.default_backend() != "cpu":
+        return _BLOCK
+    mag = abs(float(a))
+    if mag >= 1.0:
+        return _BLOCK  # fully live carries: keep the most exact form
+    need = math.log(0.01) / math.log(mag) if mag > 0.0 else 1.0
+    blk = 64
+    while blk < need and blk < _BLOCK:
+        blk *= 2
+    return blk
 
 
 def first_order_scan_const(a: float, b: jnp.ndarray, y0: jnp.ndarray):
@@ -48,7 +82,7 @@ def first_order_scan_const(a: float, b: jnp.ndarray, y0: jnp.ndarray):
     """
     orig_shape = b.shape
     n = orig_shape[-1]
-    blk = min(_BLOCK, n)
+    blk = min(_block_size(a), n)
     nb = -(-n // blk)
     pad = nb * blk - n
     if pad:
