@@ -139,6 +139,84 @@ static void zp_fill_scalar(const float* tail, const Raw* raw,
   }
 }
 
+// 16x16 epi32 in-register transpose (standard 4-stage unpack/shuffle
+// network, 64 ops).  Used by the transpose fill below: on this host class
+// XLA itself compiles with +prefer-no-gather — vpgatherdd is
+// mitigation-slowed — so building the phase rows from contiguous row
+// loads + transpose beats one-gather-per-16-samples (measured in
+// docs/probes/perf_probe_r3l.py).
+static inline void transpose16x16_epi32(__m512i r[16]) {
+  __m512i t[16];
+  for (int i = 0; i < 8; ++i) {
+    t[2 * i] = _mm512_unpacklo_epi32(r[2 * i], r[2 * i + 1]);
+    t[2 * i + 1] = _mm512_unpackhi_epi32(r[2 * i], r[2 * i + 1]);
+  }
+  for (int k = 0; k < 4; ++k) {
+    r[4 * k + 0] = _mm512_unpacklo_epi64(t[4 * k + 0], t[4 * k + 2]);
+    r[4 * k + 1] = _mm512_unpackhi_epi64(t[4 * k + 0], t[4 * k + 2]);
+    r[4 * k + 2] = _mm512_unpacklo_epi64(t[4 * k + 1], t[4 * k + 3]);
+    r[4 * k + 3] = _mm512_unpackhi_epi64(t[4 * k + 1], t[4 * k + 3]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    t[i] = _mm512_shuffle_i32x4(r[i], r[i + 4], 0x88);
+    t[i + 4] = _mm512_shuffle_i32x4(r[i], r[i + 4], 0xdd);
+    t[i + 8] = _mm512_shuffle_i32x4(r[i + 8], r[i + 12], 0x88);
+    t[i + 12] = _mm512_shuffle_i32x4(r[i + 8], r[i + 12], 0xdd);
+  }
+  for (int i = 0; i < 4; ++i) {
+    r[i] = _mm512_shuffle_i32x4(t[i], t[i + 8], 0x88);
+    r[i + 4] = _mm512_shuffle_i32x4(t[i + 4], t[i + 12], 0x88);
+    r[i + 8] = _mm512_shuffle_i32x4(t[i], t[i + 8], 0xdd);
+    r[i + 12] = _mm512_shuffle_i32x4(t[i + 4], t[i + 12], 0xdd);
+  }
+}
+
+// s16 transpose fill: ONE 16-output block (rows ii0..ii0+15) across ALL
+// phase rows at once.  Element (ii, p) is the raw complex sample at
+// q = (t0+ii)*D + p - (L-1); for 16 consecutive p those are contiguous
+// u32s, so each loop loads 16 unit-stride rows and transposes them
+// in-register — no gathers.  Caller guarantees every touched q (including
+// the full-width loads of the final partial p-group) lies inside the raw
+// chunk.  Convert/mix semantics identical to zp_fill_s16_gather.
+static void zp_fill_s16_transpose(const int16_t* raw, int64_t q_base,
+                                  int64_t D, int re_idx, float im_sign,
+                                  const float* colr, const float* coli,
+                                  float* zpr, float* zpi,
+                                  int64_t row_stride, int64_t ii0) {
+  const int* raw32 = (const int*)raw;
+  const __m512 scale = _mm512_set1_ps(1.0f / 32768.0f);
+  const __m512 sscale = _mm512_set1_ps(im_sign / 32768.0f);
+  const __m512 cr = _mm512_loadu_ps(colr + ii0);
+  const __m512 ci = _mm512_loadu_ps(coli + ii0);
+  for (int64_t p0 = 0; p0 < D; p0 += 16) {
+    __m512i v[16];
+    for (int j = 0; j < 16; ++j)
+      v[j] = _mm512_loadu_si512(
+          (const void*)(raw32 + q_base + (int64_t)j * D + p0));
+    transpose16x16_epi32(v);
+    const int64_t pw = (D - p0 < 16) ? (D - p0) : 16;
+    for (int64_t k = 0; k < pw; ++k) {
+      const __m512i pairs = v[k];
+      const __m512i lo =
+          _mm512_srai_epi32(_mm512_slli_epi32(pairs, 16), 16);
+      const __m512i hi = _mm512_srai_epi32(pairs, 16);
+      __m512 first = _mm512_cvtepi32_ps(lo);
+      __m512 second = _mm512_cvtepi32_ps(hi);
+      if (re_idx == 1) {
+        const __m512 t = first;
+        first = second;
+        second = t;
+      }
+      const __m512 a = _mm512_mul_ps(first, scale);
+      const __m512 b = _mm512_mul_ps(second, sscale);
+      _mm512_storeu_ps(zpr + (p0 + k) * row_stride + ii0,
+                       _mm512_fmsub_ps(a, cr, _mm512_mul_ps(b, ci)));
+      _mm512_storeu_ps(zpi + (p0 + k) * row_stride + ii0,
+                       _mm512_fmadd_ps(a, ci, _mm512_mul_ps(b, cr)));
+    }
+  }
+}
+
 // s16 fast fill: one 32-bit gather per 16 complex samples per row.
 // Requires every touched k to lie inside the raw chunk (no tail overlap):
 // k_raw = (i0+ii)*D + p - (L-1) must be in [0, n).
@@ -456,23 +534,43 @@ static void ddc_run_avx512(const Raw* raw, int64_t n, const float* tail,
     // would poison 0*NaN), so the zp arenas start zeroed
     std::memset(zpr, 0, sizeof(float) * D * row_stride);
     std::memset(zpi, 0, sizeof(float) * D * row_stride);
+    // transpose fill needs full-width loads even for the partial final
+    // p-group, so its in-chunk bound uses that group's load start
+    const int64_t p0_last = ((D - 1) / 16) * 16;
     for (int64_t t0 = 0; t0 < m; t0 += kTileOutputs) {
       const int64_t tc =
           (m - t0 < kTileOutputs) ? (m - t0) : kTileOutputs;
       const int64_t fill = tc + U - 1;
+      // rows whose window still touches the carried tail: scalar seam
+      const int64_t scalar_count =
+          (t0 < i_tail_end)
+              ? ((i_tail_end - t0 < fill) ? (i_tail_end - t0) : fill)
+              : 0;
+      // interior: gather-free transpose fill across ALL phases per
+      // 16-row block (s16 only; needs >= 16 phase columns per row load)
+      int64_t ii_tr = scalar_count;
+      if (sizeof(Raw) == 2 && D >= 16) {
+        while (ii_tr + 16 <= fill) {
+          const int64_t max_q =
+              (t0 + ii_tr + 15) * D + p0_last + 15 - (L - 1);
+          if (max_q >= n) break;  // final blocks fall back per-phase
+          zp_fill_s16_transpose((const int16_t*)raw,
+                                (t0 + ii_tr) * D - (L - 1), D, re_idx,
+                                im_sign, colr + t0, coli + t0, zpr, zpi,
+                                row_stride, ii_tr);
+          ii_tr += 16;
+        }
+      }
       for (int64_t p = 0; p < D; ++p) {
         float* zr = zpr + p * row_stride;
         float* zi = zpi + p * row_stride;
-        int64_t ii0 = 0;
-        if (t0 < i_tail_end) {
+        if (scalar_count > 0) {
           // boundary rows: scalar fill across the tail/chunk seam
-          const int64_t scalar_count =
-              (i_tail_end - t0 < fill) ? (i_tail_end - t0) : fill;
           zp_fill_scalar<Raw>(tail, raw, L - 1, t0, scalar_count, D,
                               re_idx, im_sign, colr + t0, coli + t0, zr,
                               zi, p);
-          ii0 = scalar_count;
         }
+        const int64_t ii0 = ii_tr;
         if (ii0 < fill) {
           const int64_t k_raw_base = (t0 + ii0) * D + p - (L - 1);
           if (sizeof(Raw) == 2) {
