@@ -71,7 +71,7 @@ namespace {
 constexpr double kTwoPi = 6.283185307179586476925286766559;
 constexpr float kRadPerCount = (float)(kTwoPi / 4294967296.0);
 
-constexpr int64_t kTileOutputs = 256;  // outputs per phase-split tile
+constexpr int64_t kTileOutputs = 512;  // outputs per phase-split tile
 
 // ---- scaled sample fetch (codec + stream position) -----------------------
 
