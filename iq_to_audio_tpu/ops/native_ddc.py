@@ -6,7 +6,7 @@ geometry — docs/probes/perf_probe_r3k.py), and its cost is mostly memory
 choreography XLA cannot restructure: framing relayouts and FFT twiddle
 passes.  The C++ kernel computes the same decimated channel samples
 directly — fused convert -> separable-oscillator mix -> phase-split
-decimating FIR (native/ddc.cpp) — at ~5 ns/sample, agreeing with
+decimating FIR (native/ddc.cpp) — at ~3.4 ns/sample, agreeing with
 ``ops.ddc.ddc_apply_il`` at the -120 dB level
 (docs/probes/perf_probe_r3l.py, tests/test_native_ddc.py).
 

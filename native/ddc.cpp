@@ -42,9 +42,12 @@
 // the phase rows (the naive stride-D windows make every 64-byte load
 // straddle cache lines), taps broadcast and amortized over 4 output
 // blocks; outputs stay in lanes (no horizontal reductions).  The
-// phase-split fill uses 32-bit gathers straight from the raw s16 pairs
-// (one u32 per complex sample).  Measured on the 1-core AVX-512 host at
-// the headline geometry (L=1601, D=26): ~2 ns/input-sample vs ~7 for the
+// phase-split fill (s16, D >= 16) loads contiguous u32 rows of the raw
+// stream and transposes 16x16 blocks in-register — gather-free, because
+// this host class is gather-mitigated (XLA targets it with
+// +prefer-no-gather); a 32-bit-gather fill remains for the in-chunk edge
+// blocks and D < 16.  Measured on the 1-core AVX-512 host at the
+// headline geometry (L=1601, D=26): ~3.4 ns/input-sample vs ~7 for the
 // direct per-sample-oscillator version and ~10 for the XLA overlap-save
 // FFT chain (docs/probes/perf_probe_r3l.py).
 //
