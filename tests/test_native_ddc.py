@@ -186,3 +186,75 @@ def test_native_multichannel():
     yr_c, yi_c, _, _ = _conv(plan, taps, incs, f32, itail, phase0, "iq")
     assert yr_n.shape == (3, plan.out_size)
     assert _err_db(yr_n, yi_n, np.asarray(yr_c), np.asarray(yi_c)) < -100.0
+
+
+@pytest.mark.parametrize("decim", [17, 26, 32])
+@pytest.mark.parametrize("order", ["iq", "qi_inv"])
+def test_native_transpose_fill_decims(decim, order):
+    """D >= 16 engages the gather-free transpose fill (native/ddc.cpp).
+
+    Covers its three seams explicitly: the scalar tail-seam rows (nonzero
+    carried tail), the 16-row interior blocks (including a partial final
+    p-group when D % 16 != 0), and the per-phase gather fallback for the
+    final blocks whose full-width loads would run past the chunk.  Chunk
+    sizes are chosen so the fill count is NOT a multiple of 16.
+    """
+    rate = 2_500_000.0
+    taps = np.asarray(design_channel_filter(rate, 12_500.0, decim))
+    # an odd tile-straddling chunk: several interior blocks + ragged end
+    plan = DDCPlan.create(len(taps), decim, target_chunk=40_000)
+    incs = np.asarray([int(round(25e3 / rate * 2**32))], np.uint32)
+    rng = np.random.default_rng(decim)
+    n = plan.chunk_size
+    raw = rng.integers(-20000, 20000, size=2 * n, dtype=np.int16)
+    itail = (rng.standard_normal(2 * (len(taps) - 1)) * 0.2).astype(
+        np.float32
+    )
+    phase0 = np.asarray([456789], np.uint32)
+
+    yr_n, yi_n, tail_n, ph_n = _native(
+        plan, taps, incs, jnp.asarray(raw), itail, phase0, "pcm_s16le", order
+    )
+    f32 = jnp.asarray(raw, jnp.float32) * jnp.float32(1 / 32768.0)
+    yr_c, yi_c, tail_c, ph_c = _conv(
+        plan, taps, incs, f32, itail, phase0, order
+    )
+    assert _err_db(yr_n, yi_n, np.asarray(yr_c), np.asarray(yi_c)) < -100.0
+    np.testing.assert_array_equal(np.asarray(ph_n), np.asarray(ph_c))
+
+
+def test_native_transpose_chunked_equals_whole_d26():
+    """Headline decimation (26): carried-state exactness across chunks
+    must hold when interior blocks use the transpose fill but the chunk
+    boundary blocks fall back to the gather path."""
+    rate = 2_500_000.0
+    decim = 26
+    taps = np.asarray(design_channel_filter(rate, 12_500.0, decim))
+    L = len(taps)
+    plan = DDCPlan.create(L, decim, target_chunk=30_000)
+    incs = np.asarray([int(round(25e3 / rate * 2**32))], np.uint32)
+    n = plan.chunk_size
+    rng = np.random.default_rng(26)
+    raw = rng.integers(-20000, 20000, size=2 * 3 * n, dtype=np.int16)
+
+    whole_plan = DDCPlan.create(L, decim, target_chunk=3 * n)
+    assert whole_plan.chunk_size == 3 * n
+    itail0 = np.zeros(2 * (L - 1), np.float32)
+    phase0 = np.asarray([31337], np.uint32)
+    yr_w, yi_w, _, _ = _native(
+        whole_plan, taps, incs, jnp.asarray(raw), itail0, phase0,
+        "pcm_s16le", "iq",
+    )
+
+    tail = jnp.asarray(itail0)
+    ph = phase0
+    outs = []
+    for i in range(3):
+        yr, yi, tail, ph = _native(
+            plan, taps, incs, jnp.asarray(raw[2 * i * n : 2 * (i + 1) * n]),
+            np.asarray(tail), np.asarray(ph), "pcm_s16le", "iq",
+        )
+        outs.append((np.asarray(yr), np.asarray(yi)))
+    yr_c = np.concatenate([o[0] for o in outs], axis=-1)
+    yi_c = np.concatenate([o[1] for o in outs], axis=-1)
+    assert _err_db(yr_c, yi_c, np.asarray(yr_w), np.asarray(yi_w)) < -100.0
