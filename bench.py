@@ -32,8 +32,9 @@ frame-aligned segments are processed concurrently by the device stream
 and a host-CPU worker subprocess via a work-stealing queue, so the
 end-to-end wall time tracks the SUM of both sides' throughputs — robust
 to whichever wire regime the relay is in (device-only passes are floored
-by the wire in the slow regime; the host CPU alone sustains ~46x after the native-channelizer
-work — BENCH_cpu.json).  IQ2A_HETERO=0 restores device-only passes.
+by the wire in the slow regime; the host CPU alone sustains ~52x after the
+native-channelizer + transpose-fill work — BENCH_cpu.json).
+IQ2A_HETERO=0 restores device-only passes.
 """
 
 from __future__ import annotations
@@ -236,14 +237,14 @@ def main() -> int:
                 # relay hiccups make passes vary ~1-21 s; once both schedules
                 # have run and a pass hits the fast regime, stop.  In hetero
                 # mode the bars must sit ABOVE anything the CPU side alone
-                # can produce (~46x after the native-channelizer work,
+                # can produce (~52x after the native-channelizer work,
                 # BENCH_cpu.json) so only a genuinely device-assisted pass
                 # ends the sampling early — otherwise keep sampling the
                 # budget for a wire recovery + device re-probe; the
                 # deterministic CPU-backend path stops once stable
-                if i >= 1 and elapsed < seconds / (65.0 if hetero else 50.0):
+                if i >= 1 and elapsed < seconds / (75.0 if hetero else 55.0):
                     break
-                if i >= 3 and elapsed < seconds / (55.0 if hetero else 40.0):
+                if i >= 3 and elapsed < seconds / (62.0 if hetero else 48.0):
                     break
                 # never let the budget stop us before two toll-clean passes:
                 # a pass that absorbed the session toll (bounded but up to
