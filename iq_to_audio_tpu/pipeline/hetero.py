@@ -96,6 +96,8 @@ class HeteroPlan:
     input_spec: object = None
     #: ``--demod none``: segments write IQ slices instead of audio
     pass_through: bool = False
+    #: channel-filter tap count (sizes the resident-compute measurement)
+    num_taps: int = 0
 
 
 def _plan(config: ProcessingConfig, n_segments: int,
@@ -209,6 +211,7 @@ def _plan(config: ProcessingConfig, n_segments: int,
         input_format=spec.codec,
         input_spec=spec,
         pass_through=pass_through,
+        num_taps=len(taps),
     )
 
 
@@ -290,15 +293,24 @@ class HeteroExecutor:
         #: True while rates["device"] holds a wire-probe PREDICTION rather
         #: than a measured end-to-end segment rate (see _wire_probe_rate)
         self._device_rate_estimated = False
-        #: assumed device compute throughput for the wire-probe prediction
-        #: (input Msps with data resident — docs/performance.md measured
-        #: 255-305 on the v5e; only the go/no-go decision uses it, and a
-        #: real one-segment claim re-measures end-to-end immediately after)
+        #: device compute throughput for the wire-probe prediction (input
+        #: Msps with data resident).  Starts as a prior (IQ2A_DEVICE_MSPS,
+        #: default 250 — docs/performance.md measured 255-305 on the v5e)
+        #: and is REPLACED by a one-off resident-compute measurement the
+        #: first wire probe performs (:meth:`_maybe_measure_compute`)
+        #: unless the env var pinned it explicitly.  Only the go/no-go
+        #: decision uses it; a real one-segment claim re-measures
+        #: end-to-end immediately after.
         self.device_compute_msps = float(
             os.environ.get("IQ2A_DEVICE_MSPS", "250")
         )
+        #: cached one-off resident-compute measurement (input Msps)
+        self._measured_msps: float | None = None
         #: per-run scheduling telemetry, for logs and benches
         self.last_stats: dict = {}
+        #: most recent wire-health probe measurements (bandwidths in B/s),
+        #: kept for bench artifacts: {"bw_up", "bw_down", "t_fetch"}
+        self.last_wire_probe: dict = {}
 
     def reset_rates(self) -> None:
         """Forget observed side throughputs (e.g. after a run whose device
@@ -462,9 +474,99 @@ class HeteroExecutor:
 
     # -- execution ---------------------------------------------------------
 
+    def _maybe_measure_compute(
+        self, num_taps: int, decimation: int, t_fetch: float,
+        should_abort=None,
+    ) -> None:
+        """Replace the device-compute PRIOR with a one-off measured rate.
+
+        Times the channelizer conv (the dominant device compute) on
+        RESIDENT zeros at the run's real tap count and decimation — no
+        upload rides the clock, and the program reduces to one scalar so
+        the closing fetch is tiny.  Two stages: a 2-rep rough pass sizes a
+        longer pass whose execute time dominates the relay's per-fetch
+        latency floor (``t_fetch`` from the wire probe is subtracted).
+        Cached for the executor's lifetime; an explicit ``IQ2A_DEVICE_MSPS``
+        pins the prior and skips the measurement entirely.  Skipped on the
+        CPU backend (there the "device" stream IS a CPU pipeline whose
+        rate real claims measure immediately).
+        """
+        if os.environ.get("IQ2A_DEVICE_MSPS"):
+            return  # user/test pinned the prior
+        if self._measured_msps is not None:
+            self.device_compute_msps = self._measured_msps
+            return
+        import jax
+
+        if (
+            jax.default_backend() == "cpu"
+            and os.environ.get("IQ2A_MEASURE_MSPS") != "1"
+        ):
+            return
+        if should_abort is not None and should_abort():
+            return
+        try:
+            import jax.numpy as jnp
+            import numpy as np
+
+            from ..ops.ddc import DDCPlan, ddc_apply_il
+
+            L = max(int(num_taps), 2)
+            chunk_target = int(
+                os.environ.get("IQ2A_MSPS_PROBE_CHUNK", str(1 << 22))
+            )
+            plan = DDCPlan.create(
+                L, max(int(decimation), 1), target_chunk=chunk_target
+            )
+            kernel = jnp.zeros((2, 1, 2 * L), jnp.float32)
+            phase0 = jnp.zeros((1,), jnp.uint32)
+            inc_lo = jnp.full((1,), 123_456_789, jnp.uint32)
+
+            def _probe(x, k, tail):
+                yr, yi, _, _ = ddc_apply_il(plan, k, x, tail, phase0, inc_lo)
+                return yr.sum() + yi.sum()
+
+            fn = jax.jit(_probe)
+            x = jnp.zeros(2 * plan.chunk_size, jnp.float32)  # resident
+            tail = jnp.zeros(2 * (L - 1), jnp.float32)
+            np.asarray(fn(x, kernel, tail))  # compile + warm, off the clock
+
+            def _timed(reps: int) -> float:
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(reps):
+                    out = fn(x, kernel, tail)
+                np.asarray(out)
+                return time.perf_counter() - t0
+
+            rough_elapsed = _timed(2)
+            rough = 2 * plan.chunk_size / max(rough_elapsed - t_fetch, 1e-3)
+            # size the real pass for ~1 s of execute (latency-dominated
+            # rough passes UNDERestimate, which only shortens this pass)
+            reps = int(min(max(rough / plan.chunk_size, 2), 32))
+            if should_abort is not None and should_abort():
+                return
+            elapsed = _timed(reps)
+            msps = (
+                reps * plan.chunk_size / max(elapsed - t_fetch, 1e-3) / 1e6
+            )
+            msps = min(max(msps, 0.1), 100_000.0)
+            prior = self.device_compute_msps
+            self._measured_msps = msps
+            self.device_compute_msps = msps
+            LOG.info(
+                "hetero: resident-compute probe measured %.0f Msps "
+                "(%d taps, decim %d, %d reps) — replaces the %.0f Msps prior",
+                msps, L, plan.decimation, reps, prior,
+            )
+        except Exception as exc:  # fall back to the prior
+            LOG.debug("hetero: resident-compute probe failed (%s); keeping "
+                      "the %.0f Msps prior", exc, self.device_compute_msps)
+
     def _wire_probe_rate(
         self, seg_seconds: float, seg_bytes: int, seg_samples: int,
         audio_bytes: int, should_abort=None,
+        num_taps: int = 0, decimation: int = 1,
     ) -> float | None:
         """Predict the device stream's seconds-of-signal-per-wall-second
         rate for a single-segment claim from a cheap wire-health probe.
@@ -519,6 +621,14 @@ class HeteroExecutor:
             np.asarray(down2)
             t_fetch = max(time.perf_counter() - t0, 1e-6)
         bw_down = small.nbytes / t_fetch
+        self.last_wire_probe = {
+            "bw_up": bw_up, "bw_down": bw_down, "t_fetch": t_fetch,
+        }
+        # the D2H leg above paid any residual session toll, so the
+        # resident-compute measurement (one-off, cached) times cleanly here
+        self._maybe_measure_compute(
+            num_taps, decimation, t_fetch, should_abort=should_abort
+        )
         t_seg = (
             seg_bytes / bw_up
             + seg_samples / max(self.device_compute_msps * 1e6, 1e-9)
@@ -563,6 +673,45 @@ class HeteroExecutor:
         plan = self._plan_or_none(config)
         if plan is None or len(plan.segments) < 2:
             return _serial_fallback("capture too short to segment")
+
+        # Cross-backend determinism gate (docs/performance.md
+        # "Cross-backend determinism"): the feedback-AGC recurrence
+        # amplifies ulp-level differences between the CPU and accelerator
+        # conv lowerings (~24% of samples differ, max ~5% of full scale),
+        # so splitting ONE SSB+AGC capture across both backends is audible
+        # in principle.  Policy via IQ2A_SSB_AGC_SPLIT: "warn" (default)
+        # proceeds with a WARNING; "pin" keeps the run on the CPU workers
+        # (one backend, deterministic vs the worker's own serial run).
+        import jax as _jax
+
+        pin_device_out = False
+        mode_l = (config.demod_mode or "").lower()
+        if (
+            mode_l in {"usb", "lsb", "ssb"}
+            and config.agc_enabled
+            and self.cpu_workers > 0
+            and not device_warm_no_fetch
+            and _jax.default_backend() != "cpu"
+        ):
+            policy = os.environ.get("IQ2A_SSB_AGC_SPLIT", "warn").lower()
+            if policy == "pin":
+                LOG.info(
+                    "hetero: SSB+AGC capture pinned to the host-CPU workers "
+                    "(IQ2A_SSB_AGC_SPLIT=pin): cross-backend splits of the "
+                    "feedback-AGC recurrence diverge at the ulp level "
+                    "(docs/performance.md 'Cross-backend determinism')"
+                )
+                pin_device_out = True
+            else:
+                LOG.warning(
+                    "hetero: splitting an SSB+AGC capture across CPU and "
+                    "accelerator backends — the feedback-AGC recurrence "
+                    "amplifies ulp-level lowering differences (~24%% of "
+                    "samples differ, max ~5%% of full scale; "
+                    "docs/performance.md 'Cross-backend determinism').  "
+                    "Set IQ2A_SSB_AGC_SPLIT=pin to keep such runs on one "
+                    "backend."
+                )
 
         # final per-channel output paths, named exactly like the serial
         # pipeline's (shared --out hints get the _<freq> suffix when
@@ -615,6 +764,10 @@ class HeteroExecutor:
                 "device_runs": 0,
                 "device_seconds": 0.0,
                 "cpu_seconds": 0.0,
+                # seconds-of-signal each side processed (per-side realtime
+                # factors for logs/benches: signal_seconds / wall seconds)
+                "device_signal_seconds": 0.0,
+                "cpu_signal_seconds": 0.0,
                 "device_abstained": False,
             }
             rates = self._rates
@@ -790,6 +943,8 @@ class HeteroExecutor:
                         seg_seconds, int(seg.read_samples) * bpf,
                         int(seg.read_samples), int(out_bytes),
                         should_abort=lambda: self._cancel.is_set() or not queue,
+                        num_taps=plan.num_taps,
+                        decimation=plan.decimation,
                     )
                 except Exception as exc:
                     LOG.debug("hetero: wire probe failed (%s); falling back to "
@@ -802,6 +957,9 @@ class HeteroExecutor:
                     self._device_rate_estimated = True
 
             def _device_loop(tmpdir: Path) -> None:
+                if pin_device_out:
+                    stats["device_abstained"] = True
+                    return
                 defer_started = None
                 while not self._cancel.is_set():
                     _refresh_device_estimate()
@@ -864,6 +1022,9 @@ class HeteroExecutor:
                         stats["device_segments"] += len(claims)
                         stats["device_runs"] += 1
                         stats["device_seconds"] += elapsed
+                        stats["device_signal_seconds"] += (
+                            seg.length / plan.sample_rate
+                        )
                         _note_progress_locked()
                         more_work = bool(queue) or cpu_busy[0] > 0
                         if not device_warm_no_fetch:
@@ -962,6 +1123,9 @@ class HeteroExecutor:
                         )
                         stats["cpu_segments"] += len(claims)
                         stats["cpu_seconds"] += elapsed
+                        stats["cpu_signal_seconds"] += (
+                            seg.length / plan.sample_rate
+                        )
                         _note_progress_locked()
                         rate = seg.length / plan.sample_rate / max(elapsed, 1e-9)
                         prev = rates["cpu"]
@@ -1013,7 +1177,24 @@ class HeteroExecutor:
                         break  # all sides exited; tiling check below verdicts
                     done.wait(0.25)
                 loop_seconds = time.perf_counter() - loop_start
-                self.last_stats = dict(stats, loop_seconds=loop_seconds)
+                # per-side realtime factors (signal seconds per wall second
+                # of that side's own runs) — the honest split behind the
+                # merged wall number, machine-readable for bench artifacts
+                dev_x = (
+                    stats["device_signal_seconds"] / stats["device_seconds"]
+                    if stats["device_seconds"] > 0 else None
+                )
+                cpu_x = (
+                    stats["cpu_signal_seconds"] / stats["cpu_seconds"]
+                    if stats["cpu_seconds"] > 0 else None
+                )
+                self.last_stats = dict(
+                    stats,
+                    loop_seconds=loop_seconds,
+                    device_x=dev_x,
+                    cpu_x=cpu_x,
+                    wire_probe=dict(self.last_wire_probe),
+                )
 
                 if self._user_cancelled:
                     # a terminated worker's pipe error is a CONSEQUENCE of the
@@ -1060,14 +1241,16 @@ class HeteroExecutor:
                     peaks.append(peak_c)
 
             LOG.info(
-                "hetero: %d segments (device %d in %d run(s), %.2f s; "
-                "cpu %d in %.2f s), %.3f s wall",
+                "hetero: %d segments (device %d in %d run(s), %.2f s%s; "
+                "cpu %d in %.2f s%s), %.3f s wall",
                 len(plan.segments),
                 stats["device_segments"],
                 stats["device_runs"],
                 stats["device_seconds"],
+                f" = {dev_x:.1f}x" if dev_x is not None else "",
                 stats["cpu_segments"],
                 stats["cpu_seconds"],
+                f" = {cpu_x:.1f}x" if cpu_x is not None else "",
                 loop_seconds,
             )
             peak_label = (
