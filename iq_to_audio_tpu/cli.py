@@ -277,6 +277,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "the audio (see docs/performance.md; 0 = off).")
     parser.add_argument("--burst-cpu-workers", dest="burst_cpu_workers", type=int, default=1,
                         help="Host-CPU worker subprocesses for --burst-segments (0 = device stream only).")
+    parser.add_argument("--seq-parallel", dest="seq_parallel",
+                        choices=["auto", "on", "off"], default="auto",
+                        help="Shard ONE capture across the whole device mesh "
+                             "(sequence parallelism: ppermute halos + distributed "
+                             "scans). auto = engage when >1 device is visible and "
+                             "the run is a plain demod; on = force (error if the "
+                             "config cannot shard); off = never. Default: auto.")
     parser.add_argument("--verbose", dest="verbose", action="store_true",
                         help="Enable debug logging.")
     parser.add_argument("--version", action="version", version=__version__,
@@ -581,6 +588,9 @@ def main(argv: list[str] | None = None) -> int:
     if not launch_gui:
         if len(args.input_paths) > 1:
             return _run_multi_capture(args, frequencies, shared_kwargs, _make_sink)
+        sp_rc = _maybe_run_seq_parallel(args, frequencies, shared_kwargs)
+        if sp_rc is not None:
+            return sp_rc
         configs = [_build_batched_config(args, frequencies, shared_kwargs)]
 
     if not configs:
@@ -666,6 +676,112 @@ def _make_sink():
     except RuntimeError as exc:
         LOG.warning("Progress reporting disabled: %s", exc)
         return None
+
+
+def _maybe_run_seq_parallel(
+    args: argparse.Namespace,
+    frequencies: list[float],
+    shared_kwargs: dict,
+) -> int | None:
+    """Shard ONE capture over the whole device mesh (sequence parallelism).
+
+    SURVEY §2d SP plan: "if sharding one capture across chips, carry
+    boundary state via collective-permute" — :func:`..parallel.sharded.
+    build_sharded_step` implements exactly that (ppermute halos for the
+    FIR/discriminator, distributed first-order scans for the IIR/AGC
+    carries), and :func:`..parallel.dp_runner.run_captures_dp` with a
+    single job is the pure seq-over-devices instance (dp=1).  Engaged
+    for plain demod runs when ``--seq-parallel`` is ``on``, or ``auto``
+    with more than one visible device.  Returns an exit code, or None to
+    fall back to the serial pipeline (the reference's single-stream
+    behaviour, reference ``processing.py:341-345`` state carry).
+    """
+    if args.seq_parallel == "off":
+        return None
+    import jax
+
+    n_dev = len(jax.devices())
+    demod = "usb" if args.demod == "ssb" else args.demod  # documented alias
+    burst = bool(args.burst_segments and args.burst_segments > 1)
+    eligible = (
+        bool(frequencies)
+        and not burst  # an explicit burst request wins
+        and not args.probe_only
+        and args.preview_seconds is None
+        and args.dump_iq is None
+        and args.plot_stages is None
+        and args.spectrum_png is None
+        and not args.resume
+        and not args.checkpoint_secs
+        and getattr(args, "profile_dir", None) is None
+        and demod in {"nfm", "am", "usb", "lsb"}
+    )
+    if args.seq_parallel == "auto" and n_dev < 2:
+        return None
+    if not eligible:
+        if args.seq_parallel == "on":
+            LOG.error(
+                "--seq-parallel on: this run cannot shard (sequence "
+                "parallelism supports plain nfm/am/usb/lsb demodulation "
+                "without probe/preview/dump/stage/checkpoint/burst modes)."
+            )
+            return 1
+        return None
+
+    from .parallel.dp_runner import CaptureJob, run_captures_dp
+
+    # serial-parity output naming: the same per-channel paths the serial
+    # pipeline would write (shared --out hints get _<freq> suffixes when
+    # batching; defaults are audio_<FT>_48k.wav beside the input)
+    helper = ProcessingPipeline(
+        _build_batched_config(args, frequencies, shared_kwargs)
+    )
+    paths = helper._channel_paths(list(frequencies), args.output_path)
+    for p in paths:
+        p.parent.mkdir(parents=True, exist_ok=True)
+    job = CaptureJob(
+        in_path=args.input_path,
+        target_freqs=list(frequencies),
+        output_paths=paths,
+        center_freq=args.center_freq,
+        input_format=args.input_format,
+        input_sample_rate=args.input_sample_rate,
+    )
+    LOG.info(
+        "=== Processing %d target(s): %s (sequence-parallel over %d "
+        "device(s)) ===",
+        len(frequencies),
+        "/".join(f"{f:.0f}" for f in frequencies),
+        n_dev,
+    )
+    try:
+        res = run_captures_dp(
+            [job],
+            bandwidth=args.bandwidth,
+            demod_mode=demod,
+            fs_ch_target=args.fs_ch,
+            deemph_us=args.deemph_us,
+            agc_enabled=args.agc_enabled,
+            iq_order=args.iq_order,
+            mix_sign_override=args.mix_sign,
+        )
+    except ValueError as exc:
+        if args.seq_parallel == "on":
+            return _die("Sequence-parallel run failed", exc, args.verbose)
+        LOG.info(
+            "Sequence-parallel execution unavailable (%s); running the "
+            "serial pipeline.", exc
+        )
+        return None
+    except Exception as exc:
+        return _die("Processing failed", exc, args.verbose)
+    for freq, peak in zip(frequencies, res.audio_peaks[0]):
+        if peak > 0:
+            print(
+                f"[{int(round(freq))}] Audio peak level: "
+                f"{20.0 * math.log10(peak):.2f} dBFS"
+            )
+    return 0
 
 
 def _run_multi_capture(
