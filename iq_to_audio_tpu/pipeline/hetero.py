@@ -508,6 +508,8 @@ class HeteroExecutor:
         try:
             import jax.numpy as jnp
             import numpy as np
+            from jax import lax
+            from functools import partial
 
             from ..ops.ddc import DDCPlan, ddc_apply_il
 
@@ -522,28 +524,35 @@ class HeteroExecutor:
             phase0 = jnp.zeros((1,), jnp.uint32)
             inc_lo = jnp.full((1,), 123_456_789, jnp.uint32)
 
-            def _probe(x, k, tail):
-                yr, yi, _, _ = ddc_apply_il(plan, k, x, tail, phase0, inc_lo)
-                return yr.sum() + yi.sum()
+            def _probe(x, k, tail, *, reps: int):
+                # `reps` conv evaluations INSIDE one executable (fori_loop
+                # runs sequentially on TPU): per-dispatch latency on
+                # tunneled runtimes is ~0.1-1 s, which swamped a 15 ms
+                # per-chunk execute when reps were separate dispatches
+                # (measured 21 Msps for a ~286 Msps engine)
+                def body(_, s):
+                    yr, yi, _, _ = ddc_apply_il(plan, k, x, tail, phase0, inc_lo)
+                    return s + yr[..., -1] + yi[..., -1]
 
-            fn = jax.jit(_probe)
+                return lax.fori_loop(
+                    0, reps, body, jnp.zeros((1,), jnp.float32)
+                )
+
             x = jnp.zeros(2 * plan.chunk_size, jnp.float32)  # resident
             tail = jnp.zeros(2 * (L - 1), jnp.float32)
-            np.asarray(fn(x, kernel, tail))  # compile + warm, off the clock
 
             def _timed(reps: int) -> float:
+                fn = jax.jit(partial(_probe, reps=reps))
+                np.asarray(fn(x, kernel, tail))  # compile + warm
                 t0 = time.perf_counter()
-                out = None
-                for _ in range(reps):
-                    out = fn(x, kernel, tail)
-                np.asarray(out)
+                np.asarray(fn(x, kernel, tail))
                 return time.perf_counter() - t0
 
             rough_elapsed = _timed(2)
             rough = 2 * plan.chunk_size / max(rough_elapsed - t_fetch, 1e-3)
             # size the real pass for ~1 s of execute (latency-dominated
             # rough passes UNDERestimate, which only shortens this pass)
-            reps = int(min(max(rough / plan.chunk_size, 2), 32))
+            reps = int(min(max(rough / plan.chunk_size, 2), 64))
             if should_abort is not None and should_abort():
                 return
             elapsed = _timed(reps)

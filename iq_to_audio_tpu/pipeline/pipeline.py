@@ -54,7 +54,7 @@ LOG = logging.getLogger(__name__)
 
 # bump when the carried state pytree layout changes (v2: raw-domain
 # interleaved FIR tail, MXU block-IIR carries)
-_CKPT_VERSION = 2
+_CKPT_VERSION = 3  # v3: running pre-clip peak moved from accs into state
 
 _OUTPUT_RATE = 48_000.0
 
@@ -699,9 +699,8 @@ class ProcessingPipeline:
                             f"Checkpoint {ckpt_path} does not match this "
                             "configuration; remove it or rerun without --resume."
                         )
+                    # the running pre-clip peak rides in the state pytree
                     state = jax.tree_util.tree_map(jnp.asarray, resume_data["state"])
-                    if "peak" in accs:
-                        accs["peak"] = jnp.asarray(resume_data["peak"])
                     ctr = resume_data["counters"]
                     rs_in_device = ctr["rs_in_device"]
                     rs_in_valid = ctr["rs_in_valid"]
@@ -721,8 +720,8 @@ class ProcessingPipeline:
                         "version": _CKPT_VERSION,
                         "fingerprint": fingerprint,
                         "mix_sign": mix_sign,
+                        # incl. the running pre-clip peak (state["peak"])
                         "state": jax.tree_util.tree_map(np.asarray, st),
-                        "peak": np.asarray(accs["peak"]) if "peak" in accs else None,
                         # per-channel RMS accumulation so a resumed run still
                         # reports the CAPTURE-level RMS, not post-resume only
                         "rms": [w.rms_state for w in audio_writers],
@@ -746,6 +745,7 @@ class ProcessingPipeline:
                 limit_exhausted = False
                 window: list[tuple[int, int]] = []  # (dec_valid, audio_count) per slot
                 pending_flush = None  # (accs handle, counts) fetched one window later
+                free_accs = None  # flushed window buffers, reusable (donation)
                 last_audio = {}  # final fetched accumulator for the EOF flush
                 acc_chunks = step.acc_chunks
                 audio_cap = step.audio_capacity
@@ -884,7 +884,6 @@ class ProcessingPipeline:
                         last_audio["buf"] = audio_np
                         last_audio["slot"] = len(counts) - 1
                         last_audio["count"] = counts[-1][1]
-                        last_audio["peak_handle"] = handle["peak"]
                     timing["write"] += time.perf_counter() - t0
 
                 idx = 0  # global chunk counter (device-consumed chunks)
@@ -983,11 +982,18 @@ class ProcessingPipeline:
                     timing["dispatch"] += time.perf_counter() - t0
 
                 def _drain_and_checkpoint():
-                    nonlocal pending_flush, next_ckpt_at
+                    nonlocal pending_flush, next_ckpt_at, free_accs
                     if pending_flush is None:
                         return
+                    handle = pending_flush[0]
                     _write_flush(*pending_flush)
                     pending_flush = None
+                    if handle is not accs:
+                        # overlapped schedule: the flushed window's buffers
+                        # are free — recycle them as the NEXT window's
+                        # donated accumulator (the phased schedule keeps
+                        # dispatching into the live handle directly)
+                        free_accs = handle
                     if next_ckpt_at is not None and processed_samples >= next_ckpt_at:
                         _save_checkpoint(state)
                         next_ckpt_at = processed_samples + int(
@@ -1050,6 +1056,18 @@ class ProcessingPipeline:
                     t_win = time.perf_counter()
                     window = []
                     overlapped = _use_overlap(w_index)
+
+                    if pending_flush is not None and pending_flush[0] is accs:
+                        # the live handle is parked for a deferred flush:
+                        # donating it to this window's first dispatch would
+                        # overwrite the un-fetched window.  Swap to the
+                        # recycled buffer (double-buffering; the second
+                        # buffer allocates exactly once)
+                        accs = (
+                            free_accs if free_accs is not None
+                            else step.init_accs()
+                        )
+                        free_accs = None
 
                     if overlapped:
                         for group in wgroups:
@@ -1126,22 +1144,27 @@ class ProcessingPipeline:
                         for c, w in enumerate(audio_writers):
                             w.write_s16(buf[c, lo:hi])
                         rs_emitted += hi - lo
-                if "peak_handle" in last_audio:
-                    # The device accumulator's float peak covers every slot
-                    # INCLUDING the final chunk's zero-padding, whose
-                    # real->pad boundary puts a discriminator transient in
-                    # samples that are never written.  The writers already
+                if (
+                    not pass_through
+                    and not self.warm_no_fetch
+                    and "buf" in last_audio
+                ):
+                    # The device-carried float peak (state["peak"]) covers
+                    # every sample INCLUDING the final chunk's zero-padding,
+                    # whose real->pad boundary puts a discriminator transient
+                    # in samples that are never written.  The writers already
                     # track the exact peak of the valid (written) samples, so
                     # the device value is only consulted where it carries
                     # information the quantised stream lost: pre-clip
                     # amplitude once the +-0.99 clipper engaged.
-                    peaks_np = np.asarray(last_audio["peak_handle"])
                     # quantised value of a just-clipped sample: only consult
                     # the device peak when the +-0.99 clipper actually engaged
                     clip_q = round(0.99 * 32767.0) / 32767.0 - 1e-6
-                    for c, w in enumerate(audio_writers):
-                        if w.peak >= clip_q:
-                            w.peak = max(w.peak, float(peaks_np[c]))
+                    if any(w.peak >= clip_q for w in audio_writers):
+                        peaks_np = np.asarray(state["peak"])  # tiny EOF fetch
+                        for c, w in enumerate(audio_writers):
+                            if w.peak >= clip_q:
+                                w.peak = max(w.peak, float(peaks_np[c]))
                 loop_seconds = time.perf_counter() - loop_start
                 if want_timing:
                     LOG.info(

@@ -185,7 +185,12 @@ def chunk_step_impl(
             )
             new_state["rs_tail"] = rs_tail
             cap = rs_plan.out_capacity
-        new_accs["peak"] = jnp.maximum(accs["peak"], jnp.max(jnp.abs(audio48), axis=-1))
+        # the running pre-clip peak is STREAM STATE (monotone across the
+        # whole run), not window output: carrying it in the donated state
+        # keeps it exact while the window accumulators double-buffer
+        new_state["peak"] = jnp.maximum(
+            state["peak"], jnp.max(jnp.abs(audio48), axis=-1)
+        )
         encoded = jnp.round(
             jnp.clip(audio48, -0.99, 0.99) * jnp.float32(32767.0)
         ).astype(jnp.int16)
@@ -199,8 +204,16 @@ def chunk_step_impl(
     return new_state, new_accs, out
 
 
+# Both the stream state AND the window accumulators are donated: XLA
+# writes the slot updates in place instead of copying the whole window
+# every dispatch (the accumulator copy dominated dump-iq/pass-through
+# windows).  The host side double-buffers the accumulators so a window
+# handle parked for a deferred flush is never passed back in while its
+# D2H is outstanding (pipeline.py hot loop).
 _chunk_step = jax.jit(
-    chunk_step_impl, static_argnames=_STATIC_ARGNAMES, donate_argnames=("state",)
+    chunk_step_impl,
+    static_argnames=_STATIC_ARGNAMES,
+    donate_argnames=("state", "accs"),
 )
 
 # per-backend int32 scalar cache shared across ChunkStep instances
@@ -258,7 +271,9 @@ def superstep_impl(
 
 
 _superstep = jax.jit(
-    superstep_impl, static_argnames=_STATIC_ARGNAMES, donate_argnames=("state",)
+    superstep_impl,
+    static_argnames=_STATIC_ARGNAMES,
+    donate_argnames=("state", "accs"),
 )
 
 
@@ -359,6 +374,7 @@ class ChunkStep:
         }
         if not self.pass_through:
             state["demod"] = self.decoder.init_state((c,))
+            state["peak"] = jnp.zeros((c,), dtype=jnp.float32)
             if self.rs_plan is not None and not self.rs_plan.identity:
                 state["rs_tail"] = jnp.zeros(
                     (c, self.rs_plan.tail_len), dtype=jnp.float32
@@ -375,7 +391,6 @@ class ChunkStep:
             accs["iq_i"] = jnp.zeros((c, k * plan.out_size), dtype=jnp.float32)
         if not self.pass_through:
             accs["audio"] = jnp.zeros((c, k * self.audio_capacity), dtype=jnp.int16)
-            accs["peak"] = jnp.zeros((c,), dtype=jnp.float32)
         return accs
 
     def _scalar(self, value: int):

@@ -263,6 +263,12 @@ def test_bench_script_end_to_end(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
-    assert rec["unit"] == "x realtime per chip"
+    assert rec["unit"] == "x realtime (host CPU backend)"
     assert rec["value"] > 0
     assert abs(rec["vs_baseline"] - rec["value"] / 20.0) < 0.01
+    # per-side truth fields (VERDICT r3 #1): on the serial CPU path the
+    # record must attribute the number to the CPU side explicitly
+    assert rec["cpu_only_x"] == rec["value"]
+    assert rec["device_only_x"] is None
+    assert rec["hetero_x"] is None
+    assert rec["wire_regime"] == "n/a (serial pipeline)"

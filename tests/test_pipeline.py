@@ -724,3 +724,64 @@ def test_usb_lsb_share_compiled_executable():
     # but different parameters still split executables
     off = create_decoder("usb", deemph_us=300.0, agc_enabled=False)
     assert usb.cache_key() != off.cache_key()
+
+
+def test_preclip_peak_survives_window_double_buffering(tmp_path, monkeypatch):
+    """The reported audio peak must be the PRE-clip amplitude even when the
+    clipper engages and the capture spans several accumulation windows
+    under the overlapped schedule: the running peak rides the donated
+    stream state (step.py), not the double-buffered window accumulators,
+    so no window parity can lose it."""
+    fs = FS
+    seconds = 1.3
+    t = np.arange(int(fs * seconds)) / fs
+    # 30 kHz deviation at 96 kHz channel rate -> discriminator output
+    # amplitude ~2*pi*30e3/96.15e3 = 1.96, far past the +-0.99 clipper
+    phase = 2 * np.pi * np.cumsum(30_000.0 / fs * np.sin(2 * np.pi * 400.0 * t))
+    iq = 0.9 * np.exp(1j * (2 * np.pi * OFFSET * t + phase)).astype(np.complex64)
+    path = _write_capture(tmp_path, iq)
+    monkeypatch.setenv("IQ2A_SUPER", "2")
+    monkeypatch.setenv("IQ2A_ACC", "4")  # ~3 windows -> both buffers cycle
+    monkeypatch.setenv("IQ2A_OVERLAP", "1")
+    out = tmp_path / "clipped.wav"
+    cfg = ProcessingConfig(
+        in_path=path,
+        target_freq=CENTER + OFFSET,
+        output_path=out,
+        chunk_size=32_768,
+        mix_sign_override=1,
+        deemph_us=1.0,  # keep the deviation amplitude (no 300 us rolloff)
+    )
+    result = ProcessingPipeline(cfg).run()
+    # the written payload is clipped...
+    audio, _sr = read_wav(out)
+    assert np.abs(audio[:, 0]).max() <= 0.9901
+    # ...but the reported peak is the device-carried pre-clip amplitude
+    assert result.audio_peak > 1.2, result.audio_peak
+
+
+def test_dump_iq_identical_across_schedules_and_windows(tmp_path, monkeypatch):
+    """--dump-iq across several accumulation windows: the donated iq
+    accumulators recycle between window buffers, and both hot-loop
+    schedules must produce byte-identical cf32 dumps."""
+    iq = make_nfm_iq(FS, 1.3, OFFSET)
+    path = _write_capture(tmp_path, iq)
+    monkeypatch.setenv("IQ2A_SUPER", "2")
+    monkeypatch.setenv("IQ2A_ACC", "4")
+    dumps = {}
+    for label, env in (("phased", "0"), ("overlap", "1")):
+        monkeypatch.setenv("IQ2A_OVERLAP", env)
+        out = tmp_path / f"a_{label}.wav"
+        dump = tmp_path / f"d_{label}.cf32"
+        cfg = ProcessingConfig(
+            in_path=path,
+            target_freq=CENTER + OFFSET,
+            output_path=out,
+            dump_iq_path=dump,
+            chunk_size=32_768,
+            mix_sign_override=1,
+        )
+        ProcessingPipeline(cfg).run()
+        dumps[label] = dump.read_bytes()
+    assert dumps["phased"] == dumps["overlap"]
+    assert len(dumps["phased"]) == 8 * (-(-iq.size // 3))  # decim 3 at 250k
