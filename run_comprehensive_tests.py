@@ -458,7 +458,14 @@ def main() -> int:
     bench_res = run_benchmarks(args.quick)
     report = write_report(pytest_res, e2e_res, fixture_res, bench_res)
     print(f"report: {report}")
-    return 0 if pytest_res["ok"] else 1
+    # nonzero on ANY failure: the nightly runs this without `|| true`, so
+    # a fixture-matrix regression must fail the workflow, not just tint
+    # the HTML report (e2e failures raise out of run_e2e and already
+    # exit nonzero via the traceback)
+    fixture_failures = [r for r in fixture_res if "error" in r]
+    if fixture_failures:
+        print(f"{len(fixture_failures)} fixture(s) FAILED")
+    return 0 if pytest_res["ok"] and not fixture_failures else 1
 
 
 if __name__ == "__main__":
