@@ -764,7 +764,11 @@ def _maybe_run_seq_parallel(
             agc_enabled=args.agc_enabled,
             iq_order=args.iq_order,
             mix_sign_override=args.mix_sign,
+            progress_sink=_make_sink(),
         )
+    except ProcessingCancelled:
+        LOG.info("Processing cancelled by user.")
+        return 0  # serial-path parity: cancel is a clean exit
     except ValueError as exc:
         if args.seq_parallel == "on":
             return _die("Sequence-parallel run failed", exc, args.verbose)
@@ -856,7 +860,11 @@ def _run_multi_capture(
                 agc_enabled=args.agc_enabled,
                 iq_order=args.iq_order,
                 mix_sign_override=args.mix_sign,
+                progress_sink=make_sink(),
             )
+        except ProcessingCancelled:
+            LOG.info("Processing cancelled by user.")
+            return 0
         except ValueError as exc:
             LOG.info(
                 "Data-parallel multi-capture unavailable (%s); "

@@ -16,8 +16,10 @@ reference's behaviour for everything, ``cli.py:683-710``).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import math
+import threading
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -33,6 +35,7 @@ from ..io.writer import AudioWriter
 from ..ops.ddc import bandpass_kernel, interleave_kernel
 from ..ops.nco import nco_increment_fixed
 from ..ops.resample import ResamplePlan, design_resampler_kernel
+from ..pipeline.progress import PhaseState, ProgressSink, ProgressTracker
 from ..ref.chain import choose_mix_sign
 from ..utils.freq import detect_center_frequency
 from .mesh import make_mesh
@@ -82,11 +85,19 @@ def run_captures_dp(
     mix_sign_override: int | None = None,
     mesh=None,
     target_chunk: int = 1 << 18,
+    progress_sink: ProgressSink | None = None,
 ) -> DPResult:
     """Process ``len(jobs)`` captures data-parallel over the device mesh.
 
     Every capture must share sample rate / codec; every job must list the
     same number of targets (the dp rows run one compiled program).
+
+    ``progress_sink`` receives one "chunks" phase and may request
+    cooperative cancellation through its cancel callback (same contract
+    as the serial pipeline, reference ``processing.py:690,1205-1211``):
+    the run stops at the next chunk boundary, every partial output file
+    is deleted, and :class:`~..pipeline.pipeline.ProcessingCancelled`
+    is raised.
     """
     from ..pipeline.filters import compute_decimation, design_channel_filter
 
@@ -263,6 +274,18 @@ def run_captures_dp(
         for g, job in enumerate(jobs)
     ]
     entered: list[IQReader] = []
+    tracker = ProgressTracker(progress_sink)
+    cancel_requested = threading.Event()
+    with contextlib.suppress(AttributeError):
+        if progress_sink is not None:
+            progress_sink.set_cancel_callback(cancel_requested.set)
+
+    def _close_writers_quietly() -> None:
+        for ws in writers:
+            for w in ws:
+                with contextlib.suppress(Exception):
+                    w.close()
+
     try:
         for r in readers:
             r.__enter__()
@@ -273,14 +296,24 @@ def run_captures_dp(
                 "Captures differ in length; processing the common %d frames.",
                 total_frames,
             )
+        n_chunks = max(1, -(-int(total_frames) // chunk))
+        tracker.start(
+            [PhaseState("chunks", "Process chunks", float(n_chunks),
+                        unit="chunks")]
+        )
         n_dec = ddc_plan.out_size
         rs_in = 0
         rs_emitted = 0
         dec_emitted = 0
         processed = 0
+        chunks_done = 0
         last_audio = None
         last_count = 0
         while processed < total_frames:
+            if cancel_requested.is_set():
+                from ..pipeline.pipeline import ProcessingCancelled
+
+                raise ProcessingCancelled("Processing cancelled by request.")
             valid = min(chunk, total_frames - processed)
             stack = np.zeros((G, 2 * chunk), dtype=readers[0].raw_dtype)
             for g, r in enumerate(readers):
@@ -316,6 +349,12 @@ def run_captures_dp(
                     )
             rs_emitted += count
             last_audio, last_count = audio_np, count
+            chunks_done += 1
+            tracker.advance("chunks", 1.0)
+            tracker.status(
+                f"chunk {chunks_done}/{n_chunks} "
+                f"({len(jobs)} capture(s) x {K} channel(s))"
+            )
         if not rs_plan.identity and last_audio is not None:
             rs_valid = dec_emitted
             extra = rs_plan.final_flush_count(rs_valid, rs_emitted)
@@ -333,12 +372,24 @@ def run_captures_dp(
                         writers[g][k].write_s16(
                             np.round(seg * 32767.0).astype(np.int16)
                         )
+    except BaseException as exc:
+        from ..pipeline.pipeline import ProcessingCancelled
+
+        if isinstance(exc, ProcessingCancelled):
+            # serial-pipeline parity (pipeline.py run loop): delete the
+            # partial per-channel outputs on cancel — close first so the
+            # unlink cannot race an open handle (Windows refuses it)
+            _close_writers_quietly()
+            for ws in writers:
+                for w in ws:
+                    with contextlib.suppress(OSError):
+                        Path(w.output_path).unlink(missing_ok=True)
+        raise
     finally:
         for r in entered:
             r.close()
-        for ws in writers:
-            for w in ws:
-                w.close()
+        _close_writers_quietly()
+        tracker.close()
 
     return DPResult(
         sample_rate=sample_rate,

@@ -451,3 +451,111 @@ class TestSeqParallelCLI:
             "--seq-parallel", "off", "--out", str(out),
         ]) == 0
         assert out.exists()
+
+
+class TestSeqParallelProgressCancel:
+    """Progress + cooperative cancellation on the sharded path (VERDICT r4
+    #2): run_captures_dp must report a chunks phase through the standard
+    ProgressSink protocol and honor the sink's cancel callback with
+    partial-output deletion — the serial pipeline's contract (reference
+    processing.py:690, :1205-1211)."""
+
+    def _job(self, tmp_path):
+        from iq_to_audio_tpu.io.writer import write_stereo_wav
+        from iq_to_audio_tpu.parallel.dp_runner import CaptureJob
+
+        # 384 kHz: decimation 4 and an exact 96k->48k resample keep the
+        # chunk-alignment unit tiny, so the small target_chunk below really
+        # yields several chunks (a big polyphase down-factor would force
+        # one whole-capture chunk and defeat the progress/cancel coverage)
+        fs = 384_000.0
+        iq = make_nfm_iq(fs, 0.8, 25_000.0)
+        path = tmp_path / "baseband_145000000Hz_pc.wav"
+        write_stereo_wav(
+            path, np.column_stack([iq.real, iq.imag]), int(fs),
+            codec="pcm_s16le",
+        )
+        outs = [tmp_path / "pc_out.wav"]
+        return CaptureJob(
+            in_path=path,
+            target_freqs=[145_025_000.0],
+            output_paths=list(outs),
+        ), outs
+
+    def test_progress_phase_reported(self, tmp_path):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from iq_to_audio_tpu.parallel.dp_runner import run_captures_dp
+        from iq_to_audio_tpu.pipeline.progress import ProgressSink
+
+        events = {"phases": None, "advanced": 0.0, "closed": 0, "status": []}
+
+        class RecordingSink(ProgressSink):
+            def start(self, phases, *, overall_total):
+                events["phases"] = [(p.key, p.total, p.unit) for p in phases]
+
+            def advance(self, phase, delta, *, overall_completed, overall_total):
+                events["advanced"] += delta
+
+            def status(self, message):
+                events["status"].append(message)
+
+            def close(self):
+                events["closed"] += 1
+
+            def cancel(self):
+                pass
+
+        job, outs = self._job(tmp_path)
+        run_captures_dp(
+            [job], mesh=make_mesh(8, dp=1), mix_sign_override=1,
+            target_chunk=1 << 15, progress_sink=RecordingSink(),
+        )
+        assert outs[0].exists()
+        (key, total, unit), = events["phases"]
+        assert key == "chunks" and unit == "chunks"
+        assert total > 1  # the small target_chunk forces several chunks
+        assert events["advanced"] == total  # every chunk reported
+        assert events["closed"] == 1  # close-exactly-once contract
+        assert any("chunk" in s for s in events["status"])
+
+    def test_cancel_removes_partial_outputs(self, tmp_path):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from iq_to_audio_tpu.parallel.dp_runner import run_captures_dp
+        from iq_to_audio_tpu.pipeline.pipeline import ProcessingCancelled
+        from iq_to_audio_tpu.pipeline.progress import ProgressSink
+
+        class CancelOnFirstAdvance(ProgressSink):
+            def __init__(self):
+                self._cb = None
+                self.closed = 0
+
+            def start(self, phases, *, overall_total):
+                pass
+
+            def advance(self, phase, delta, *, overall_completed, overall_total):
+                if self._cb:
+                    self._cb()
+
+            def status(self, message):
+                pass
+
+            def close(self):
+                self.closed += 1
+
+            def cancel(self):
+                pass
+
+            def set_cancel_callback(self, callback):
+                self._cb = callback
+
+        job, outs = self._job(tmp_path)
+        sink = CancelOnFirstAdvance()
+        with pytest.raises(ProcessingCancelled):
+            run_captures_dp(
+                [job], mesh=make_mesh(8, dp=1), mix_sign_override=1,
+                target_chunk=1 << 15, progress_sink=sink,
+            )
+        assert not outs[0].exists()  # partial output deleted
+        assert sink.closed == 1
