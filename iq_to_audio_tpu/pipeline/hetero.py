@@ -101,7 +101,7 @@ class HeteroPlan:
 
 
 def _plan(config: ProcessingConfig, n_segments: int,
-          warm_seconds: float | None) -> HeteroPlan:
+          warm_seconds: float | None, front_split: int = 1) -> HeteroPlan:
     """Probe the capture on the host and plan its segments (no device work)."""
     spec, _source = resolve_input_format(
         config.in_path,
@@ -194,6 +194,7 @@ def _plan(config: ProcessingConfig, n_segments: int,
         rs_down,
         n_segments,
         warm_seconds=warm_seconds,
+        front_split=front_split,
     )
     return HeteroPlan(
         segments=segments,
@@ -284,12 +285,20 @@ class HeteroExecutor:
         #: device-rate measurements older than this re-probe (the wire
         #: regime can recover); a probe claim is a single segment
         self.rate_ttl_seconds = float(os.environ.get("IQ2A_RATE_TTL", "180"))
-        #: slow-start device claim size: rates measured on tiny claims
-        #: UNDERESTIMATE the device's marginal throughput (the per-run
-        #: fixed cost dominates), so the claim doubles while the device is
-        #: not the straggler and halves when it is — the measured rate on
-        #: ever-larger claims then converges to the true marginal rate
-        self._device_take = 1
+        #: slow-start device claim floor (seconds of signal): rates
+        #: measured on tiny claims UNDERESTIMATE the device's marginal
+        #: throughput (the per-run fixed cost dominates), so the claim
+        #: doubles while the device is not the straggler and halves when
+        #: it is — the measured rate on ever-larger claims then converges
+        #: to the true marginal rate
+        self._device_take_secs = 0.0
+        #: fractional-claim granularity: the plan's FIRST segment is
+        #: subdivided into up to this many frame-aligned sub-segments
+        #: (plan_segments front_split), so a slow device claiming from the
+        #: front can contribute a share smaller than 1/n_segments instead
+        #: of abstaining; back-of-queue (CPU) claims merge contiguous runs,
+        #: so a side that drains the whole plan pays no extra lead-ins
+        self.front_split = max(1, int(os.environ.get("IQ2A_FRONT_SPLIT", "4")))
         #: True while rates["device"] holds a wire-probe PREDICTION rather
         #: than a measured end-to-end segment rate (see _wire_probe_rate)
         self._device_rate_estimated = False
@@ -323,7 +332,7 @@ class HeteroExecutor:
         slow-start claim floor grown alongside them."""
         self._rates["device"] = None
         self._rates["cpu"] = None
-        self._device_take = 1
+        self._device_take_secs = 0.0
         self._device_rate_estimated = False
 
     # -- lifecycle ---------------------------------------------------------
@@ -843,37 +852,46 @@ class HeteroExecutor:
                 "device_abstained": False,
             }
             rates = self._rates
-            seg_seconds = (
-                plan.segments[-1].length / plan.sample_rate
-                if plan.sample_rate > 0 else 1.0
-            )
+            sr = max(plan.sample_rate, 1e-9)
+
+            def _secs(segs) -> float:
+                """Owned signal seconds across an iterable of segments."""
+                return sum(s.length for s in segs) / sr
+
+            total_sec = _secs(plan.segments)
 
             #: True while the device may still defer a marginal-estimate claim
             #: waiting for a CPU-side measurement (cleared after a bounded
             #: wait so a wedged CPU side cannot park the device forever)
             blind_wait = [True]
 
-            def _device_claim_size(remaining: int) -> int:
-                """Contiguous segments the device should claim; 0 = abstain,
-                -1 = defer (marginal estimate, waiting on a CPU measurement).
+            def _device_claim_size() -> int:
+                """Contiguous FRONT segments the device should claim (called
+                under ``lock`` with a non-empty queue); 0 = abstain, -1 =
+                defer (marginal estimate, waiting on a CPU measurement).
 
-                Per-run device cost on tunneled runtimes is seconds (dispatch
-                ramp, kernel uploads, fetch latency), so the device stream
-                claims a contiguous RUN of segments sized to its observed
-                share of throughput — one pipeline run, one lead-in.  Until
-                a real claim has been measured the rate is a wire-probe
-                PREDICTION (``_refresh_device_estimate``) gating a one-segment
-                probe claim; with no CPU side (or in a warm pass) it takes
+                Sized in SECONDS of signal, not entry counts: the plan's
+                front segments are finer-grained (``front_split``), so a
+                slow device can claim a share smaller than one full segment
+                instead of abstaining outright.  Per-run device cost on
+                tunneled runtimes is seconds (dispatch ramp, kernel uploads,
+                fetch latency), so the claim is one contiguous run of front
+                entries — one pipeline run, one lead-in.  Until a real claim
+                has been measured the rate is a wire-probe PREDICTION
+                (``_refresh_device_estimate``) gating a one-entry probe
+                claim; with no CPU side (or in a warm pass) it takes
                 everything.
 
-                When the wire regime is so degraded that even ONE device
-                segment would outlast the CPU side draining the whole queue
-                (measured here: pathological relay states where a single
-                claim took 57-157 s while the CPU finished 7 segments in
-                10 s), the device ABSTAINS and lets the CPU side process the
-                capture; its stale rate expires after ``rate_ttl_seconds`` so
-                a later run re-probes the recovered wire.
+                When the wire regime is so degraded that even the SMALLEST
+                front entry would outlast the CPU side draining the whole
+                queue (measured here: pathological relay states where a
+                single claim took 57-157 s while the CPU finished 7 segments
+                in 10 s), the device ABSTAINS and lets the CPU side process
+                the capture; its stale rate expires after
+                ``rate_ttl_seconds`` so a later run re-probes the recovered
+                wire.
                 """
+                remaining = len(queue)
                 if not self.cpu_workers or device_warm_no_fetch:
                     return remaining
                 now = time.monotonic()
@@ -883,9 +901,11 @@ class HeteroExecutor:
                 cpu = rates["cpu"]
                 if cpu is not None and now - cpu[1] > self.rate_ttl_seconds:
                     cpu = None  # stale — the CPU side refreshes on its claims
+                front_sec = queue[0].length / sr
+                rem_sec = _secs(queue)
                 if dev is not None and self._device_rate_estimated:
                     # wire-probe PREDICTION (no measured claim yet): the point
-                    # is only the go/no-go — a "go" claims ONE real segment,
+                    # is only the go/no-go — a "go" claims ONE real entry,
                     # whose measured rate replaces the estimate.  Abstention
                     # on a prediction needs a wide margin (3x vs the measured
                     # path's 0.8x) because small-transfer bandwidth can
@@ -905,30 +925,42 @@ class HeteroExecutor:
                             return 1
                         return -1  # defer: the loop waits for a cpu rate
                     total_cpu = cpu[0] * max(1, len(self._procs))
-                    if (seg_seconds / max(r_d, 1e-9)
-                            > 3.0 * remaining * seg_seconds / max(total_cpu, 1e-9)):
+                    if (front_sec / max(r_d, 1e-9)
+                            > 3.0 * rem_sec / max(total_cpu, 1e-9)):
                         return 0
                     return 1
                 if dev is None or cpu is None:
                     return 1
                 r_d, r_c = dev[0], cpu[0]
                 total_cpu = r_c * max(1, len(self._procs))
+                t_cpu_all = rem_sec / max(total_cpu, 1e-9)
                 # participation helps only when max(T_dev(claim), T_cpu(rest))
                 # beats the CPU-only wall T_cpu(all); since T_cpu(rest) always
-                # does, the device must clear T_dev(one segment) < T_cpu(all)
-                # - and CLEARLY so (0.8 slack), because a marginal device
-                # claim that misses its estimate straggles the whole run
-                # (measured: a 2-4x device "helping" a 19x CPU side turned
-                # 1.6 s CPU-only passes into 2.2-4.9 s mixed passes)
-                if (seg_seconds / max(r_d, 1e-9)
-                        > 0.8 * remaining * seg_seconds / max(total_cpu, 1e-9)):
+                # does, the device must clear T_dev(smallest claim) <
+                # T_cpu(all) — and CLEARLY so (0.8 slack), because a marginal
+                # device claim that misses its estimate straggles the whole
+                # run (measured: a 2-4x device "helping" a 19x CPU side
+                # turned 1.6 s CPU-only passes into 2.2-4.9 s mixed passes)
+                if front_sec / max(r_d, 1e-9) > 0.8 * t_cpu_all:
                     return 0
                 share = r_d / max(r_d + total_cpu, 1e-9)
-                take = max(int(round(remaining * share)), self._device_take)
-                # keep at least one segment per CPU worker in the pool so the
+                want_sec = max(rem_sec * share, self._device_take_secs)
+                # keep at least one entry per CPU worker in the pool so the
                 # fast side never idles behind a mis-estimated device claim
-                return max(1, min(take, remaining - min(remaining - 1,
-                                                        len(self._procs))))
+                max_take = remaining - min(remaining - 1, len(self._procs))
+                take, acc = 0, 0.0
+                for s in list(queue)[:max_take]:
+                    s_sec = s.length / sr
+                    # never grow the claim past the share target or the
+                    # straggler bound — a too-big claim IS the tail
+                    if take > 0 and (
+                        acc >= want_sec
+                        or (acc + s_sec) / max(r_d, 1e-9) > 0.8 * t_cpu_all
+                    ):
+                        break
+                    acc += s_sec
+                    take += 1
+                return max(1, take)
 
             def _merge(claims: list[Segment]) -> Segment:
                 """One contiguous run of segments as a single window (claims
@@ -1004,15 +1036,21 @@ class HeteroExecutor:
                     time.monotonic() - dev[1] <= self.rate_ttl_seconds
                 ):
                     return
-                seg = plan.segments[-1]
+                # model the claim the device would actually take: the FRONT
+                # entry (finer-grained under front_split, so the probe's
+                # go/no-go prices the real fractional claim, not a full
+                # segment the device would never be offered)
+                with lock:
+                    seg = queue[0] if queue else plan.segments[-1]
+                seg_sec = seg.length / sr
                 bpf = getattr(plan.input_spec, "bytes_per_frame", 4)
                 if plan.pass_through:
-                    out_bytes = seg_seconds * plan.fs_channel * bpf
+                    out_bytes = seg_sec * plan.fs_channel * bpf
                 else:
-                    out_bytes = seg_seconds * _OUTPUT_RATE * 2 * len(freqs)
+                    out_bytes = seg_sec * _OUTPUT_RATE * 2 * len(freqs)
                 try:
                     est = self._wire_probe_rate(
-                        seg_seconds, int(seg.read_samples) * bpf,
+                        seg_sec, int(seg.read_samples) * bpf,
                         int(seg.read_samples), int(out_bytes),
                         should_abort=lambda: self._cancel.is_set() or not queue,
                         num_taps=plan.num_taps,
@@ -1038,7 +1076,7 @@ class HeteroExecutor:
                     with lock:
                         if not queue:
                             return
-                        take = _device_claim_size(len(queue))
+                        take = _device_claim_size()
                     if take < 0:
                         # marginal estimate, no CPU measurement yet: wait for
                         # the first CPU claim to land (bounded — a wedged CPU
@@ -1110,12 +1148,13 @@ class HeteroExecutor:
                             # slow-start: grow while not the straggler (the
                             # next, larger claim measures a better-amortised
                             # rate), shrink when we were the tail
+                            claim_sec = seg.length / sr
                             if more_work:
-                                self._device_take = min(
-                                    len(claims) * 2, max(1, self.n_segments)
+                                self._device_take_secs = min(
+                                    claim_sec * 2.0, total_sec
                                 )
                             else:
-                                self._device_take = max(1, len(claims) // 2)
+                                self._device_take_secs = claim_sec / 2.0
                     tracker.advance("segments", float(len(claims)))
                     tracker.status(
                         f"segments {seg.index}..{seg.index + len(claims) - 1} "
@@ -1124,14 +1163,16 @@ class HeteroExecutor:
 
             def _cpu_claim_size(remaining: int) -> int:
                 """Contiguous segments one CPU worker should claim (back of
-                the queue).  While other workers are still in the pool the
-                claim halves the per-worker share so stealing can rebalance;
-                once this worker is effectively alone (device abstained or
-                finished, no sibling CPU workers) it takes everything — one
-                pipeline run, one lead-in.  With both sides' rates known the
-                share is throughput-proportional (a near-dead device no longer
-                shrinks CPU claims to slivers while it probes); otherwise it
-                falls back to an equal split."""
+                the queue; called under ``lock``).  While other workers are
+                still in the pool the claim halves the per-worker share so
+                stealing can rebalance; once this worker is effectively
+                alone (device abstained or finished, no sibling CPU workers)
+                it takes everything — one pipeline run, one lead-in.  With
+                both sides' rates known the share is throughput-proportional
+                (a near-dead device no longer shrinks CPU claims to slivers
+                while it probes); otherwise it falls back to an equal split.
+                Sized in SECONDS so the front-split plan's uneven entry
+                lengths cannot skew the share."""
                 others = max(0, len(self._procs) - 1) + int(device_active[0])
                 if others == 0:
                     return remaining
@@ -1141,7 +1182,14 @@ class HeteroExecutor:
                     share = cpu[0] / max(dev[0] + n_c * cpu[0], 1e-9)
                 else:
                     share = 1.0 / (others + 1)
-                return max(1, int(remaining * share / 2.0))
+                want_sec = _secs(queue) * share / 2.0
+                take, acc = 0, 0.0
+                for s in reversed(list(queue)):
+                    if take > 0 and acc >= want_sec:
+                        break
+                    acc += s.length / sr
+                    take += 1
+                return max(1, min(take, remaining))
 
             def _cpu_worker(proc: subprocess.Popen, tmpdir: Path) -> None:
                 while not self._cancel.is_set():
@@ -1367,10 +1415,12 @@ class HeteroExecutor:
                 config.input_container, config.input_sample_rate,
                 config.center_freq, config.mix_sign_override,
                 config.max_input_seconds, self.n_segments, self.warm_seconds,
+                self.front_split,
             )
             plan = self._plan_cache.get(key)
             if plan is None:
-                plan = _plan(config, self.n_segments, self.warm_seconds)
+                plan = _plan(config, self.n_segments, self.warm_seconds,
+                             front_split=self.front_split)
                 self._plan_cache[key] = plan
             return plan
         except ValueError:

@@ -118,6 +118,7 @@ def plan_segments(
     rs_down: int,
     n_workers: int,
     warm_seconds: float = WARM_SECONDS,
+    front_split: int = 1,
 ) -> list[Segment]:
     """Frame-aligned, equal-length (except the tail) segment plan.
 
@@ -125,6 +126,17 @@ def plan_segments(
     when the channel rate already equals the output rate).  Workers get
     equal owned lengths so they compile and run ONE common executable
     geometry; the final segment absorbs the capture's unaligned tail.
+
+    ``front_split > 1`` subdivides the FIRST segment into up to that many
+    frame-aligned sub-segments (re-indexed so the plan still tiles
+    0..k-1).  This is the heterogeneous executor's fractional-claim
+    granularity: the device stream claims from the FRONT of the queue, so
+    finer front segments let a slow side contribute a share smaller than
+    1/n_workers instead of abstaining, while back-of-queue claims (the
+    fast side) keep merging contiguous runs into single pipeline windows
+    — one lead-in per claim either way, so a side that drains the whole
+    plan pays no extra overhead.  Each sub-segment keeps at least two
+    lead-ins of owned length so its lead-in overhead stays bounded.
     """
     if total_samples <= 0:
         raise ValueError("total_samples must be positive")
@@ -156,6 +168,34 @@ def plan_segments(
                 audio_skip=(lead // frame) * audio_per_frame,
             )
         )
+    if front_split > 1 and k >= 2:
+        first = segments[0]
+        frames0 = first.length // frame
+        pieces = min(int(front_split), max(1, frames0 // max(2 * lead_frames, 1)))
+        if pieces > 1:
+            per0 = frames0 // pieces
+            subs: list[Segment] = []
+            for j in range(pieces):
+                start = j * per0 * frame
+                length = (
+                    first.length - start if j == pieces - 1 else per0 * frame
+                )
+                lead = min(lead_frames * frame, start) if j else 0
+                subs.append(
+                    Segment(
+                        index=j,
+                        start=start,
+                        length=length,
+                        lead=lead,
+                        audio_skip=(lead // frame) * audio_per_frame,
+                    )
+                )
+            import dataclasses
+
+            segments = subs + [
+                dataclasses.replace(s, index=s.index + pieces - 1)
+                for s in segments[1:]
+            ]
     return segments
 
 

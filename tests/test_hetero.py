@@ -669,3 +669,71 @@ def test_resident_compute_measurement_runs(monkeypatch):
         assert prior != ex.device_compute_msps or prior == first
     finally:
         ex.close()
+
+
+def test_hetero_slow_device_contributes_fractionally(tmp_path, monkeypatch):
+    """A rate-limited device whose proportional share is BELOW one full
+    segment takes a fractional front claim instead of abstaining (VERDICT
+    r4 #6): the plan's front_split sub-segments make a 5-15%% share
+    expressible, and the straggler bound keeps the claim from regressing
+    the wall time — its wall cost (claim_sec / rate) stays under 80%% of
+    the CPU side draining everything.  Output must still match the serial
+    pipeline's shape."""
+    import time as _time
+
+    from iq_to_audio_tpu.pipeline import hetero as hetero_mod
+
+    cap = _capture(tmp_path, seconds=4.0)
+    out = tmp_path / "fractional.wav"
+    device_claims: list[int] = []
+    with HeteroExecutor(cpu_workers=1, n_segments=4, warm_seconds=0.1) as ex:
+        assert ex.front_split >= 2  # default grants fractional granularity
+        real_pp = hetero_mod.ProcessingPipeline
+
+        class SpyPipeline(real_pp):
+            def __init__(self, cfg, *a, **k):
+                if "/seg" in str(getattr(cfg, "output_path", "")):
+                    device_claims.append(int(cfg.input_num_samples))
+                super().__init__(cfg, *a, **k)
+
+        monkeypatch.setattr(hetero_mod, "ProcessingPipeline", SpyPipeline)
+        now = _time.monotonic()
+        # measured rates: device 1x realtime, CPU side 10x.  A FULL 1 s
+        # segment would cost the device 1.0 s > 0.8 * (4 s / 10x) = 0.32 s
+        # (it abstained before front_split); a 0.25 s front piece costs
+        # 0.25 s and clears the bound
+        ex._rates["device"] = (1.0, now)
+        ex._rates["cpu"] = (10.0, now)
+        result = ex.run(_config(cap, out))
+        # the fractional claim happened (the old full-segment sizing
+        # abstained outright here); the device may still abstain LATER in
+        # the run once its claim's measured rate replaces the seed — that
+        # is the straggler math working, not a regression
+        assert ex.last_stats["device_segments"] >= 1  # took work
+    assert result is not None
+    assert device_claims, "the device stream must have run a claim"
+    # the FIRST device claim was fractional: smaller than one full segment
+    full_segment = int(FS * 1.0)
+    assert device_claims[0] < full_segment, device_claims
+    audio, sr = read_wav(out)
+    assert sr == 48_000
+    assert abs(len(audio) - 4 * 48_000) <= 2
+
+
+def test_hetero_front_split_output_matches_serial(tmp_path):
+    """The front-split plan (uneven segment lengths, fractional device
+    claims) still splices to the serial pipeline's output at -60 dB."""
+    cap = _capture(tmp_path)
+    serial_out = tmp_path / "serial_fs.wav"
+    ProcessingPipeline(_config(cap, serial_out)).run(None)
+
+    het_out = tmp_path / "het_fs.wav"
+    with HeteroExecutor(cpu_workers=1, n_segments=4, warm_seconds=0.25) as ex:
+        ex.front_split = 4
+        result = ex.run(_config(cap, het_out))
+    assert result is not None
+    a, _ = read_wav(serial_out)
+    b, _ = read_wav(het_out)
+    assert a.shape == b.shape
+    err = error_db(b[:, 0], a[:, 0])
+    assert err < -60.0, f"front-split hetero-vs-serial error {err:.1f} dB"

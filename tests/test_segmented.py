@@ -264,3 +264,49 @@ class TestModeAwareLead:
         assert a.shape == b.shape
         err = error_db(b[:, 0], a[:, 0])
         assert err < limit_db, f"auto-lead splice error {err:.1f} dB"
+
+
+def test_plan_segments_front_split_tiles_and_reindexes():
+    """front_split subdivides the FIRST segment into frame-aligned pieces
+    (the hetero executor's fractional-claim granularity) while the plan
+    still tiles the capture gaplessly with sequential indices."""
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    plan = ResamplePlan.create(fs_ch, 48_000.0, 1)
+    total = int(4.0 * FS)
+    base = plan_segments(total, FS, decim, plan.up, plan.down, 4,
+                         warm_seconds=0.05)
+    segs = plan_segments(total, FS, decim, plan.up, plan.down, 4,
+                         warm_seconds=0.05, front_split=4)
+    assert len(segs) == len(base) + 3  # first segment became 4 pieces
+    frame = decim * plan.down
+    assert segs[0].start == 0 and segs[0].lead == 0
+    assert segs[-1].start + segs[-1].length == total
+    for i, s in enumerate(segs):
+        assert s.index == i
+        assert s.start % frame == 0
+        if s.index:
+            assert s.lead > 0
+        assert s.audio_skip == (s.lead // frame) * plan.up
+    for a, b in zip(segs, segs[1:]):
+        assert a.start + a.length == b.start
+    # the sub-segments are genuinely finer than a full segment
+    assert segs[0].length < base[0].length
+    # pieces keep at least two lead-ins of owned length
+    lead = max(s.lead for s in segs)
+    assert all(s.length >= 2 * lead for s in segs[:3])
+
+
+def test_plan_segments_front_split_clamps_on_short_segments():
+    """A first segment too short to hold several 2-lead-in pieces reduces
+    the split instead of planning sliver segments."""
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    plan = ResamplePlan.create(fs_ch, 48_000.0, 1)
+    total = int(1.2 * FS)
+    segs = plan_segments(total, FS, decim, plan.up, plan.down, 4,
+                         warm_seconds=0.1, front_split=8)
+    # first segment is ~0.3 s = 3 lead-ins -> at most 1 piece (no split)
+    assert segs[-1].start + segs[-1].length == total
+    for a, b in zip(segs, segs[1:]):
+        assert a.start + a.length == b.start
+    lead = max(s.lead for s in segs)
+    assert all(s.length >= 2 * lead or s is segs[-1] for s in segs)
