@@ -39,8 +39,11 @@ IQ2A_HETERO=0 restores device-only passes.
 The JSON record carries the per-side truth alongside the merged headline:
 ``hetero_x`` (best burst pass), ``device_only_x`` (best of the forced
 serial device passes, retried across IQ2A_BENCH_DEVICE_ONLY_SECS — each
-pass re-samples the oscillating wire; per-pass rates in
-``device_only_passes_x``), ``cpu_only_x`` (best pass the CPU workers
+pass re-samples the oscillating wire AND alternates the accumulation-
+window geometry, single-window vs 8-chunk windows, since windowed drains
+measured ~1.5x faster on a slow wire, docs/probes/perf_probe_r5b.py;
+per-pass rates in ``device_only_passes_x`` with arms in
+``device_only_pass_acc``), ``cpu_only_x`` (best pass the CPU workers
 drained alone), ``device_segments``/``cpu_segments``/``device_x``/
 ``cpu_x`` (who did the work in the best pass, at what per-side rate),
 ``device_resident_msps``/``device_loop_x`` (the chip's own measured rate
@@ -331,6 +334,8 @@ def main() -> int:
             # instead of blocking the bench.
             device_only_x = None
             device_only_passes: list[float] = []  # per-pass wall seconds
+            device_only_accs: list[str] = []  # per-pass window-geometry arm
+            device_only_best_acc = None
             device_only_status = "skipped (cpu backend)"
             if hetero:
                 device_only_status = "not run"
@@ -341,6 +346,21 @@ def main() -> int:
                 dev_max_passes = int(
                     os.environ.get("IQ2A_BENCH_DEVICE_ONLY_PASSES", "24")
                 )
+                # A/B the accumulation-window count pass-to-pass: the
+                # single-window default drains everything at one EOF fetch
+                # (fastest on a fast wire — fewest sync points), while
+                # IQ2A_ACC=8 splits the run into ~3 windows whose drains
+                # keep the upload queue shallow (measured 2.6x -> 3.9x on a
+                # slow wire, docs/probes/perf_probe_r5b.py).  Best pass
+                # wins whichever geometry today's wire prefers.
+                acc_arms = [
+                    a.strip()
+                    for a in os.environ.get(
+                        "IQ2A_BENCH_DEVICE_ACC_ARMS", "default,8"
+                    ).split(",")
+                    if a.strip()
+                ] or ["default"]
+                saved_acc = os.environ.get("IQ2A_ACC")
                 best_dev = float("inf")
                 j = 0
                 while j < dev_max_passes:
@@ -351,6 +371,11 @@ def main() -> int:
                         break
                     if best_dev <= seconds / 50.0:
                         break  # >=50x recorded — the bar this exists for
+                    acc_arm = acc_arms[j % len(acc_arms)]
+                    if acc_arm == "default":
+                        os.environ.pop("IQ2A_ACC", None)
+                    else:
+                        os.environ["IQ2A_ACC"] = acc_arm
                     pipe = ProcessingPipeline(
                         make_config(capture, f"devonly{j}")
                     )
@@ -379,16 +404,25 @@ def main() -> int:
                         break
                     if "elapsed" in box:
                         device_only_passes.append(box["elapsed"])
-                        best_dev = min(best_dev, box["elapsed"])
+                        device_only_accs.append(acc_arm)
+                        if box["elapsed"] < best_dev:
+                            best_dev = box["elapsed"]
+                            device_only_best_acc = acc_arm
                         logging.info(
-                            "device-only pass %d: %.3f s wall (%.1fx realtime)",
-                            j + 1, box["elapsed"], seconds / box["elapsed"],
+                            "device-only pass %d (acc=%s): %.3f s wall "
+                            "(%.1fx realtime)",
+                            j + 1, acc_arm, box["elapsed"],
+                            seconds / box["elapsed"],
                         )
                     else:
                         device_only_status = f"failed: {box.get('error')}"
                         logging.info("device-only pass %d failed: %s",
                                      j + 1, box.get("error"))
                     j += 1
+                if saved_acc is None:
+                    os.environ.pop("IQ2A_ACC", None)
+                else:
+                    os.environ["IQ2A_ACC"] = saved_acc
                 if best_dev < float("inf"):
                     device_only_x = round(seconds / best_dev, 2)
                     device_only_status = "ok"
@@ -489,6 +523,11 @@ def main() -> int:
                 "device_only_passes_x": [
                     round(seconds / e, 2) for e in device_only_passes
                 ],
+                # accumulation-window arm of each pass ("default" = one
+                # window; "8" = 8-chunk windows) and the best pass's arm —
+                # which drain geometry today's wire preferred
+                "device_only_pass_acc": device_only_accs,
+                "device_only_best_acc": device_only_best_acc,
                 # the chip's own rate with data resident (measured THIS
                 # campaign at the flagship tap count/decimation) and its
                 # realtime equivalent on this workload — what the device
