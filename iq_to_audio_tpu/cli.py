@@ -265,6 +265,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Overwrite original files when performing --audio-post.")
     parser.add_argument("--audio-post-suffix", dest="audio_post_suffix", default="-cleaned",
                         help="Suffix to append when writing cleaned copies (default: -cleaned).")
+    parser.add_argument("--audio-post-stream-mb", dest="audio_post_stream_mb",
+                        type=positive_float, default=None,
+                        help="WAVs with more data than this many MiB are squelched by the "
+                             "bounded-memory streaming engine (byte-identical output; default "
+                             "256 MiB, or $IQ2A_POST_BLOCK_BYTES).")
     parser.add_argument("--profile-dir", dest="profile_dir", type=Path,
                         help="Write a jax.profiler (xprof) trace of the chunk loop to this directory.")
     parser.add_argument("--checkpoint-secs", dest="checkpoint_secs", type=positive_float,
@@ -314,6 +319,10 @@ def _post_options(args: argparse.Namespace) -> AudioPostOptions:
         config=SquelchConfig(**fields),
         overwrite=args.audio_post_overwrite,
         cleaned_suffix=args.audio_post_suffix,
+        stream_threshold_bytes=(
+            int(args.audio_post_stream_mb * 1024 * 1024)
+            if args.audio_post_stream_mb is not None else None
+        ),
     )
 
 

@@ -270,6 +270,37 @@ def test_audio_post_cli(tmp_path):
     assert (tmp_path / "rec-cleaned.wav").exists()
 
 
+def test_audio_post_cli_stream_threshold(tmp_path, monkeypatch):
+    """--audio-post-stream-mb routes the file through the bounded-memory
+    streaming engine with byte-identical output."""
+    from iq_to_audio_tpu.io.riff import WavStreamWriter
+    import iq_to_audio_tpu.post.squelch as sq
+
+    called = []
+    orig = sq._process_wav_streaming
+    monkeypatch.setattr(
+        sq, "_process_wav_streaming",
+        lambda *a, **k: (called.append(1), orig(*a, **k))[1],
+    )
+    rng = np.random.default_rng(0)
+    audio = rng.normal(scale=0.002, size=32_000).astype(np.float32)
+    audio[12_000:20_000] += 0.4 * np.sin(
+        2 * np.pi * 600 * np.arange(8_000) / 16_000
+    ).astype(np.float32)
+    for d in ("mem", "stream"):
+        (tmp_path / d).mkdir()
+        with WavStreamWriter(tmp_path / d / "rec.wav", 16_000, 1, "pcm_s16le") as w:
+            w.write_float(audio)
+    rc = main(["--audio-post", str(tmp_path / "mem"), "--audio-post-mode", "static"])
+    assert rc == 0 and not called
+    rc = main(["--audio-post", str(tmp_path / "stream"), "--audio-post-mode",
+               "static", "--audio-post-stream-mb", "0.001"])
+    assert rc == 0 and called
+    assert (tmp_path / "mem" / "rec-cleaned.wav").read_bytes() == (
+        tmp_path / "stream" / "rec-cleaned.wav"
+    ).read_bytes()
+
+
 def test_missing_input_errors():
     with pytest.raises(SystemExit):
         main(["--cli", "--ft", "145000000"])
