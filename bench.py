@@ -346,17 +346,19 @@ def main() -> int:
                 dev_max_passes = int(
                     os.environ.get("IQ2A_BENCH_DEVICE_ONLY_PASSES", "24")
                 )
-                # A/B the accumulation-window count pass-to-pass: the
-                # single-window default drains everything at one EOF fetch
-                # (fastest on a fast wire — fewest sync points), while
-                # IQ2A_ACC=8 splits the run into ~3 windows whose drains
-                # keep the upload queue shallow (measured 2.6x -> 3.9x on a
-                # slow wire, docs/probes/perf_probe_r5b.py).  Best pass
+                # A/B the accumulation-window count pass-to-pass.  The
+                # default is now the shallow 8-chunk window (~3 windows at
+                # this geometry — per-window drains keep the upload queue
+                # shallow; measured 2.6x -> 4.4x on a slow wire,
+                # docs/probes/perf_probe_r5b.py and the r5 overnight
+                # campaigns).  IQ2A_ACC=64 is an exact override that
+                # restores the wide single-window geometry (one EOF fetch,
+                # fewest sync points — the fast-wire favorite).  Best pass
                 # wins whichever geometry today's wire prefers.
                 acc_arms = [
                     a.strip()
                     for a in os.environ.get(
-                        "IQ2A_BENCH_DEVICE_ACC_ARMS", "default,8"
+                        "IQ2A_BENCH_DEVICE_ACC_ARMS", "default,64"
                     ).split(",")
                     if a.strip()
                 ] or ["default"]

@@ -511,17 +511,36 @@ def build_chunk_step(
         # runtimes where each new shape costs a fresh (expensive) compile.
         pow2 = 1 << max(0, (est_total_chunks - 1).bit_length())
         acc_chunks = max(1, min(acc_chunks, pow2))
-    if acc_chunks_cap is not None:
-        acc_chunks = max(1, min(acc_chunks, acc_chunks_cap))
     if jax.default_backend() == "cpu":
         # accumulator windows exist for tunneled-accelerator fetch
         # economics (one D2H per window); on CPU a "fetch" is a memcpy,
         # while every chunk step COPIES the whole non-donated accumulator
         # (~2 x window bytes of traffic per chunk).  Small windows win.
         acc_chunks = min(acc_chunks, 8)
+    else:
+        # Accelerators get the same 8-chunk default cap, for a different
+        # reason: each window's (deferred) drain acts as backpressure that
+        # keeps the async upload queue shallow, so H2D and D2H interleave
+        # instead of the EOF fetch queueing behind every outstanding
+        # upload.  Measured on a slow tunneled wire: single-window 2.6x ->
+        # 3-window 4.4x realtime device-only (docs/probes/perf_probe_r5b.py
+        # and the bench per-pass A/B).  On a fast wire the deferred drains
+        # ride behind the next window's upload+compute, so the cap costs at
+        # most the final window's sync at EOF.
+        acc_chunks = min(acc_chunks, 8)
     acc_env = os.environ.get("IQ2A_ACC")
     if acc_env:
-        acc_chunks = max(1, min(acc_chunks, int(acc_env)))
+        # exact override (not a cap): values ABOVE the default cap restore
+        # the wide single-window geometry — the bench A/Bs both per pass to
+        # let the day's wire pick the winner.  Still clamped below to the
+        # capture's padded dispatch length so slots never outrun the data,
+        # and bounded here so a stray huge value cannot size an allocation.
+        acc_chunks = max(1, min(int(acc_env), 1024))
+    if acc_chunks_cap is not None:
+        # caller cap applies AFTER the env override: it is correctness-
+        # relevant (checkpoints land on window boundaries, so windows must
+        # not exceed the checkpoint cadence — pipeline.py), not a tuning.
+        acc_chunks = max(1, min(acc_chunks, acc_chunks_cap))
     # superstep size: scan S chunks per dispatch; accumulation windows must
     # be a whole number of supersteps
     if super_chunks is None:

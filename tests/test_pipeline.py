@@ -342,6 +342,63 @@ def test_build_chunk_step_explicit_super_on_accelerator(monkeypatch):
     assert step.super_chunks == 1
 
 
+def test_accumulation_window_default_and_exact_override(monkeypatch):
+    """Round-5 measured finding promoted to product behavior: accelerator
+    backends default to shallow (<=8-chunk) accumulation windows whose
+    per-window drains keep the upload queue shallow (2.6x -> 4.4x realtime
+    device-only on a slow tunneled wire, docs/probes/perf_probe_r5b.py),
+    and ``IQ2A_ACC`` is an EXACT override — a value above the cap restores
+    the wide single-window geometry the bench A/Bs against."""
+    import iq_to_audio_tpu.pipeline.step as step_mod
+    from iq_to_audio_tpu.demod import create_decoder
+    from iq_to_audio_tpu.ops.ddc import DDCPlan, bandpass_kernel
+    from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+    from iq_to_audio_tpu.ops.resample import design_resampler_kernel
+
+    monkeypatch.setattr(step_mod.jax, "default_backend", lambda: "tpu")
+    for env in ("IQ2A_ACC", "IQ2A_SUPER", "IQ2A_GROUPS"):
+        monkeypatch.delenv(env, raising=False)
+    decim, fs_ch = compute_decimation(FS, 96_000.0)
+    taps = design_channel_filter(FS, 12_500.0, decim)
+    ddc_plan = DDCPlan.create(len(taps), decim, target_chunk=32_768)
+    rs_plan = ResamplePlan.create(fs_ch, 48_000.0, ddc_plan.out_size)
+    inc = nco_increment_fixed(OFFSET, FS)
+    total = 18  # flagship-bench-like capture length in chunks
+
+    def build():
+        decoder = create_decoder("nfm", deemph_us=300.0, agc_enabled=True)
+        decoder.setup(fs_ch)
+        return step_mod.build_chunk_step(
+            ddc_plan=ddc_plan,
+            rs_plan=rs_plan,
+            ddc_kernel_np=bandpass_kernel(taps, [inc]),
+            rs_kernel_np=design_resampler_kernel(rs_plan.up, rs_plan.down),
+            incs_fixed=[inc],
+            codec="pcm_s16le",
+            iq_order="iq",
+            decoder=decoder,
+            pass_through=False,
+            dump_iq=False,
+            est_total_chunks=total,
+        )
+
+    # default: shallow windows — several drains across the capture
+    step = build()
+    assert step.acc_chunks <= 8
+    assert step.acc_chunks % step.super_chunks == 0
+    # exact override above the cap: wide geometry, one window spanning the
+    # whole (group-padded) capture
+    monkeypatch.setenv("IQ2A_ACC", "64")
+    wide = build()
+    assert wide.acc_chunks > 8
+    padded = -(-total // wide.super_chunks) * wide.super_chunks
+    assert wide.acc_chunks == padded
+    # exact override below the cap still narrows the window
+    monkeypatch.setenv("IQ2A_ACC", "4")
+    narrow = build()
+    assert narrow.acc_chunks <= 4
+
+
 def test_convj_env_forces_j_conv_on_cpu(monkeypatch):
     """An explicit ``IQ2A_CONVJ=1`` selects the lane-filling J-conv even on
     the CPU backend (where the plain conv is the default) so cross-backend
