@@ -40,9 +40,10 @@ The JSON record carries the per-side truth alongside the merged headline:
 ``hetero_x`` (best burst pass), ``device_only_x`` (best of the forced
 serial device passes, retried across IQ2A_BENCH_DEVICE_ONLY_SECS — each
 pass re-samples the oscillating wire AND alternates the accumulation-
-window geometry, single-window vs 8-chunk windows, since windowed drains
-measured ~1.5x faster on a slow wire, docs/probes/perf_probe_r5b.py;
-per-pass rates in ``device_only_passes_x`` with arms in
+window geometry, the shallow 8-chunk product default vs the wide single
+window, since windowed drains measured ~1.7x faster on a slow wire,
+docs/probes/perf_probe_r5b.py; per-pass rates in
+``device_only_passes_x`` with arms in
 ``device_only_pass_acc``), ``cpu_only_x`` (best pass the CPU workers
 drained alone), ``device_segments``/``cpu_segments``/``device_x``/
 ``cpu_x`` (who did the work in the best pass, at what per-side rate),
@@ -52,7 +53,10 @@ device delivers when the wire is not in the loop), ``wire_regime`` +
 ``wire_probes`` (every timestamped wire probe of the campaign), and
 ``best_device_*`` (cross-campaign high-water from the stamped
 BENCH_DEVICE_BEST.json sidecar) — so the artifact itself says whether
-the chip contributed, and what it is capable of either way.
+the chip contributed, and what it is capable of either way.  Every
+full-size campaign also appends its stamped record to
+``BENCH_CAMPAIGNS.jsonl`` so per-pass evidence survives the next
+campaign's overwrite.
 """
 
 from __future__ import annotations
@@ -525,9 +529,10 @@ def main() -> int:
                 "device_only_passes_x": [
                     round(seconds / e, 2) for e in device_only_passes
                 ],
-                # accumulation-window arm of each pass ("default" = one
-                # window; "8" = 8-chunk windows) and the best pass's arm —
-                # which drain geometry today's wire preferred
+                # accumulation-window arm of each pass ("default" = the
+                # shallow 8-chunk product default; "64" = wide single
+                # window) and the best pass's arm — which drain geometry
+                # today's wire preferred
                 "device_only_pass_acc": device_only_accs,
                 "device_only_best_acc": device_only_best_acc,
                 # the chip's own rate with data resident (measured THIS
@@ -600,6 +605,22 @@ def main() -> int:
     elif experiment_knobs:
         logging.info("experiment knobs set (%s): BENCH_cpu.json left untouched",
                      ",".join(experiment_knobs))
+    if seconds >= 30.0 and not experiment_knobs:
+        # append the stamped record to the cross-campaign log (VERDICT r4
+        # weak #2): each campaign's JSON (and the driver's BENCH_r{N}.json)
+        # shows only the final campaign, so the per-pass A/B evidence and
+        # the wire-probe history of earlier campaigns would otherwise
+        # evaporate.  Gated like BENCH_cpu.json so smoke tests with tiny
+        # budgets and geometry experiments never pollute the log.
+        try:
+            with (REPO / "BENCH_CAMPAIGNS.jsonl").open("a") as fh:
+                fh.write(json.dumps({
+                    "at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "backend": jax.default_backend(),
+                    **record,
+                }) + "\n")
+        except OSError:
+            logging.exception("could not append BENCH_CAMPAIGNS.jsonl")
     print(json.dumps(record))
     return 0
 

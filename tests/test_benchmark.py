@@ -257,11 +257,16 @@ def test_bench_script_end_to_end(tmp_path):
         IQ2A_BENCH_WARM_SECS="2",
         IQ2A_BENCH_PASSES="1",
     )
+    campaigns = repo / "BENCH_CAMPAIGNS.jsonl"
+    campaigns_before = campaigns.read_text() if campaigns.exists() else None
     r = subprocess.run(
         [sys.executable, str(repo / "bench.py")],
         capture_output=True, text=True, timeout=300, cwd=repo, env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
+    # tiny-budget smoke runs must never pollute the cross-campaign log
+    campaigns_after = campaigns.read_text() if campaigns.exists() else None
+    assert campaigns_after == campaigns_before
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["unit"] == "x realtime (host CPU backend)"
     assert rec["value"] > 0
