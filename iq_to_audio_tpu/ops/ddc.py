@@ -169,6 +169,40 @@ def j_lanes_kernel(
     return wj
 
 
+def shift_matmul_kernel(
+    kernel_il: np.ndarray, decimation: int, j_lanes: int
+) -> np.ndarray:
+    """Shifted-dense-matmul repack of the lane-filling J-conv kernel.
+
+    The J-conv (:func:`j_lanes_kernel`) is a banded matmul whose window
+    stride (``J*2D`` raw floats) typically exceeds half its window width
+    (``2L + (J-1)*2D``), so splitting the tap axis at stride boundaries
+    turns it into ``n_shift = ceil(width/stride)`` DENSE matmuls over the
+    free contiguous reshape ``A = x.reshape(rows, stride)``:
+
+        Y[r] = sum_s  A[r + s] @ W_s        # (R, stride) @ (stride, J*2C)
+
+    No im2col, no conv op — exactly the MXU's preferred shape.  Measured
+    5259 Msps in full f32 at the flagship geometry (139.8 dB SNR vs the
+    float64 host reference) vs the J-conv's 302 Msps — the XLA conv
+    LOWERING, not MXU flops, bounds the conv formulation
+    (docs/probes/perf_probe_r5c.py, perf_probe_r5d.py).
+
+    Returns float32 ``(n_shift, stride, J*2C)``; columns are channel-major
+    (``o*J + j``) exactly like :func:`j_lanes_kernel`'s rows, so the
+    output relayout in :func:`ddc_apply_il` is shared.
+    """
+    wj = j_lanes_kernel(kernel_il, decimation, j_lanes)  # (J*2C, 1, width)
+    out_rows, _, width = wj.shape
+    stride = j_lanes * 2 * decimation
+    n_shift = -(-width // stride)
+    w = np.zeros((n_shift, stride, out_rows), np.float32)
+    for s in range(n_shift):
+        seg = wj[:, 0, s * stride : (s + 1) * stride]  # (J*2C, <=stride)
+        w[s, : seg.shape[1], :] = seg.T
+    return w
+
+
 def ddc_apply_il(
     plan: DDCPlan,
     kernel_il: jnp.ndarray,
@@ -180,6 +214,7 @@ def ddc_apply_il(
     poly_w: jnp.ndarray | None = None,
     j_kernel: jnp.ndarray | None = None,
     j_lanes: int = 1,
+    mm_kernel: jnp.ndarray | None = None,
 ):
     """Interleaved-domain DDC: mix+filter+decimate straight off the scaled
     raw stream — no de-interleave, no transpose (see
@@ -195,6 +230,9 @@ def ddc_apply_il(
         the Pallas MXU kernel.
     j_kernel/j_lanes: optional output-channel-augmented kernel from
         :func:`j_lanes_kernel` — the lane-filling XLA conv formulation.
+    mm_kernel: optional ``(n_shift, stride, J*2C)`` tensor from
+        :func:`shift_matmul_kernel` (requires ``j_lanes > 1``) — the
+        shifted-dense-matmul formulation, the accelerator default.
 
     Returns ``(yr, yi, new_itail, phase_next)``; ``yr/yi`` shaped ``(C, m)``
     exactly as :func:`ddc_apply`.
@@ -207,6 +245,36 @@ def ddc_apply_il(
         from .pallas_ddc import pallas_poly_fir_il
 
         bb = pallas_poly_fir_il(x, poly_w, D, m).reshape(-1, 2, m)
+    elif mm_kernel is not None and j_lanes > 1:
+        # shifted-dense-matmul formulation (shift_matmul_kernel): each
+        # n_shift term is one (R, stride) @ (stride, J*2C) dense matmul of
+        # the contiguous row reshape.  Real outputs (i < m) read exactly
+        # x[i*2D : i*2D + 2L] through nonzero weights — the zero-padded
+        # columns beyond the banded width carry zero taps, and only
+        # discarded tail lanes (i >= m) can touch the zero pad.
+        n_shift, stride, rows = mm_kernel.shape
+        r_blocks = -(-m // j_lanes)
+        need = (r_blocks + n_shift) * stride
+        pad = need - x.shape[-1]
+        xp = jnp.pad(x, (0, pad)) if pad > 0 else x[:need]
+        a = xp.reshape(r_blocks + n_shift, stride)
+        y = jnp.zeros((r_blocks, rows), jnp.float32)
+        for s in range(n_shift):
+            y = y + lax.dot_general(
+                lax.dynamic_slice_in_dim(a, s, r_blocks, 0),
+                mm_kernel[s],
+                (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        # (R, J*2C) cols channel-major (o*J + j) -> (2C, m)
+        cdim = rows // j_lanes
+        yt = (
+            y.reshape(r_blocks, cdim, j_lanes)
+            .transpose(1, 0, 2)
+            .reshape(cdim, r_blocks * j_lanes)
+        )
+        bb = yt[:, :m].reshape(-1, 2, m)
     elif j_kernel is not None and j_lanes > 1:
         # lane-filling formulation: J consecutive decimated outputs ride
         # the output-channel axis; real outputs never read the zero pad

@@ -582,7 +582,7 @@ class HeteroExecutor:
             from jax import lax
             from functools import partial
 
-            from ..ops.ddc import DDCPlan, ddc_apply_il
+            from ..ops.ddc import DDCPlan, ddc_apply_il, shift_matmul_kernel
 
             L = max(int(num_taps), 2)
             chunk_target = int(
@@ -594,6 +594,17 @@ class HeteroExecutor:
             kernel = jnp.zeros((2, 1, 2 * L), jnp.float32)
             phase0 = jnp.zeros((1,), jnp.uint32)
             inc_lo = jnp.full((1,), 123_456_789, jnp.uint32)
+            # probe the PRODUCTION channelizer formulation — the rate that
+            # steers claim sizing and lands in the bench artifact must be
+            # the one the hot path runs (step.py build_chunk_step: the
+            # shifted-dense-matmul on accelerators unless IQ2A_MM=0)
+            j_lanes = max(1, 128 // kernel.shape[0])
+            j_lanes = min(j_lanes, plan.out_size)
+            mm_kernel = None
+            if j_lanes > 1 and os.environ.get("IQ2A_MM", "") != "0":
+                mm_kernel = jnp.asarray(
+                    shift_matmul_kernel(np.asarray(kernel), plan.decimation, j_lanes)
+                )
 
             def _probe(x, k, tail, *, reps: int):
                 # `reps` conv evaluations INSIDE one executable (fori_loop
@@ -602,7 +613,11 @@ class HeteroExecutor:
                 # per-chunk execute when reps were separate dispatches
                 # (measured 21 Msps for a ~286 Msps engine)
                 def body(_, s):
-                    yr, yi, _, _ = ddc_apply_il(plan, k, x, tail, phase0, inc_lo)
+                    yr, yi, _, _ = ddc_apply_il(
+                        plan, k, x, tail, phase0, inc_lo,
+                        mm_kernel=mm_kernel,
+                        j_lanes=j_lanes if mm_kernel is not None else 1,
+                    )
                     return s + yr[..., -1] + yi[..., -1]
 
                 return lax.fori_loop(
@@ -622,8 +637,12 @@ class HeteroExecutor:
             rough_elapsed = _timed(2)
             rough = 2 * plan.chunk_size / max(rough_elapsed - t_fetch, 1e-3)
             # size the real pass for ~1 s of execute (latency-dominated
-            # rough passes UNDERestimate, which only shortens this pass)
-            reps = int(min(max(rough / plan.chunk_size, 2), 64))
+            # rough passes UNDERestimate, which only shortens this pass).
+            # The cap must keep ~1 s reachable for the matmul channelizer
+            # (~5200 Msps ≈ 1250 chunks/s at the 4Mi probe chunk): a pass
+            # much shorter than the relay's oscillating per-fetch latency
+            # (0.1-1 s) measures the fetch, not the engine.
+            reps = int(min(max(rough / plan.chunk_size, 2), 2048))
             if should_abort is not None and should_abort():
                 return None
             elapsed = _timed(reps)

@@ -75,6 +75,7 @@ def chunk_step_impl(
     poly_w,
     ddc_kernel_pair=None,
     j_kernel=None,
+    mm_kernel=None,
     *,
     ddc_plan: DDCPlan,
     rs_plan: ResamplePlan | None,
@@ -146,6 +147,7 @@ def chunk_step_impl(
         yr, yi, fir_tail, phase_next = ddc_apply_il(
             ddc_plan, ddc_kernel, f, state["fir_tail"], state["phase"], inc_lo,
             poly_w=poly_w, j_kernel=j_kernel, j_lanes=j_lanes,
+            mm_kernel=mm_kernel,
         )
     new_state = {"phase": phase_next, "fir_tail": fir_tail}
     new_accs = {}
@@ -232,6 +234,7 @@ def superstep_impl(
     poly_w,
     ddc_kernel_pair=None,
     j_kernel=None,
+    mm_kernel=None,
     **static,
 ):
     """Process ``S`` chunks in ONE dispatch: ``lax.scan`` over the stacked
@@ -262,7 +265,7 @@ def superstep_impl(
         st, ac, k = carry
         st, ac, _ = chunk_step_impl(
             st, ac, raw, rs_offset, slot_base + k, incs, ddc_kernel, rs_kernel,
-            poly_w, ddc_kernel_pair, j_kernel, **static
+            poly_w, ddc_kernel_pair, j_kernel, mm_kernel, **static
         )
         return (st, ac, k + jnp.int32(1)), None
 
@@ -334,6 +337,7 @@ class ChunkStep:
     channelizer: str = "conv"
     os_plan: object = None
     _j_kernel: jnp.ndarray | None = None  # lane-filling conv (j_lanes > 1)
+    _mm_kernel: jnp.ndarray | None = None  # shifted-dense-matmul (j_lanes > 1)
     j_lanes: int = 1
 
     @property
@@ -421,6 +425,7 @@ class ChunkStep:
             self._poly_w,
             self._ddc_kernel_pair if with_stages else None,
             self._j_kernel,
+            self._mm_kernel,
             ddc_plan=self.ddc_plan,
             rs_plan=self.rs_plan,
             decoder=self.decoder,
@@ -456,6 +461,7 @@ class ChunkStep:
             self._poly_w,
             None,
             self._j_kernel,
+            self._mm_kernel,
             ddc_plan=self.ddc_plan,
             rs_plan=self.rs_plan,
             decoder=self.decoder,
@@ -707,31 +713,62 @@ def build_chunk_step(
     # conv is the default) so cross-backend determinism can be checked with
     # matching kernels on both sides (docs/probes/perf_probe_r3d.py).
     convj_env = os.environ.get("IQ2A_CONVJ", "")
+    mm_env = os.environ.get("IQ2A_MM", "")
     j_kernel_arr = None
+    mm_kernel_arr = None
     j_lanes = 1
     if (
         channelizer == "conv"
         and poly_w_arr is None
-        and (jax.default_backend() != "cpu" or convj_env == "1")
+        and (
+            jax.default_backend() != "cpu"
+            or convj_env == "1"
+            or mm_env == "1"
+        )
         and convj_env != "0"
     ):
-        from ..ops.ddc import j_lanes_kernel
+        from ..ops.ddc import j_lanes_kernel, shift_matmul_kernel
 
         out_rows = kernel_il_np.shape[0]  # 2C
         j = max(1, 128 // out_rows)
         j = min(j, ddc_plan.out_size)
         if j > 1:
-            j_kernel_arr = jnp.asarray(
-                j_lanes_kernel(kernel_il_np, ddc_plan.decimation, j)
-            )
             j_lanes = j
-            LOG.info(
-                "Channelizer: lane-filling J-conv (J=%d, %d output lanes, "
-                "kernel width %d)",
-                j,
-                j * out_rows,
-                j_kernel_arr.shape[-1],
+            # Same banded product, two lowerings.  The shifted-dense-matmul
+            # (ops/ddc.py::shift_matmul_kernel) is the accelerator default:
+            # 5259 Msps vs the J-conv's 302 at the flagship geometry in full
+            # f32 (the XLA conv LOWERING, not MXU flops, bounds the conv —
+            # docs/probes/perf_probe_r5c/r5d.py), 139.8 dB SNR vs the
+            # float64 host reference.  IQ2A_MM=0 restores the J-conv;
+            # IQ2A_MM=1 forces the matmul even where convj was forced on
+            # CPU (cross-backend determinism checks want matching kernels).
+            use_mm = mm_env == "1" or (
+                mm_env != "0"
+                and convj_env != "1"
+                and jax.default_backend() != "cpu"
             )
+            if use_mm:
+                mm_np = shift_matmul_kernel(kernel_il_np, ddc_plan.decimation, j)
+                mm_kernel_arr = jnp.asarray(mm_np)
+                LOG.info(
+                    "Channelizer: shifted-dense-matmul (J=%d, %d lanes, "
+                    "%d shifts x stride %d)",
+                    j,
+                    j * out_rows,
+                    mm_np.shape[0],
+                    mm_np.shape[1],
+                )
+            else:
+                j_kernel_arr = jnp.asarray(
+                    j_lanes_kernel(kernel_il_np, ddc_plan.decimation, j)
+                )
+                LOG.info(
+                    "Channelizer: lane-filling J-conv (J=%d, %d output lanes, "
+                    "kernel width %d)",
+                    j,
+                    j * out_rows,
+                    j_kernel_arr.shape[-1],
+                )
     return ChunkStep(
         ddc_plan=ddc_plan,
         rs_plan=rs_plan,
@@ -752,6 +789,7 @@ def build_chunk_step(
         _incs=jnp.asarray(np.asarray(incs_fixed, dtype=np.uint32)),
         _poly_w=poly_w_arr,
         _j_kernel=j_kernel_arr,
+        _mm_kernel=mm_kernel_arr,
         j_lanes=j_lanes,
         _ddc_kernel_pair=pair_kernel_dev,
         channelizer=channelizer,

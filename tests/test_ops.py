@@ -672,9 +672,53 @@ def test_j_lanes_conv_matches_plain():
     assert np.array_equal(np.asarray(ph_ref), np.asarray(ph_got))
 
 
-def test_j_lanes_pipeline_end_to_end(tmp_path, monkeypatch):
-    """Full pipeline with the J-conv selected (as on accelerators) matches
-    the plain-conv pipeline at -60 dB and the float64 twin contract."""
+def test_shift_matmul_matches_plain():
+    """The shifted-dense-matmul channelizer (ops/ddc.py::shift_matmul_kernel
+    — the banded J-conv product split at stride boundaries into n_shift
+    dense MXU matmuls) must match the plain stride-2D interleaved conv to
+    f32 reassociation level, with identical carried state."""
+    from iq_to_audio_tpu.ops.ddc import (
+        DDCPlan,
+        bandpass_kernel,
+        ddc_apply_il,
+        interleave_kernel,
+        shift_matmul_kernel,
+    )
+    from iq_to_audio_tpu.ops.nco import nco_increment_fixed
+
+    fs, decim = 250_000.0, 26
+    taps = design_channel_filter(fs, 12_500.0, decim)
+    plan = DDCPlan.create(len(taps), decim, target_chunk=decim * 2048)
+    incs = [nco_increment_fixed(25_000.0, fs), nco_increment_fixed(-30_000.0, fs)]
+    k_il = interleave_kernel(bandpass_kernel(taps, incs), "iq")
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.normal(scale=0.2, size=2 * plan.chunk_size).astype(np.float32))
+    tail = jnp.asarray(rng.normal(scale=0.2, size=2 * plan.overlap).astype(np.float32))
+    phase = jnp.zeros((2,), jnp.uint32)
+    inc_lo = jnp.asarray(
+        np.asarray([(i * decim) % (1 << 32) for i in incs], np.uint32)
+    )
+    ref_r, ref_i, tail_ref, ph_ref = ddc_apply_il(
+        plan, jnp.asarray(k_il), f, tail, phase, inc_lo
+    )
+    J = max(1, 128 // k_il.shape[0])
+    assert J > 1
+    mm = jnp.asarray(shift_matmul_kernel(k_il, decim, J))
+    assert mm.shape[0] >= 2  # geometry actually exercises >1 shift
+    got_r, got_i, tail_got, ph_got = ddc_apply_il(
+        plan, jnp.asarray(k_il), f, tail, phase, inc_lo, mm_kernel=mm, j_lanes=J
+    )
+    assert error_db(np.asarray(got_r), np.asarray(ref_r)) < -80.0
+    assert error_db(np.asarray(got_i), np.asarray(ref_i)) < -80.0
+    assert np.array_equal(np.asarray(tail_ref), np.asarray(tail_got))
+    assert np.array_equal(np.asarray(ph_ref), np.asarray(ph_got))
+
+
+@pytest.mark.parametrize("formulation", ["mm", "jconv"])
+def test_j_lanes_pipeline_end_to_end(tmp_path, monkeypatch, formulation):
+    """Full pipeline with the accelerator channelizer selected — the
+    shifted-dense-matmul default and the IQ2A_MM=0 J-conv fallback —
+    matches the plain-conv pipeline at s16 resolution."""
     import iq_to_audio_tpu.pipeline.step as step_mod
     from iq_to_audio_tpu import ProcessingConfig, ProcessingPipeline
     from iq_to_audio_tpu.io.writer import read_wav, write_stereo_wav
@@ -686,13 +730,14 @@ def test_j_lanes_pipeline_end_to_end(tmp_path, monkeypatch):
     path = tmp_path / "baseband_145000000Hz_j.wav"
     write_stereo_wav(path, np.column_stack([iq.real, iq.imag]), int(fs))
     outs = {}
-    for label, backend in (("plain", "cpu"), ("jconv", "tpu")):
+    for label, backend in (("plain", "cpu"), ("accel", "tpu")):
         if backend == "tpu":
-            # pretend-accelerator: J-conv selection path (superstep still
-            # CPU-built via IQ2A_SUPER so geometry matches)
+            # pretend-accelerator: lane-filling selection path (superstep
+            # still CPU-built via IQ2A_SUPER so geometry matches)
             monkeypatch.setattr(step_mod.jax, "default_backend", lambda: "tpu")
             monkeypatch.setenv("IQ2A_SUPER", "1")
             monkeypatch.setenv("IQ2A_PALLAS", "0")
+            monkeypatch.setenv("IQ2A_MM", "1" if formulation == "mm" else "0")
         out = tmp_path / f"audio_{label}.wav"
         cfg = ProcessingConfig(
             in_path=path,
@@ -703,21 +748,22 @@ def test_j_lanes_pipeline_end_to_end(tmp_path, monkeypatch):
         )
         ProcessingPipeline(cfg).run()
         outs[label] = read_wav(out)[0][:, 0].astype(np.float64)
-    diff = np.abs(outs["plain"] - outs["jconv"])
+    diff = np.abs(outs["plain"] - outs["accel"])
     assert diff.max() <= 2.0 / 32767.0  # f32 reassociation at s16 resolution
     assert float(np.mean(diff > 0)) < 2e-3
 
-    def test_ref_twin_degenerate_coefficients_stay_finite(self):
-        # sub-denormal cumprod blocks must degrade to finite output, not
-        # divide-by-zero inf (block floor is 1, plus an A==0 guard)
-        from iq_to_audio_tpu.ref.chain import RefDCBlocker, RefDeemphasis
 
-        x = np.random.default_rng(8).normal(size=2_000)
-        with np.errstate(all="raise"):
-            deemph = RefDeemphasis(tau_us=1.0, sample_rate=8_000.0)  # a=e^-125
-            assert np.isfinite(deemph.process(x.copy())).all()
-            blk = RefDCBlocker(radius=1e-40)
-            assert np.isfinite(blk.process(x.copy())).all()
+def test_ref_twin_degenerate_coefficients_stay_finite():
+    # sub-denormal cumprod blocks must degrade to finite output, not
+    # divide-by-zero inf (block floor is 1, plus an A==0 guard)
+    from iq_to_audio_tpu.ref.chain import RefDCBlocker, RefDeemphasis
+
+    x = np.random.default_rng(8).normal(size=2_000)
+    with np.errstate(all="raise"):
+        deemph = RefDeemphasis(tau_us=1.0, sample_rate=8_000.0)  # a=e^-125
+        assert np.isfinite(deemph.process(x.copy())).all()
+        blk = RefDCBlocker(radius=1e-40)
+        assert np.isfinite(blk.process(x.copy())).all()
 
 
 class TestPlannerGuards:

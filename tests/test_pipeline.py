@@ -439,6 +439,33 @@ def test_convj_env_forces_j_conv_on_cpu(monkeypatch):
     monkeypatch.setenv("IQ2A_CONVJ", "0")
     assert build().j_lanes == 1
 
+    # formulation pick within the lane-filling family (IQ2A_MM):
+    # a convj force without IQ2A_MM keeps the J-CONV kernel (cross-backend
+    # determinism probes pin matching conv kernels on both sides)
+    monkeypatch.setenv("IQ2A_CONVJ", "1")
+    monkeypatch.delenv("IQ2A_MM", raising=False)
+    s = build()
+    assert s._j_kernel is not None and s._mm_kernel is None
+    # IQ2A_MM=1 selects the shifted-dense-matmul even on CPU
+    monkeypatch.setenv("IQ2A_MM", "1")
+    s = build()
+    assert s._mm_kernel is not None and s._j_kernel is None
+    assert s.j_lanes > 1
+    # ... and alone (no convj force) it also enables the lane-filling family
+    monkeypatch.delenv("IQ2A_CONVJ", raising=False)
+    s = build()
+    assert s._mm_kernel is not None and s.j_lanes > 1
+    # pretend-accelerator default is the matmul; IQ2A_MM=0 restores J-conv
+    import iq_to_audio_tpu.pipeline.step as step_mod
+
+    monkeypatch.delenv("IQ2A_MM", raising=False)
+    monkeypatch.setattr(step_mod.jax, "default_backend", lambda: "tpu")
+    s = build()
+    assert s._mm_kernel is not None and s._j_kernel is None
+    monkeypatch.setenv("IQ2A_MM", "0")
+    s = build()
+    assert s._j_kernel is not None and s._mm_kernel is None
+
 
 def test_chunk_size_invariance(tmp_path):
     """Chunked streaming must be invariant to the chunk size choice."""
