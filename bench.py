@@ -47,9 +47,12 @@ docs/probes/perf_probe_r5b.py; per-pass rates in
 ``device_only_pass_acc``), ``cpu_only_x`` (best pass the CPU workers
 drained alone), ``device_segments``/``cpu_segments``/``device_x``/
 ``cpu_x`` (who did the work in the best pass, at what per-side rate),
-``device_resident_msps``/``device_loop_x`` (the chip's own measured rate
-with data RESIDENT, at the flagship tap count/decimation — what the
-device delivers when the wire is not in the loop), ``wire_regime`` +
+``device_resident_msps``/``device_loop_x`` (the chip's measured
+channelizer rate with data RESIDENT, at the flagship tap
+count/decimation), ``device_step_msps``/``device_step_x`` (the FULL
+production step — channelizer + demod scans + resampler + s16 encode —
+on resident input: the end-to-end engine rate the wire never lets
+through), ``wire_regime`` +
 ``wire_probes`` (every timestamped wire probe of the campaign), and
 ``best_device_*`` (cross-campaign high-water from the stamped
 BENCH_DEVICE_BEST.json sidecar) — so the artifact itself says whether
@@ -244,6 +247,24 @@ def main() -> int:
                         resident_msps, resident_msps * 1e6 / sample_rate,
                         sample_rate / 1e6,
                     )
+
+            # -- FULL-STEP resident measurement (every campaign) --------------
+            # The channelizer-only rate above stopped bounding the pipeline
+            # once the shifted-dense-matmul channelizer landed (~5200 Msps);
+            # this one runs the production superstep (channelizer + demod
+            # scans + resampler + s16 encode) on resident input — the honest
+            # "chip's own rate" for this workload (pipeline/benchmark.py
+            # measure_step_resident_msps).
+            step_resident = None
+            if executor is not None:
+                from iq_to_audio_tpu.pipeline.benchmark import (
+                    measure_step_resident_msps,
+                )
+
+                t_fetch = (executor.last_wire_probe or {}).get("t_fetch")
+                step_resident = measure_step_resident_msps(
+                    sample_rate, t_fetch=t_fetch
+                )
 
             # -- measured passes --------------------------------------------
             # Alternate the device stream's hot-loop schedule pass-to-pass:
@@ -546,6 +567,17 @@ def main() -> int:
                     round(resident_msps * 1e6 / sample_rate, 1)
                     if resident_msps else None
                 ),
+                # the FULL production step (channelizer + demod + resampler
+                # + s16 encode) on resident input — the end-to-end engine
+                # rate the wire never lets through; measured fresh every
+                # campaign (pipeline/benchmark.py measure_step_resident_msps)
+                "device_step_msps": (
+                    round(step_resident["msps"], 1) if step_resident else None
+                ),
+                "device_step_x": (
+                    round(step_resident["x_realtime"], 1)
+                    if step_resident else None
+                ),
             }
         )
     else:
@@ -577,6 +609,7 @@ def main() -> int:
         for key in (
             "device_only_x", "device_assisted_x", "device_x",
             "device_resident_msps", "device_loop_x",
+            "device_step_msps", "device_step_x",
         ):
             val = record.get(key)
             if val is not None and val > float(best.get(key) or 0.0):
@@ -593,6 +626,8 @@ def main() -> int:
                 "best_device_assisted_x": best.get("device_assisted_x"),
                 "best_device_resident_msps": best.get("device_resident_msps"),
                 "best_device_loop_x": best.get("device_loop_x"),
+                "best_device_step_msps": best.get("device_step_msps"),
+                "best_device_step_x": best.get("device_step_x"),
             }
         )
     if jax.default_backend() == "cpu" and seconds >= 30.0 and not experiment_knobs:

@@ -29,7 +29,184 @@ from .pipeline import ProcessingPipeline
 
 LOG = logging.getLogger(__name__)
 
-__all__ = ["run_benchmark", "generate_synthetic_iq"]
+__all__ = [
+    "run_benchmark",
+    "generate_synthetic_iq",
+    "measure_step_resident_msps",
+]
+
+
+def measure_step_resident_msps(
+    sample_rate: float = 2_500_000.0,
+    *,
+    offset_hz: float = 25_000.0,
+    target_chunk: int = 1 << 22,
+    t_fetch: float | None = None,
+    seconds_target: float = 1.0,
+    reps_cap: int = 2048,
+) -> dict | None:
+    """Measure the FULL pipeline step's resident-compute rate, input Msps.
+
+    The channelizer-only resident probe (``hetero.py
+    measure_resident_compute``) stopped representing the pipeline once the
+    shifted-dense-matmul channelizer landed (~5200 Msps at the flagship
+    geometry — docs/probes/perf_probe_r5d.py): the demod scans, resampler
+    and s16 encode now bound what the chip delivers per chunk.  This
+    measurement runs the PRODUCTION superstep — ``build_chunk_step`` with
+    its real formulation selection (mm kernel, J-lanes, superstep scan) at
+    the flagship NFM geometry (taps/decimation/deemph/AGC/48 kHz out) —
+    over resident int16 input, ``reps`` supersteps chained inside ONE
+    executable (``lax.fori_loop`` carrying the stream state, so dispatch
+    latency and the tunneled relay's per-fetch toll stay off the clock;
+    same methodology as the channelizer probe).
+
+    Returns ``{"msps", "x_realtime", "reps", "super_chunks",
+    "chunk_size"}`` or None when unavailable (CPU backend without
+    ``IQ2A_MEASURE_MSPS=1``, or the probe failed).  The rate divides the
+    measured wall time (minus one small-fetch ``t_fetch``) into
+    ``reps * super_chunks * chunk_size`` complex input samples.
+    """
+    import os
+
+    import jax
+
+    if (
+        jax.default_backend() == "cpu"
+        and os.environ.get("IQ2A_MEASURE_MSPS") != "1"
+    ):
+        return None
+    try:
+        from functools import partial
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        from ..demod import create_decoder
+        from ..ops.ddc import DDCPlan, bandpass_kernel
+        from ..ops.nco import nco_increment_fixed
+        from ..ops.resample import ResamplePlan, design_resampler_kernel
+        from .filters import compute_decimation, design_channel_filter
+        from .step import build_chunk_step, superstep_impl
+
+        decim, fs_ch = compute_decimation(sample_rate, 96_000.0)
+        taps = design_channel_filter(sample_rate, 12_500.0, decim)
+        align_probe = ResamplePlan.create(fs_ch, 48_000.0, 1)
+        ddc_plan = DDCPlan.create(
+            len(taps),
+            decim,
+            target_chunk=target_chunk,
+            out_align=align_probe.down,
+            max_chunk=max(target_chunk, 1 << 22),
+        )
+        rs_plan = ResamplePlan.create(fs_ch, 48_000.0, ddc_plan.out_size)
+        decoder = create_decoder("nfm", deemph_us=300.0, agc_enabled=True)
+        decoder.setup(fs_ch)
+        inc = nco_increment_fixed(offset_hz, sample_rate)
+        step = build_chunk_step(
+            ddc_plan=ddc_plan,
+            rs_plan=rs_plan,
+            ddc_kernel_np=bandpass_kernel(taps, [inc]),
+            rs_kernel_np=design_resampler_kernel(rs_plan.up, rs_plan.down),
+            incs_fixed=[inc],
+            codec="pcm_s16le",
+            iq_order="iq",
+            decoder=decoder,
+            pass_through=False,
+            dump_iq=False,
+            est_total_chunks=8,
+            taps_np=taps,
+        )
+        S = step.super_chunks
+        static = dict(
+            ddc_plan=step.ddc_plan,
+            rs_plan=step.rs_plan,
+            decoder=step.decoder,
+            codec=step.codec,
+            iq_order=step.iq_order,
+            pass_through=False,
+            dump_iq=False,
+            with_stages=False,
+            num_channels=1,
+            acc_chunks=step.acc_chunks,
+            channelizer=step.channelizer,
+            os_plan=step.os_plan,
+            j_lanes=step.j_lanes,
+        )
+        rng = np.random.default_rng(0)
+        raw = jnp.asarray(
+            (
+                rng.normal(scale=0.05, size=(S, 2 * ddc_plan.chunk_size))
+                * 8000.0
+            ).astype("<i2")
+        )
+        rs_offset = jnp.int32(rs_plan.chunk_offset(0))
+        slot0 = jnp.int32(0)
+
+        def _probe(state, accs, raw_stack, *, reps: int):
+            def body(_, carry):
+                st, ac = carry
+                st, ac = superstep_impl(
+                    st, ac, raw_stack, rs_offset, slot0,
+                    step._incs, step._ddc_kernel, step._rs_kernel,
+                    step._poly_w, None, step._j_kernel, step._mm_kernel,
+                    **static,
+                )
+                return (st, ac)
+
+            st, ac = lax.fori_loop(0, reps, body, (state, accs))
+            # a tiny reduction: the fetched payload must not ride the clock
+            return (
+                ac["audio"][..., -1].astype(jnp.int32).sum()
+                + jnp.asarray(st["phase"], jnp.int32).sum()
+            )
+
+        def _timed(reps: int) -> float:
+            fn = jax.jit(partial(_probe, reps=reps))
+            np.asarray(fn(step.init_state(), step.init_accs(), raw))  # warm
+            t0 = time.perf_counter()
+            np.asarray(fn(step.init_state(), step.init_accs(), raw))
+            return time.perf_counter() - t0
+
+        if t_fetch is None:
+            small = np.zeros(1 << 18, np.float32)  # 1 MiB
+            for _ in range(2):
+                down = jax.device_put(small)
+                down.block_until_ready()
+                t0 = time.perf_counter()
+                np.asarray(down)
+                t_fetch = max(time.perf_counter() - t0, 1e-6)
+                if t_fetch <= 30.0:
+                    break  # else: that was the session toll — re-time
+        per_rep = S * ddc_plan.chunk_size
+        rough_elapsed = _timed(2)
+        rough = 2 * per_rep / max(rough_elapsed - t_fetch, 1e-3)
+        # size the real pass for ~seconds_target of execute: a pass much
+        # shorter than the relay's oscillating per-fetch latency (0.1-1 s)
+        # measures the fetch, not the engine
+        reps = int(min(max(rough * seconds_target / per_rep, 2), reps_cap))
+        elapsed = _timed(reps)
+        msps = reps * per_rep / max(elapsed - t_fetch, 1e-3) / 1e6
+        msps = min(max(msps, 0.1), 100_000.0)
+        out = {
+            "msps": msps,
+            "x_realtime": msps * 1e6 / sample_rate,
+            "reps": reps,
+            "super_chunks": S,
+            "chunk_size": ddc_plan.chunk_size,
+        }
+        LOG.info(
+            "full-step resident: %.0f Msps = %.1fx realtime of the %.1f MS/s "
+            "workload (%d reps x %d-chunk superstep, chunk %d, channelizer "
+            "%s%s)",
+            msps, out["x_realtime"], sample_rate / 1e6, reps, S,
+            ddc_plan.chunk_size, step.channelizer,
+            "/mm" if step._mm_kernel is not None else
+            ("/jconv" if step._j_kernel is not None else ""),
+        )
+        return out
+    except Exception:
+        LOG.exception("full-step resident measurement failed")
+        return None
 
 
 def generate_synthetic_iq(

@@ -242,6 +242,26 @@ def test_zz_report(tmp_path):
     assert RESULTS, "benchmark cases must have run"
 
 
+def test_step_resident_measurement(monkeypatch):
+    """The full-step resident probe (pipeline/benchmark.py
+    measure_step_resident_msps — the bench artifact's ``device_step_msps``
+    source) must run the production superstep on resident input and return
+    a sane positive rate; without the explicit opt-in it must abstain on
+    the CPU backend."""
+    from iq_to_audio_tpu.pipeline.benchmark import measure_step_resident_msps
+
+    monkeypatch.delenv("IQ2A_MEASURE_MSPS", raising=False)
+    assert measure_step_resident_msps(250_000.0, target_chunk=1 << 14) is None
+    monkeypatch.setenv("IQ2A_MEASURE_MSPS", "1")
+    out = measure_step_resident_msps(
+        250_000.0, target_chunk=1 << 14, seconds_target=0.05, reps_cap=8
+    )
+    assert out is not None
+    assert out["msps"] > 0.1
+    assert out["x_realtime"] == pytest.approx(out["msps"] * 1e6 / 250_000.0)
+    assert out["reps"] >= 2 and out["super_chunks"] >= 1
+
+
 def test_bench_script_end_to_end(tmp_path):
     """The driver entry point `bench.py` must run standalone and print one
     valid JSON result line (smoke-tested on CPU with tiny budgets; the
