@@ -203,6 +203,28 @@ def shift_matmul_kernel(
     return w
 
 
+def lane_formulation() -> str:
+    """Which lane-filling channelizer formulation production selects:
+    ``"mm"`` (shifted-dense-matmul, :func:`shift_matmul_kernel` — the
+    accelerator default) or ``"jconv"`` (:func:`j_lanes_kernel`).
+
+    Shared by the single-device step builder's default
+    (``pipeline/step.py``) and the sharded-path callers
+    (``parallel/dp_runner.py``); ``IQ2A_MM=1`` forces the matmul (even on
+    CPU), ``IQ2A_MM=0`` keeps the J-conv.
+    """
+    import os
+
+    import jax
+
+    mm_env = os.environ.get("IQ2A_MM", "")
+    if mm_env == "1":
+        return "mm"
+    if mm_env == "0":
+        return "jconv"
+    return "mm" if jax.default_backend() != "cpu" else "jconv"
+
+
 def ddc_apply_il(
     plan: DDCPlan,
     kernel_il: jnp.ndarray,

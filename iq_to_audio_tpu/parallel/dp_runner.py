@@ -206,16 +206,29 @@ def run_captures_dp(
     rs_kernel = (
         None if rs_plan.identity else design_resampler_kernel(rs_plan.up, rs_plan.down)
     )
-    # lane-filling J-conv per dp shard (same rationale as the single-device
-    # default — ops/ddc.py::j_lanes_kernel); the channel-major layout keeps
-    # each capture's J blocks on its dp row
+    # lane-filling channelizer per dp shard (same rationale as the
+    # single-device default): the shifted-dense-matmul on accelerators,
+    # the J-conv elsewhere (ops/ddc.py::lane_formulation).  Channel-major
+    # layout (rows for jconv, columns for mm) keeps each capture's J
+    # blocks on its dp row.
     dp = mesh.devices.shape[0]
     local_rows = max(1, (2 * G * K) // dp)
     j_lanes = max(1, 128 // local_rows)
+    lane_form = "jconv"
     if j_lanes > 1:
-        from ..ops.ddc import j_lanes_kernel
+        from ..ops.ddc import (
+            j_lanes_kernel,
+            lane_formulation,
+            shift_matmul_kernel,
+        )
 
-        ddc_kernel = j_lanes_kernel(ddc_kernel, ddc_plan.decimation, j_lanes)
+        lane_form = lane_formulation()
+        if lane_form == "mm":
+            ddc_kernel = shift_matmul_kernel(
+                ddc_kernel, ddc_plan.decimation, j_lanes
+            )
+        else:
+            ddc_kernel = j_lanes_kernel(ddc_kernel, ddc_plan.decimation, j_lanes)
 
     fn, init_state = build_sharded_step(
         mesh,
@@ -230,12 +243,21 @@ def run_captures_dp(
         agc_enabled=agc_enabled,
         captures=G if G > 1 else 1,
         j_lanes=j_lanes,
+        lane_form=lane_form,
     )
     state = init_state()
     incs_sh = jax.device_put(
         np.asarray(incs, np.uint32), NamedSharding(mesh, P("dp"))
     )
-    ddc_k_sh = jax.device_put(ddc_kernel, NamedSharding(mesh, P("dp", None, None)))
+    ddc_k_sh = jax.device_put(
+        ddc_kernel,
+        NamedSharding(
+            mesh,
+            P(None, None, "dp")
+            if (lane_form == "mm" and j_lanes > 1)
+            else P("dp", None, None),
+        ),
+    )
     rs_k_sh = (
         jax.device_put(rs_kernel, NamedSharding(mesh, P()))
         if rs_kernel is not None

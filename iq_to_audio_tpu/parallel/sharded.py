@@ -176,6 +176,7 @@ def build_sharded_step(
     agc_decay: float = AGC_DECAY,
     captures: int = 1,
     j_lanes: int = 1,
+    lane_form: str = "jconv",
 ):
     """Build a pjit-compiled full pipeline step sharded over ``mesh``.
 
@@ -188,11 +189,12 @@ def build_sharded_step(
     ``iq_order`` argument here only documents the convention the caller
     folded into those taps; ``codec`` alone drives the on-device scaling.
 
-    ``j_lanes > 1`` selects the lane-filling J-conv (the production
-    single-device default — ops/ddc.py::j_lanes_kernel): the caller must
-    then pass ``j_lanes_kernel(interleaved_kernel, D, j_lanes)`` as
-    ``ddc_kernel``; its channel-major row layout shards over ``dp``
-    exactly like the plain kernel.  Pick
+    ``j_lanes > 1`` selects a lane-filling channelizer; ``lane_form``
+    picks the formulation the caller packed into ``ddc_kernel``:
+    ``"jconv"`` (ops/ddc.py::j_lanes_kernel — channel-major ROWS, shard
+    ``P("dp", None, None)``) or ``"mm"`` (the shifted-dense-matmul
+    accelerator default, ops/ddc.py::shift_matmul_kernel — channel-major
+    COLUMNS, shard ``P(None, None, "dp")``).  Pick
     ``j_lanes = max(1, 128 // (2C // dp))`` to fill each shard's lanes.
 
     ``captures > 1`` runs **data-parallel multi-capture** mode: each ``dp``
@@ -236,7 +238,12 @@ def build_sharded_step(
         halo = _left_halo(f, 2 * (L - 1), tail_state, "seq")
         yr, yi, _, _ = ddc_apply_il(
             local_plan, ddc_kernel, f, halo, phase0, inc_lo,
-            j_kernel=ddc_kernel if j_lanes > 1 else None,
+            j_kernel=(
+                ddc_kernel if j_lanes > 1 and lane_form != "mm" else None
+            ),
+            mm_kernel=(
+                ddc_kernel if j_lanes > 1 and lane_form == "mm" else None
+            ),
             j_lanes=j_lanes,
         )
         nseq = lax.axis_size("seq")
@@ -324,10 +331,14 @@ def build_sharded_step(
         P("dp", "seq") if captures > 1 else P("seq"),
         P(),  # rs_offset
         P("dp"),  # incs
-        # interleaved-domain bandpass kernel (2C, 1, 2L), rows 2c/2c+1 —
-        # callers build it with ddc.interleave_kernel(bandpass_kernel(...),
-        # iq_order); the IQ-order convention lives in the taps
-        P("dp", None, None),
+        # interleaved-domain bandpass kernel — callers build it with
+        # ddc.interleave_kernel(bandpass_kernel(...), iq_order); the
+        # IQ-order convention lives in the taps.  Plain (2C, 1, 2L) and
+        # J-conv (J*2C, 1, width) kernels carry channels on ROWS; the
+        # shifted-matmul repack (n_shift, stride, J*2C) carries them on
+        # COLUMNS (ops/ddc.py::shift_matmul_kernel)
+        P(None, None, "dp") if lane_form == "mm" and j_lanes > 1
+        else P("dp", None, None),
         P(),  # resampler kernel
     )
     out_specs = (state_specs, P("dp", None))

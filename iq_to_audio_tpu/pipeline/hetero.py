@@ -611,10 +611,16 @@ class HeteroExecutor:
                 # runs sequentially on TPU): per-dispatch latency on
                 # tunneled runtimes is ~0.1-1 s, which swamped a 15 ms
                 # per-chunk execute when reps were separate dispatches
-                # (measured 21 Msps for a ~286 Msps engine)
-                def body(_, s):
+                # (measured 21 Msps for a ~286 Msps engine).  The input
+                # must VARY with the loop counter: a loop-invariant body
+                # lets XLA hoist the matmuls out of the fori_loop and the
+                # probe then measures `reps` scalar adds (observed 83 Gsps
+                # for a ~5.2 Gsps engine) — same methodology as
+                # docs/probes/perf_probe_r5d.py.
+                def body(i, s):
+                    xv = x + i.astype(jnp.float32) * jnp.float32(1e-12)
                     yr, yi, _, _ = ddc_apply_il(
-                        plan, k, x, tail, phase0, inc_lo,
+                        plan, k, xv, tail, phase0, inc_lo,
                         mm_kernel=mm_kernel,
                         j_lanes=j_lanes if mm_kernel is not None else 1,
                     )

@@ -161,11 +161,14 @@ def test_sharded_single_tap_filter_carries_empty_tail():
     assert np.isfinite(np.asarray(audio)).all()
 
 
-def test_sharded_flagship_geometry():
+@pytest.mark.parametrize("lane_form", ["jconv", "mm"])
+def test_sharded_flagship_geometry(lane_form):
     """VERDICT round-2 item 4: the sharded step at the FLAGSHIP geometry —
     2.5 MS/s, decimation 26, the real 1601-tap channel filter, exact
     312/625 resampler — multi-chunk so the carried state and the
-    per-chunk (non-identity, varying) resampler offsets both matter."""
+    per-chunk (non-identity, varying) resampler offsets both matter.
+    Runs under BOTH lane-filling channelizer formulations (the J-conv and
+    the shifted-dense-matmul accelerator default)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     dp, seq = 2, 4
@@ -198,6 +201,7 @@ def test_sharded_flagship_geometry():
         mode="nfm",
         deemph_alpha=alpha,
         j_lanes=j_lanes,
+        lane_form=lane_form,
     )
     decoder = create_decoder("nfm", deemph_us=300.0, agc_enabled=True)
     decoder.setup(fs_channel)
@@ -229,12 +233,18 @@ def test_sharded_flagship_geometry():
     incs_sh = jax.device_put(
         np.asarray(incs_list, np.uint32), NamedSharding(mesh, P("dp"))
     )
-    from iq_to_audio_tpu.ops.ddc import j_lanes_kernel
+    from iq_to_audio_tpu.ops.ddc import j_lanes_kernel, shift_matmul_kernel
 
-    ddc_k_sh = jax.device_put(
-        j_lanes_kernel(interleave_kernel(ddc_k_np, "iq"), decim, j_lanes),
-        NamedSharding(mesh, P("dp", None, None)),
-    )
+    if lane_form == "mm":
+        ddc_k_sh = jax.device_put(
+            shift_matmul_kernel(interleave_kernel(ddc_k_np, "iq"), decim, j_lanes),
+            NamedSharding(mesh, P(None, None, "dp")),
+        )
+    else:
+        ddc_k_sh = jax.device_put(
+            j_lanes_kernel(interleave_kernel(ddc_k_np, "iq"), decim, j_lanes),
+            NamedSharding(mesh, P("dp", None, None)),
+        )
     rs_k_sh = jax.device_put(rs_k_np, NamedSharding(mesh, P()))
 
     state_sh = sharded_init()
