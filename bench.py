@@ -92,6 +92,40 @@ jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def _watchdog(label: str, fn, timeout: float):
+    """Run ``fn()`` on a daemon thread with a bounded join.
+
+    Returns ``(value, status)`` where status is ``"ok"``, ``"failed: ..."``
+    or ``"timed out after Ns (wedged wire?)"``.  Device work on the
+    tunneled runtime can wedge for minutes when the relay degrades (a
+    1 KiB reduction was observed hanging >150 s); every other bench stage
+    is budgeted or runs off the main thread, and the resident-rate
+    measurements must not be the one unguarded stage that can hang the
+    whole campaign before a single pass is recorded.  The hung thread is
+    daemonic: it either finishes late (harmless — the measurement caches)
+    or dies with the process.
+    """
+    box: dict = {}
+
+    def _run():
+        try:
+            box["value"] = fn()
+        except BaseException as exc:
+            box["error"] = exc
+
+    th = threading.Thread(target=_run, daemon=True, name=f"bench-{label}")
+    th.start()
+    th.join(timeout=timeout)
+    if th.is_alive():
+        status = f"timed out after {timeout:.0f}s (wedged wire?)"
+        logging.warning("%s measurement %s", label, status)
+        return None, status
+    if "error" in box:
+        logging.warning("%s measurement failed: %s", label, box["error"])
+        return None, f"failed: {box['error']}"
+    return box.get("value"), "ok"
+
+
 def main() -> int:
     import tempfile
 
@@ -226,6 +260,12 @@ def main() -> int:
             # artifact itself states the chip's own rate even when every
             # end-to-end pass is wire-floored.
             resident_msps = None
+            resident_status = "skipped (serial mode)"
+            # per-measurement wall budget (compile + two timed stages run
+            # 60-120 s on a healthy tunnel; a wedged relay hangs forever)
+            resident_budget = float(
+                os.environ.get("IQ2A_BENCH_RESIDENT_SECS", "300")
+            )
             if executor is not None:
                 from iq_to_audio_tpu.pipeline.filters import (
                     compute_decimation,
@@ -234,12 +274,13 @@ def main() -> int:
 
                 decim, _fs_ch = compute_decimation(sample_rate, 96_000.0)
                 taps = design_channel_filter(sample_rate, 12_500.0, decim)
-                try:
-                    resident_msps = executor.measure_resident_compute(
+                resident_msps, resident_status = _watchdog(
+                    "resident-compute",
+                    lambda: executor.measure_resident_compute(
                         len(taps), decim
-                    )
-                except Exception:
-                    logging.exception("resident-compute measurement failed")
+                    ),
+                    resident_budget,
+                )
                 if resident_msps:
                     logging.info(
                         "resident-compute: %.0f Msps = %.1fx realtime of the "
@@ -256,15 +297,26 @@ def main() -> int:
             # "chip's own rate" for this workload (pipeline/benchmark.py
             # measure_step_resident_msps).
             step_resident = None
+            step_status = "skipped (serial mode)"
             if executor is not None:
-                from iq_to_audio_tpu.pipeline.benchmark import (
-                    measure_step_resident_msps,
-                )
+                if resident_status.startswith("timed out"):
+                    # the wire is wedged right now; don't burn another
+                    # budget proving it twice — the measured passes (whose
+                    # CPU side is wire-independent) are worth more
+                    step_status = "skipped (wedged wire)"
+                else:
+                    from iq_to_audio_tpu.pipeline.benchmark import (
+                        measure_step_resident_msps,
+                    )
 
-                t_fetch = (executor.last_wire_probe or {}).get("t_fetch")
-                step_resident = measure_step_resident_msps(
-                    sample_rate, t_fetch=t_fetch
-                )
+                    t_fetch = (executor.last_wire_probe or {}).get("t_fetch")
+                    step_resident, step_status = _watchdog(
+                        "full-step-resident",
+                        lambda: measure_step_resident_msps(
+                            sample_rate, t_fetch=t_fetch
+                        ),
+                        resident_budget,
+                    )
 
             # -- measured passes --------------------------------------------
             # Alternate the device stream's hot-loop schedule pass-to-pass:
@@ -563,6 +615,7 @@ def main() -> int:
                 "device_resident_msps": (
                     round(resident_msps, 1) if resident_msps else None
                 ),
+                "device_resident_status": resident_status,
                 "device_loop_x": (
                     round(resident_msps * 1e6 / sample_rate, 1)
                     if resident_msps else None
@@ -574,6 +627,7 @@ def main() -> int:
                 "device_step_msps": (
                     round(step_resident["msps"], 1) if step_resident else None
                 ),
+                "device_step_status": step_status,
                 "device_step_x": (
                     round(step_resident["x_realtime"], 1)
                     if step_resident else None

@@ -208,10 +208,11 @@ def lane_formulation() -> str:
     ``"mm"`` (shifted-dense-matmul, :func:`shift_matmul_kernel` — the
     accelerator default) or ``"jconv"`` (:func:`j_lanes_kernel`).
 
-    Shared by the single-device step builder's default
-    (``pipeline/step.py``) and the sharded-path callers
-    (``parallel/dp_runner.py``); ``IQ2A_MM=1`` forces the matmul (even on
-    CPU), ``IQ2A_MM=0`` keeps the J-conv.
+    Used by the sharded-path callers (``parallel/dp_runner.py``) and
+    mirrors the single-device step builder's default (``pipeline/step.py``
+    implements the same policy inline, where it additionally interacts
+    with ``IQ2A_CONVJ``); ``IQ2A_MM=1`` forces the matmul (even on CPU),
+    ``IQ2A_MM=0`` keeps the J-conv.
     """
     import os
 
