@@ -552,14 +552,18 @@ class HeteroExecutor:
             import numpy as np
 
             small = np.zeros(1 << 18, np.float32)  # 1 MiB
+            # two fetches, keep the SECOND: the first fetch of a fresh
+            # connection absorbs (part of) the per-connection session
+            # toll — sub-30 s tolls slipped through a break-on-first
+            # heuristic here and the inflated t_fetch then swallowed the
+            # whole timed pass in the subtraction below (clamp-pinned
+            # 100 000 Msps readings on standalone probes)
             for _ in range(2):
                 down = jax.device_put(small)
                 down.block_until_ready()
                 t0 = time.perf_counter()
                 np.asarray(down)
                 t_fetch = max(time.perf_counter() - t0, 1e-6)
-                if t_fetch <= 30.0:
-                    break  # else: that was the session toll — re-time
         msps = self._measure_compute_msps(num_taps, decimation, t_fetch, None)
         if msps is not None:
             self._measured_msps = msps
@@ -591,7 +595,18 @@ class HeteroExecutor:
             plan = DDCPlan.create(
                 L, max(int(decimation), 1), target_chunk=chunk_target
             )
-            kernel = jnp.zeros((2, 1, 2 * L), jnp.float32)
+            # NONZERO weights, passed as jit ARGUMENTS: a zero kernel (or
+            # any kernel captured as a closure constant) is visible to
+            # XLA's simplifier, which folds dot(A, 0) -> 0 and deletes the
+            # entire channelizer from the loop (observed 76 699 Msps for a
+            # ~6 Gsps engine).  Arguments are opaque at compile time.
+            kernel_np = (
+                np.random.default_rng(0)
+                .standard_normal((2, 1, 2 * L))
+                .astype(np.float32)
+                * np.float32(1e-2)
+            )
+            kernel = jnp.asarray(kernel_np)
             phase0 = jnp.zeros((1,), jnp.uint32)
             inc_lo = jnp.full((1,), 123_456_789, jnp.uint32)
             # probe the PRODUCTION channelizer formulation — the rate that
@@ -603,10 +618,10 @@ class HeteroExecutor:
             mm_kernel = None
             if j_lanes > 1 and os.environ.get("IQ2A_MM", "") != "0":
                 mm_kernel = jnp.asarray(
-                    shift_matmul_kernel(np.asarray(kernel), plan.decimation, j_lanes)
+                    shift_matmul_kernel(kernel_np, plan.decimation, j_lanes)
                 )
 
-            def _probe(x, k, tail, *, reps: int):
+            def _probe(x, k, mm_k, tail, *, reps: int):
                 # `reps` conv evaluations INSIDE one executable (fori_loop
                 # runs sequentially on TPU): per-dispatch latency on
                 # tunneled runtimes is ~0.1-1 s, which swamped a 15 ms
@@ -621,10 +636,20 @@ class HeteroExecutor:
                     xv = x + i.astype(jnp.float32) * jnp.float32(1e-12)
                     yr, yi, _, _ = ddc_apply_il(
                         plan, k, xv, tail, phase0, inc_lo,
-                        mm_kernel=mm_kernel,
-                        j_lanes=j_lanes if mm_kernel is not None else 1,
+                        mm_kernel=mm_k,
+                        j_lanes=j_lanes if mm_k is not None else 1,
                     )
-                    return s + yr[..., -1] + yi[..., -1]
+                    # consume EVERY output element through a MAX: a
+                    # last-column slice invites slice-through-dot (compute
+                    # only the rows the slice needs; measured 14 258 Msps),
+                    # and a plain sum reassociates straight through the
+                    # dot — sum(A@W) = rowsum(A)@colsum(W) — deleting the
+                    # matmul entirely (measured clamp-pinned 100 000 Msps).
+                    # reduce-max has no algebraic path through a dot, so
+                    # every output element must be materialised; it costs
+                    # one extra pass over Y (~2.6 MB/rep, noise next to
+                    # the matmul)
+                    return s + jnp.max(yr) + jnp.max(yi)
 
                 return lax.fori_loop(
                     0, reps, body, jnp.zeros((1,), jnp.float32)
@@ -635,9 +660,9 @@ class HeteroExecutor:
 
             def _timed(reps: int) -> float:
                 fn = jax.jit(partial(_probe, reps=reps))
-                np.asarray(fn(x, kernel, tail))  # compile + warm
+                np.asarray(fn(x, kernel, mm_kernel, tail))  # compile + warm
                 t0 = time.perf_counter()
-                np.asarray(fn(x, kernel, tail))
+                np.asarray(fn(x, kernel, mm_kernel, tail))
                 return time.perf_counter() - t0
 
             rough_elapsed = _timed(2)
@@ -652,9 +677,17 @@ class HeteroExecutor:
             if should_abort is not None and should_abort():
                 return None
             elapsed = _timed(reps)
-            msps = (
-                reps * plan.chunk_size / max(elapsed - t_fetch, 1e-3) / 1e6
-            )
+            net = elapsed - t_fetch
+            if net <= 1e-3:
+                # the fetch-latency estimate swallowed the whole pass —
+                # reporting the clamp ceiling would be fiction
+                LOG.info(
+                    "hetero: resident probe unreliable (pass %.3f s <= "
+                    "fetch estimate %.3f s) — keeping the prior",
+                    elapsed, t_fetch,
+                )
+                return None
+            msps = reps * plan.chunk_size / net / 1e6
             msps = min(max(msps, 0.1), 100_000.0)
             LOG.info(
                 "hetero: resident-compute probe measured %.0f Msps "

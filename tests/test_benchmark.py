@@ -297,3 +297,33 @@ def test_bench_script_end_to_end(tmp_path):
     assert rec["device_only_x"] is None
     assert rec["hetero_x"] is None
     assert rec["wire_regime"] == "n/a (serial pipeline)"
+
+
+def test_bench_watchdog_bounds_wedged_measurements():
+    """bench.py's _watchdog (the wedged-relay guard around the resident
+    measurements): a hung measurement must cost only its bounded wait and
+    a status string, never the campaign; values and exceptions must pass
+    through."""
+    import threading
+
+    import bench
+
+    val, status = bench._watchdog("ok-case", lambda: 42.0, timeout=5.0)
+    assert val == 42.0 and status == "ok"
+
+    def _boom():
+        raise RuntimeError("probe exploded")
+
+    val, status = bench._watchdog("fail-case", _boom, timeout=5.0)
+    assert val is None and status.startswith("failed:")
+    assert "probe exploded" in status
+
+    release = threading.Event()
+    t0 = time.perf_counter()
+    val, status = bench._watchdog(
+        "wedge-case", lambda: release.wait(30.0), timeout=0.2
+    )
+    elapsed = time.perf_counter() - t0
+    release.set()  # unwedge the leaked daemon thread promptly
+    assert val is None and status.startswith("timed out")
+    assert elapsed < 5.0  # bounded: nowhere near the 30 s "wedge"
